@@ -13,6 +13,8 @@ float32-rounded values because they pass through QVector3D first.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from ..ops.tables import GRAD3, PERM
@@ -105,23 +107,35 @@ def octave_noise_3d(octaves: int, persistence: float, scale: float, x, y, z) -> 
 
 def ridged_mf(px, py, pz, frequency: float, octaves: int, lacunarity: float,
               offset: float, gain: float) -> np.ndarray:
-    """noise.cpp:81-128 — ridged multifractal with weight feedback."""
-    px = np.asarray(px, dtype=np.float64)
-    value = np.zeros(np.broadcast(px, py, pz).shape, dtype=np.float64)
+    """noise.cpp:81-128 — ridged multifractal with weight feedback.
+
+    The sample point lives in a QVector3D in the reference, so the per-octave
+    ``vt *= lacunarity`` scaling rounds the coordinates to float32 each octave
+    (noise.cpp:106 ``vt = vt * lacunarity``); the noise itself is evaluated in
+    double. (The C++ writes ``double w = -0.05f``; the in-tree oracle — the
+    designated conformance datum — uses the double -0.05, kept here.)
+    """
+    f32 = np.float32
+    vx = np.asarray(px, dtype=f32)
+    vy = np.asarray(py, dtype=f32)
+    vz = np.asarray(pz, dtype=f32)
+    value = np.zeros(np.broadcast(vx, vy, vz).shape, dtype=np.float64)
     weight = np.ones_like(value)
     w = -0.05
-    vx, vy, vz = px, np.asarray(py, np.float64), np.asarray(pz, np.float64)
+    lac32 = f32(lacunarity)
     freq = float(frequency)
     for _ in range(int(octaves)):
-        signal = raw_noise_3d(vx, vy, vz)
+        signal = raw_noise_3d(vx.astype(np.float64), vy.astype(np.float64),
+                              vz.astype(np.float64))
         signal = offset - np.abs(signal)
         signal = signal * signal
         signal = signal * weight
         weight = np.clip(signal * gain, 0.0, 1.0)
-        value = value + signal * np.power(freq, w)
-        vx = vx * lacunarity
-        vy = vy * lacunarity
-        vz = vz * lacunarity
+        # math.pow (C libm) — np.power can differ in the last ulp
+        value = value + signal * math.pow(freq, w)
+        vx = vx * lac32
+        vy = vy * lac32
+        vz = vz * lac32
         freq *= lacunarity
     return value * 1.25 - 1.0
 

@@ -322,7 +322,8 @@ def render_oracle(scene: Scene, return_linear: bool = False):
 
         # Ellipsoid intersection (util.h:66-98).
         ax32 = np.asarray(gp.axis, dtype=F32)
-        inv32 = (1.0 / (ax32 * ax32).astype(F64)).astype(F32)
+        # 1/(x*x) with the product in f64 (python-float semantics of the spec).
+        inv32 = (1.0 / (ax32.astype(F64) * ax32.astype(F64))).astype(F32)
         rD = (dirs32 * inv32).astype(F32)
         rO = (o32 * inv32).astype(F32)
         A = qm.dot32(dirs32, rD).astype(F64)

@@ -1,0 +1,40 @@
+"""Test configuration.
+
+Forces JAX onto the host CPU backend with 8 virtual devices BEFORE jax is
+imported anywhere, so mesh/sharding tests exercise real multi-device code
+paths without TPU hardware (the driver validates the same thing via
+``__graft_entry__.dryrun_multichip``).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+REFERENCE = Path("/root/reference")
+FIXTURES = REFERENCE / "publish" / "data" / "galaxies"
+
+sys.path.insert(0, str(REPO))
+
+
+@pytest.fixture(scope="session")
+def fixtures_dir() -> Path:
+    if not FIXTURES.is_dir():
+        pytest.skip("reference fixtures not mounted")
+    return FIXTURES
+
+
+@pytest.fixture(scope="session")
+def reference_tools_dir() -> Path:
+    d = REFERENCE / "tools"
+    if not d.is_dir():
+        pytest.skip("reference tools not mounted")
+    return d
