@@ -1,0 +1,326 @@
+"""The XLA render path: vectorized emission-absorption ray march.
+
+Pure-function reimplementation of the reference render pipeline
+(rasterizer.cpp:379-483 renderPixel/getIntensity, galaxycomponent.cpp:45-88
+gating, galaxycomponents.cpp:5-170 kernels, buffer2d.cpp:106-126 post),
+restructured for XLA: every pixel marches in lockstep inside one
+lax.while_loop whose body is fully vectorized over rays, with per-ray
+masks reproducing the data-dependent control flow. Component dispatch is
+unrolled at trace time from the static scene structure (scene_prep).
+
+This is the reference implementation the Pallas kernel is gated against;
+it is also the path that vmaps over cameras (fly-throughs) and galaxy
+parameters (dataset generation) and shards over device meshes (parallel/).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import camera as cam_ops
+from ..ops import noise as jnoise
+from ..ops.math3d import (
+    dot3,
+    floor0,
+    intersect_ellipsoid,
+    norm3,
+    qt_clamp,
+    qt_smoothstep,
+    quat_from_axis_angle_rad,
+    quat_rotate,
+)
+from ..scene.schema import (
+    CID_BULGE,
+    CID_DISK,
+    CID_DUST,
+    CID_DUST2,
+    CID_DUST_POSITIVE,
+    CID_STARS,
+    Scene,
+)
+from .scene_prep import CompStatic, InstanceStatic, SceneStatic, flatten_scene
+
+PI = 3.141592653589793
+
+
+def _get_winding(rad, winding_b, winding_n):
+    """galaxycomponent.h:156-165."""
+    r = rad + 0.05
+    return jnp.arctan(jnp.exp(-0.25 / (0.5 * r)) / winding_b) * 2.0 * winding_n
+
+
+def _find_difference(t1, t2):
+    """galaxycomponent.h:103-118 — min |t1-t2| over 0, +-2pi, +-4pi shifts."""
+    d = t1 - t2
+    v = jnp.abs(d)
+    v = jnp.minimum(v, jnp.abs(d - 2 * PI))
+    v = jnp.minimum(v, jnp.abs(d + 2 * PI))
+    v = jnp.minimum(v, jnp.abs(d - 4 * PI))
+    v = jnp.minimum(v, jnp.abs(d + 4 * PI))
+    return v
+
+
+def _twirl(p, t, orientation):
+    """Rotate p about the instance orientation by t*180deg
+    (galaxycomponent.h:86-90; fromAxisAndAngle degrees -> t*pi radians)."""
+    q = quat_from_axis_angle_rad(orientation, t * PI)
+    return quat_rotate(q, p)
+
+
+def _perlin_cloud(p, t, octaves, ks, pers, orientation):
+    """galaxycomponent.h:93-98 — octave noise of the twirled point at
+    frequency ks*0.1."""
+    r = _twirl(p, t, orientation)
+    return jnoise.octave_noise_3d(
+        octaves, pers, ks * 0.1, r[..., 0], r[..., 1], r[..., 2]
+    )
+
+
+def _arm_value(st: InstanceStatic, pr, cp, radius, P):
+    """galaxycomponent.h:120-146 — max over the arm equality-ladder count,
+    with std::max NaN ordering (a NaN candidate never wins)."""
+    rot = quat_rotate(pr["rotmat"], P)
+    theta = jnp.arctan2(rot[..., 0], rot[..., 2]) + cp["delta"]
+    ww = _get_winding(radius, pr["winding_b"], pr["winding_n"])
+    val = None
+    for a in range(st.max_arms):
+        v = jnp.abs(_find_difference(ww, -theta + pr["arms"][a])) / PI
+        arm_v = jnp.power(1.0 - v, cp["arm"] * 15.0)
+        val = arm_v if val is None else jnp.where(arm_v > val, arm_v, val)
+    return val
+
+
+def _apply_component(
+    cs: CompStatic,
+    st: InstanceStatic,
+    pr,
+    cp,
+    p,
+    active,
+    weight,
+    I,
+    winding,
+    ray_step,
+):
+    """One component's contribution at the current sample points.
+
+    Mirrors GalaxyComponent::calculateIntensity (galaxycomponent.cpp:45-88)
+    + the componentIntensity kernels (galaxycomponents.cpp). Returns the
+    updated (I, winding).
+    """
+    orientation = pr["orientation"]
+    twirl_axis = pr["twirl_axis"]
+    iscale = pr["intensity_scale"]
+
+    if cs.cid == CID_BULGE:
+        # Bulge bypasses all gating (galaxycomponents.cpp:5-39).
+        pos = quat_rotate(pr["rotmat"], p)
+        rad = (norm3(pos) + 0.01) * cp["r0"] + 0.01
+        ival = (cp["strength"] * weight) * (
+            jnp.power(rad, -0.855) * jnp.exp(-jnp.power(rad, 0.25)) - 0.05
+        ) * iscale
+        ival = jnp.where(ival < 0, 0.0, ival)
+        add = cp["spec"] * (ival * ray_step)[..., None]
+        return I + jnp.where(active[..., None], add, 0.0), winding
+
+    # Shared per-sample geometry (rasterizer.cpp:460-462).
+    dott = dot3(p, orientation)
+    P = p - orientation * dott[..., None]
+    radius = norm3(P) / pr["axis"][0]
+    h = jnp.abs(dott / cp["z0"])
+    sech = 1.0 / ((jnp.exp(h) + jnp.exp(-h)) / 2.0)
+    z = jnp.where(h > 2.0, 0.0, sech * sech)
+
+    # Gating pipeline (galaxycomponent.cpp:45-88).
+    ri = jnp.exp(-radius / (cp["r0"] * 0.5))
+    intensity = qt_clamp(ri - 0.01, 0.0, 1.0)
+    intensity = jnp.where(intensity > 0.1, 0.1, intensity)
+    gates = active & (z > 0.01) & (intensity > 0.001)
+
+    scale_inner = jnp.power(qt_smoothstep(0.0, 1.0 * cp["inner"], radius), 4.0)
+    if cs.arm_enabled:
+        arm_val = _arm_value(st, pr, cp, radius, P)
+        if cs.winding_enabled:
+            new_wind = _get_winding(radius, pr["winding_b"], pr["winding_n"]) * cp["winding"]
+        else:
+            new_wind = jnp.zeros_like(radius)
+    else:
+        arm_val = jnp.ones_like(radius)
+        new_wind = jnp.zeros_like(radius)
+    winding = jnp.where(gates, new_wind, winding)
+
+    val = cp["strength"] * scale_inner * arm_val * z * intensity * iscale
+    emit = gates & (val * weight > 0.0005)
+    ival = val * weight
+    spec = cp["spec"]
+
+    if cs.cid == CID_DISK:
+        p2 = jnp.abs(_perlin_cloud(p, winding, 10, cp["scale"], cp["ks"], twirl_axis))
+        p2 = jnp.maximum(p2, 0.01)
+        p2 = jnp.power(p2, cp["noise_tilt"])
+        p2 = p2 + cp["noise_offset"]
+        add = spec * (ival * p2 * ray_step)[..., None]
+        I = jnp.where((emit & (p2 >= 0))[..., None], I + add, I)
+    elif cs.cid == CID_DUST:
+        p2 = _perlin_cloud(p, winding, 9, cp["scale"], cp["ks"], twirl_axis)
+        p2 = jnp.maximum(p2 - cp["noise_offset"], 0.0)
+        p2 = qt_clamp(jnp.power(5.0 * p2, cp["noise_tilt"]), -10.0, 10.0)
+        att = jnp.exp(-p2[..., None] * ival[..., None] * spec * 0.01)
+        I = jnp.where(emit[..., None], I * att, I)
+    elif cs.cid in (CID_DUST2, CID_DUST_POSITIVE):
+        r = _twirl(p, winding, twirl_axis) * cp["scale"]
+        p2 = jnoise.ridged_mf(
+            r[..., 0], r[..., 1], r[..., 2],
+            cp["ks"], 9, 2.5, cp["noise_offset"], cp["noise_tilt"],
+        )
+        p2 = jnp.maximum(p2, 0.0)
+        if cs.cid == CID_DUST2:
+            att = jnp.exp(-p2[..., None] * ival[..., None] * spec * 0.01)
+            I = jnp.where(emit[..., None], I * att, I)
+        else:
+            add = spec * (ival * p2 * ray_step)[..., None]
+            I = jnp.where(emit[..., None], I + add, I)
+    elif cs.cid == CID_STARS:
+        freq = (0.01 * cp["scale"]) * 100.0
+        perlin = jnp.abs(
+            jnoise.octave_noise_3d(10, cp["ks"], freq, p[..., 0], p[..., 1], p[..., 2])
+        )
+        add_n = 0.0
+        if cs.star_extra:
+            add_n = cp["noise_offset"] * _perlin_cloud(p, winding, 4, 2.0, -2.0, twirl_axis)
+            add_n = add_n + 0.5 * cp["noise_offset"] * _perlin_cloud(
+                p, winding * 0.5, 4, 4.0, -2.0, twirl_axis
+            )
+        v = jnp.abs(jnp.power(perlin + 1.0 + add_n, cp["noise_tilt"]))
+        add = spec * (ival * v * ray_step)[..., None]
+        I = jnp.where(emit[..., None], I + add, I)
+    # CID_STARS_SMALL never reaches here (dropped at flatten time).
+
+    return I, winding
+
+
+def _march_instance(st: InstanceStatic, pr, dirs, camera, I, winding, ray_step, min_step):
+    """March all rays through one galaxy instance, back-to-front
+    (rasterizer.cpp:379-483). dirs: (N, 3); I: (N, 3); winding: (N,)."""
+    o = camera - pr["position"]  # ray origin, galaxy frame
+    hit, isp1, isp2, t0, t1 = intersect_ellipsoid(o, dirs, pr["axis"])
+    # Behind-camera rules (rasterizer.cpp:396-403): reversed-lookAt rays
+    # point backward, visible geometry has negative t.
+    isp2 = jnp.where((t1 > 0)[..., None], o, isp2)
+    alive = hit & ~((t0 > 0) & (t1 > 0))
+
+    origin = isp1
+    diff = origin - isp2
+    length = norm3(diff)
+    safe = jnp.where(length == 0, 1.0, length)
+    dir_m = diff / safe[..., None]
+    ll = -dir_m
+
+    state = dict(
+        p=origin,
+        I=I,
+        winding=winding,
+        step_prev=jnp.full_like(length, ray_step),
+        done=~alive,
+    )
+
+    def cond(s):
+        return jnp.any(~s["done"])
+
+    def body(s):
+        p = s["p"]
+        # Loop condition — checked before the body (rasterizer.cpp:447).
+        d_along = dot3(p - origin, ll)
+        done = s["done"] | (d_along >= length + s["step_prev"])
+        active = ~done
+
+        # Adaptive step (rasterizer.cpp:449).
+        dist = norm3(p - o)
+        step = qt_clamp(dist * ray_step, min_step, 0.01)
+        weight = step * 200.0
+
+        I_s = s["I"]
+        w_s = s["winding"]
+        for cs, cp in zip(st.comps, pr["comps"]):
+            I_s, w_s = _apply_component(
+                cs, st, pr, cp, p, active, weight, I_s, w_s, ray_step
+            )
+
+        # Advance and floor (rasterizer.cpp:467-470).
+        p_new = p - dir_m * step[..., None]
+        return dict(
+            p=jnp.where(active[..., None], p_new, p),
+            I=jnp.where(active[..., None], floor0(I_s), s["I"]),
+            winding=jnp.where(active, w_s, s["winding"]),
+            step_prev=jnp.where(active, step, s["step_prev"]),
+            done=done,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["I"], out["winding"]
+
+
+def render_rays(static: SceneStatic, params, dirs, camera, ray_step, min_step):
+    """Linear radiance for a batch of rays. dirs: (..., 3) -> (..., 3)."""
+    shape = dirs.shape[:-1]
+    dirs_f = dirs.reshape(-1, 3)
+    n = dirs_f.shape[0]
+    I = jnp.zeros((n, 3), dirs.dtype)
+    winding = jnp.zeros((n,), dirs.dtype)
+    for st, pr in zip(static.instances, params):
+        I, winding = _march_instance(st, pr, dirs_f, camera, I, winding, ray_step, min_step)
+    # Final scale (rasterizer.cpp:409).
+    I = I * (0.01 / ray_step)
+    return I.reshape(*shape, 3)
+
+
+def post_process(linear, exposure, gamma, saturation):
+    """buffer2d.cpp:106-126 -> uint8 RGB (shadow-buffer channel order)."""
+    v = linear * (1.0 / exposure)
+    v = jnp.power(v, gamma)
+    center = ((v[..., 0] + v[..., 1]) + v[..., 2]) / 3.0
+    tmp = center[..., None] - v
+    v = center[..., None] - saturation * tmp
+    c = qt_clamp(v * 10.0, 0.0, 255.0)
+    return c.astype(jnp.int32).astype(jnp.uint8)
+
+
+def render_frame(static: SceneStatic, size: int, params, camera, inv_vp,
+                 ray_step, min_step, exposure, gamma, saturation):
+    """One full frame: rays -> march -> post. Un-jitted; jit wrappers below
+    and in parallel/sharding.py add compilation and shardings."""
+    dirs = cam_ops.ray_grid(size, inv_vp)  # (size, size, 3), [row j, col i]
+    linear = render_rays(static, params, dirs, camera, ray_step, min_step)
+    return post_process(linear, exposure, gamma, saturation), linear
+
+
+_render_jit = functools.partial(jax.jit, static_argnums=(0, 1))(render_frame)
+
+
+def render_scene(scene: Scene, dtype=jnp.float32, return_linear: bool = False):
+    """Render a Scene with the XLA path. Returns a (size, size, 3) uint8
+    numpy array (and optionally the linear radiance buffer)."""
+    cfg = scene.config
+    static, params = flatten_scene(scene, dtype)
+    camera = jnp.asarray(scene.camera.camera, dtype)
+    inv_vp = cam_ops.inv_view_projection(
+        camera,
+        jnp.asarray(scene.camera.target, dtype),
+        jnp.asarray(scene.camera.up, dtype),
+        jnp.asarray(scene.camera.fov, dtype),
+    )
+    img, linear = _render_jit(
+        static, cfg.size, params, camera, inv_vp,
+        jnp.asarray(cfg.ray_step, dtype), jnp.asarray(cfg.min_ray_step, dtype),
+        jnp.asarray(cfg.exposure, dtype), jnp.asarray(cfg.gamma, dtype),
+        jnp.asarray(cfg.saturation, dtype),
+    )
+    import numpy as np
+
+    if return_linear:
+        return np.asarray(img), np.asarray(linear)
+    return np.asarray(img)

@@ -1,0 +1,192 @@
+"""JAX simplex-noise stack — the fidelity-critical numeric core.
+
+Same semantics as the reference noise subsystem (and gamer_tpu.oracle.noise):
+
+  raw 3-D simplex:       source/noise/simplexnoise.cpp:173+ (Gustavson tables)
+  octave fractal:        source/noise/noise.cpp:162-180
+  ridged multifractal:   source/noise/noise.cpp:81-128 (f32 coordinate
+                         scaling per octave — QVector3D semantics)
+
+Computation is dtype-generic: float32 for the production TPU path, float64
+(with jax x64) for spec validation. The 12 cube-edge gradients are evaluated
+branchlessly from the gradient index instead of a table gather — exact, since
+GRAD3 rows for gi<4 are (±1,±1,0), gi<8 are (±1,0,±1), else (0,±1,±1) with
+signs given by the low bits of gi (see ops/tables.py).
+
+The permutation-table lookups are genuine data-dependent gathers; they are
+expressed with jnp.take so XLA picks the best TPU lowering. Octave counts are
+static (python ints) — loops unroll at trace time.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax.numpy as jnp
+import numpy as np
+
+from .tables import PERM
+
+_PERM_NP = PERM.astype(np.int32)
+
+
+def _perm() -> jnp.ndarray:
+    # jnp.asarray of a host constant per trace — XLA dedupes; caching the
+    # device array globally would leak tracers across jit scopes.
+    return jnp.asarray(_PERM_NP)
+
+
+def _grad_dot(gi, x, y, z):
+    """dot(GRAD3[gi], (x,y,z)) without a table gather.
+
+    GRAD3 layout (tables.py): gi in [0,4): (sx, sy, 0); [4,8): (sx, 0, sz);
+    [8,12): (0, sy, sz) where each sign is -1 iff the corresponding selector
+    bit of gi is set (bit0 flips the first nonzero, bit1 the second).
+    """
+    group = gi >> 2  # 0,1,2
+    b0 = (gi & 1).astype(jnp.bool_)
+    b1 = (gi & 2).astype(jnp.bool_)
+    # first operand: x for groups 0,1; y for group 2
+    u = jnp.where(group == 2, y, x)
+    # second operand: y for group 0; z for groups 1,2
+    v = jnp.where(group == 0, y, z)
+    u = jnp.where(b0, -u, u)
+    v = jnp.where(b1, -v, v)
+    return u + v
+
+
+def fastfloor(x):
+    """trunc for x>0 else trunc-1 (simplexnoise.h:130 — NOT floor at exact
+    non-positive integers)."""
+    t = jnp.trunc(x)
+    return jnp.where(x > 0, t, t - 1.0).astype(jnp.int32)
+
+
+def raw_noise_3d(x, y, z):
+    """Raw 3-D simplex noise in [-1, 1], elementwise over any shape."""
+    dtype = jnp.result_type(x, y, z)
+    one_third = jnp.asarray(1.0, dtype) / 3.0
+    one_sixth = jnp.asarray(1.0, dtype) / 6.0
+
+    s = (x + y + z) * one_third
+    i = fastfloor(x + s)
+    j = fastfloor(y + s)
+    k = fastfloor(z + s)
+    t = (i + j + k).astype(dtype) * one_sixth
+    x0 = x - (i.astype(dtype) - t)
+    y0 = y - (j.astype(dtype) - t)
+    z0 = z - (k.astype(dtype) - t)
+
+    # Simplex corner ranking — exact transcription of the nested conditionals.
+    A = x0 >= y0
+    B = y0 >= z0
+    C = x0 >= z0
+    i1 = (A & (B | C)).astype(jnp.int32)
+    j1 = (~A & B).astype(jnp.int32)
+    k1 = ((A & ~B & ~C) | (~A & ~B)).astype(jnp.int32)
+    i2 = (A | (B & C)).astype(jnp.int32)
+    j2 = (~A | B).astype(jnp.int32)
+    k2 = ((A & ~B) | (~A & (~B | ~C))).astype(jnp.int32)
+
+    g3 = one_sixth
+    x1 = x0 - i1 + g3
+    y1 = y0 - j1 + g3
+    z1 = z0 - k1 + g3
+    x2 = x0 - i2 + 2.0 * g3
+    y2 = y0 - j2 + 2.0 * g3
+    z2 = z0 - k2 + 2.0 * g3
+    x3 = x0 - 1.0 + 3.0 * g3
+    y3 = y0 - 1.0 + 3.0 * g3
+    z3 = z0 - 1.0 + 3.0 * g3
+
+    perm = _perm()
+    ii = i & 255
+    jj = j & 255
+    kk = k & 255
+    pkk = jnp.take(perm, kk, axis=0)
+    pkk1 = jnp.take(perm, kk + k1, axis=0)
+    pkk2 = jnp.take(perm, kk + k2, axis=0)
+    pkk3 = jnp.take(perm, kk + 1, axis=0)
+    pj0 = jnp.take(perm, jj + pkk, axis=0)
+    pj1 = jnp.take(perm, jj + j1 + pkk1, axis=0)
+    pj2 = jnp.take(perm, jj + j2 + pkk2, axis=0)
+    pj3 = jnp.take(perm, jj + 1 + pkk3, axis=0)
+    gi0 = jnp.take(perm, ii + pj0, axis=0) % 12
+    gi1 = jnp.take(perm, ii + i1 + pj1, axis=0) % 12
+    gi2 = jnp.take(perm, ii + i2 + pj2, axis=0) % 12
+    gi3 = jnp.take(perm, ii + 1 + pj3, axis=0) % 12
+
+    def contrib(tv, gi, cx, cy, cz):
+        gd = _grad_dot(gi, cx, cy, cz)
+        tt = tv * tv
+        return jnp.where(tv < 0, 0.0, tt * tt * gd)
+
+    p6 = jnp.asarray(0.6, dtype)
+    n0 = contrib(p6 - x0 * x0 - y0 * y0 - z0 * z0, gi0, x0, y0, z0)
+    n1 = contrib(p6 - x1 * x1 - y1 * y1 - z1 * z1, gi1, x1, y1, z1)
+    n2 = contrib(p6 - x2 * x2 - y2 * y2 - z2 * z2, gi2, x2, y2, z2)
+    n3 = contrib(p6 - x3 * x3 - y3 * y3 - z3 * z3, gi3, x3, y3, z3)
+    return 32.0 * (n0 + n1 + n2 + n3)
+
+
+def octave_noise_3d(octaves: int, persistence, scale, x, y, z):
+    """noise.cpp:162-180 — frequency doubling, persistence amplitudes,
+    normalized by total amplitude. `octaves` is static; persistence/scale
+    may be traced scalars. The octave loop is a lax.scan so the traced graph
+    stays one raw-noise body regardless of octave count (compile time)."""
+    import jax
+
+    dtype = jnp.result_type(x, y, z)
+    shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y), jnp.shape(z))
+    pers = jnp.asarray(persistence, dtype)
+
+    def body(carry, _):
+        total, freq, amp, max_amp = carry
+        total = total + raw_noise_3d(x * freq, y * freq, z * freq) * amp
+        return (total, freq * 2.0, amp * pers, max_amp + amp), None
+
+    init = (
+        jnp.zeros(shape, dtype),
+        jnp.asarray(scale, dtype),
+        jnp.asarray(1.0, dtype),
+        jnp.asarray(0.0, dtype),
+    )
+    (total, _, _, max_amp), _ = jax.lax.scan(body, init, None, length=int(octaves))
+    return total / max_amp
+
+
+def ridged_mf(px, py, pz, frequency, octaves: int, lacunarity: float, offset, gain):
+    """noise.cpp:81-128 — ridged multifractal with weight feedback.
+
+    Coordinates scale per octave at the working dtype (the reference rounds
+    them through a float32 QVector3D each octave — exact in the f32 path).
+    `octaves`/`lacunarity` static; frequency/offset/gain may be traced.
+    Octave loop as lax.scan (see octave_noise_3d).
+    """
+    import jax
+
+    dtype = jnp.result_type(px, py, pz)
+    shape = jnp.broadcast_shapes(jnp.shape(px), jnp.shape(py), jnp.shape(pz))
+    lac = jnp.asarray(lacunarity, dtype)
+    w = jnp.asarray(-0.05, dtype)
+
+    def body(carry, _):
+        value, weight, vx, vy, vz, freq = carry
+        signal = raw_noise_3d(vx, vy, vz)
+        signal = offset - jnp.abs(signal)
+        signal = signal * signal
+        signal = signal * weight
+        weight = jnp.clip(signal * gain, 0.0, 1.0)
+        value = value + signal * jnp.power(freq, w)
+        return (value, weight, vx * lac, vy * lac, vz * lac, freq * lac), None
+
+    init = (
+        jnp.zeros(shape, dtype),
+        jnp.ones(shape, dtype),
+        jnp.broadcast_to(jnp.asarray(px, dtype), shape),
+        jnp.broadcast_to(jnp.asarray(py, dtype), shape),
+        jnp.broadcast_to(jnp.asarray(pz, dtype), shape),
+        jnp.asarray(frequency, dtype),
+    )
+    (value, *_), _ = jax.lax.scan(body, init, None, length=int(octaves))
+    return value * 1.25 - 1.0

@@ -49,6 +49,20 @@ class OracleTimings:
         return self.samples / self.seconds / 1e6 if self.seconds > 0 else 0.0
 
 
+def arm_ladder_count(no_arms: float) -> int:
+    """GalaxyComponent::calculateArmValue's equality ladder
+    (galaxycomponent.h:120-137): exactly 1/2/3 arms only when no_arms
+    compares EQUAL to 1/2/3; every other value (0, 2.5, 4, 7, ...) falls
+    through to all 4 arms."""
+    if no_arms == 1:
+        return 1
+    if no_arms == 2:
+        return 2
+    if no_arms == 3:
+        return 3
+    return 4
+
+
 def _get_winding(rad: np.ndarray, winding_b: float, winding_n: float) -> np.ndarray:
     """galaxycomponent.h:156-165."""
     r = rad + 0.05
@@ -97,13 +111,13 @@ def _arm_value(radius, P32, comp: ComponentParams, gp, rotmat32) -> np.ndarray:
     theta = np.arctan2(rot[..., 0].astype(F64), rot[..., 2].astype(F64)) + comp.delta
     ww = _get_winding(radius, gp.winding_b, gp.winding_n)
     arms = [gp.arm1, gp.arm2, gp.arm3, gp.arm4]
-    n_arms = int(gp.no_arms)
     val = None
     with np.errstate(invalid="ignore"):
-        for a in range(max(1, min(4, n_arms))):
+        for a in range(arm_ladder_count(gp.no_arms)):
             v = np.abs(_find_difference(ww, -theta + arms[a])) / np.pi
             arm_v = np.power(1.0 - v, comp.arm * 15.0)
-            val = arm_v if val is None else np.fmax(val, arm_v)
+            # std::max(a, b) NaN semantics: b>a ? b : a (NaN loses)
+            val = arm_v if val is None else np.where(arm_v > val, arm_v, val)
     return val
 
 

@@ -1,0 +1,90 @@
+"""Device-mesh sharding of the render pipeline.
+
+The reference's parallelism axes (SURVEY.md §2.5) map to JAX sharding:
+
+  OMP pixel loop (rasterizer.cpp:294)      -> shard the ray grid's row axis
+  RasterThread chunking (rasterthread.cpp) -> same (exact tiling, no dropped
+                                              remainder — the reference bug
+                                              is deliberately not reproduced)
+  frame queue / skybox (renderqueue.cpp)   -> vmap over camera matrices,
+                                              sharded over a 'frames' axis
+  scene batches (mainwindow.cpp:1137-1170) -> vmap over galaxy params,
+                                              sharded over a 'batch' axis
+  image assembly (rasterizer.cpp:315-327)  -> the output all-gather XLA
+                                              inserts when the host reads
+
+No communication happens inside the march (rays are independent), so the
+only collective in the compiled module is the final gather of output tiles —
+the analog of Rasterizer::AssembleImage. Shardings are annotated with
+NamedSharding/pjit and XLA inserts the collectives; nothing is hand-rolled.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..engine.scene_prep import SceneStatic, flatten_scene
+from ..ops import camera as cam_ops
+from ..scene.schema import Scene
+
+PIXEL_AXIS = "px"
+
+
+def make_pixel_mesh(devices=None, axis_name: str = PIXEL_AXIS) -> Mesh:
+    """1-D mesh over all (or given) devices, for pixel-row sharding."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices, (axis_name,))
+
+
+@functools.lru_cache(maxsize=64)
+def sharded_render_fn(static: SceneStatic, size: int, mesh: Mesh):
+    """Jitted render under `mesh` with the image's row axis sharded across
+    devices. Scene params are replicated (tiny); the ray grid/image rows are
+    partitioned, which is where all the work is. Cached per
+    (structure, size, mesh) so repeated calls reuse the executable."""
+    from ..engine.render import render_frame
+
+    row_sharding = NamedSharding(mesh, P(PIXEL_AXIS, None, None))
+
+    def frame(params, camera, inv_vp, ray_step, min_step, exposure, gamma, saturation):
+        img, _ = render_frame(static, size, params, camera, inv_vp,
+                              ray_step, min_step, exposure, gamma, saturation)
+        return img
+
+    return jax.jit(frame, out_shardings=row_sharding)
+
+
+def render_scene_sharded(scene: Scene, mesh: Optional[Mesh] = None,
+                         dtype=jnp.float32) -> np.ndarray:
+    """Render a Scene with the image sharded over a device mesh.
+
+    The size must tile evenly over the mesh (pad the scene size or pass a
+    matching mesh otherwise).
+    """
+    mesh = mesh if mesh is not None else make_pixel_mesh()
+    cfg = scene.config
+    n_dev = mesh.devices.size
+    if cfg.size % n_dev != 0:
+        raise ValueError(
+            f"size {cfg.size} not divisible by mesh size {n_dev}; "
+            "choose a size that tiles over the mesh"
+        )
+    static, params = flatten_scene(scene, dtype)
+    camera = jnp.asarray(scene.camera.camera, dtype)
+    inv_vp = cam_ops.inv_view_projection(
+        camera,
+        jnp.asarray(scene.camera.target, dtype),
+        jnp.asarray(scene.camera.up, dtype),
+        jnp.asarray(scene.camera.fov, dtype),
+    )
+    f = lambda v: jnp.asarray(v, dtype)
+    call = sharded_render_fn(static, cfg.size, mesh)
+    img = call(params, camera, inv_vp, f(cfg.ray_step), f(cfg.min_ray_step),
+               f(cfg.exposure), f(cfg.gamma), f(cfg.saturation))
+    return np.asarray(img)

@@ -8,10 +8,17 @@ paths without TPU hardware (the driver validates the same thing via
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon sitecustomize (TPU tunnel) registers its plugin at interpreter
+# start and forces jax_platforms="axon,cpu" through jax.config, which
+# overrides the env var — override it back before any backend initializes.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 from pathlib import Path
