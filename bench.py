@@ -19,9 +19,27 @@ the baseline datum.
 
 from __future__ import annotations
 
+import contextlib
 import json
+import signal
 import sys
 import time
+
+
+@contextlib.contextmanager
+def _deadline(seconds: int):
+    """SIGALRM watchdog: device tunnels can hang a compile indefinitely."""
+
+    def _raise(signum, frame):
+        raise TimeoutError(f"exceeded {seconds}s")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def main() -> None:
@@ -52,10 +70,12 @@ def main() -> None:
     value = None
     for size in (512, 256, 128, 64):
         try:
-            render_scene(scene(size))  # compile + warm
-            t0 = time.perf_counter()
-            render_scene(scene(size))
-            dt = time.perf_counter() - t0
+            with _deadline(420):
+                render_scene(scene(size))  # compile + warm
+            with _deadline(180):
+                t0 = time.perf_counter()
+                render_scene(scene(size))
+                dt = time.perf_counter() - t0
             est_samples = samples_per_px * size * size
             value = est_samples / dt / 1e6
             break

@@ -1,0 +1,252 @@
+"""Headless CLI — ConsoleRenderer parity (source/consolerenderer.cpp).
+
+Commands and argument schemas match the reference exactly so existing
+scripts (e.g. singleGalaxy.sh:1) work by swapping the binary name:
+
+  galaxy <method> cx cy cz tx ty tz ux uy uz fov exposure gamma saturation
+         raystep <gaxfile> <size> <outfile>                (19 tokens)
+  skybox <method> <RenderParams.dat> <gaxfile> <size>
+  renderhpx <hpx fits> <size> <outfile> <exposure> <gamma> <saturation>
+
+<method> selects the execution backend: the reference's 'omp'/'thread'
+both map to the XLA engine (every pixel is already parallel); 'oracle'
+selects the spec-exact CPU path, 'sharded' the device-mesh path.
+
+Extensions beyond the reference (same spirit, scene-dict world):
+  render <scene.json> <outfile>       render a JSON scene dict
+  allsky <gaxfile> <nside> <size> <outfile>   HEALPix all-sky + Mollweide
+  info <gaxfile>                      print a galaxy as a scene dict
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+from .scene import gax
+from .scene.schema import (
+    CameraParams,
+    GalaxyInstance,
+    RenderConfig,
+    Scene,
+    galaxy_to_dict,
+    scene_from_dict,
+)
+from .utils.log import Messages
+from .utils.timers import ScopedTimer, format_ms
+
+USAGE = """Usage: gamer-tpu [ command ] [ parameters ]
+Commands:
+   galaxy <method> <camera x y z> <target x y z> <up x y z> <fov> <exposure>
+          <gamma> <saturation> <ray step> <gax file> <size> <outfile>
+   skybox <method> <RenderParams.dat> <gax file> <size>
+   renderhpx <hpx fits file> <size> <out file> <exposure> <gamma> <saturation>
+   allsky <gax file> <nside> <size> <outfile>
+   render <scene.json> <outfile>
+   info <gax file>
+<method>: omp | thread (XLA engine, reference-compatible) | oracle | sharded
+"""
+
+
+def _progress_printer(t0: float):
+    state = {"prev": -1}
+
+    def cb(frac: float, _img=None) -> None:
+        cur = int(frac * 1000)
+        if cur != state["prev"]:
+            elapsed = (time.perf_counter() - t0) * 1000.0
+            eta = elapsed / frac - elapsed if frac > 0 else 0.0
+            print(f"\r[ {cur / 10:.1f}% ]  with ETA in {format_ms(eta)} ",
+                  end="", flush=True)
+            state["prev"] = cur
+    return cb
+
+
+def _save_png(img, outfile: str) -> str:
+    from PIL import Image
+
+    out = outfile if outfile.endswith(".png") else outfile + ".png"
+    Image.fromarray(img).save(out)
+    return out
+
+
+def cmd_galaxy(argv) -> int:
+    if len(argv) != 19:
+        print(f"{len(argv)}\nIncorrect usage/parameters for galaxy. Usage:")
+        print(USAGE)
+        return 1
+    method = argv[1].lower()
+    if method not in ("omp", "thread", "oracle", "sharded"):
+        print(f"ERROR! Cannot recognize {argv[1]}")
+        print("Must be 'omp', 'thread', 'oracle' or 'sharded'")
+        return 1
+    fl = [float(x) for x in argv[2:16]]
+    scene = Scene(
+        camera=CameraParams(
+            camera=tuple(fl[0:3]), target=tuple(fl[3:6]), up=tuple(fl[6:9]),
+            fov=fl[9],
+        ),
+        instances=[GalaxyInstance(galaxy=gax.load(argv[16]))],
+        config=RenderConfig(
+            size=int(float(argv[17])), ray_step=fl[13],
+            exposure=fl[10], gamma=fl[11], saturation=fl[12],
+        ),
+    )
+    outfile = argv[18]
+    print(f"Starting rendering on {_backend_desc(method)}.")
+    t0 = time.perf_counter()
+    with ScopedTimer("Rendering"):
+        if method == "oracle":
+            from .oracle.reference import render_oracle
+
+            img, _ = render_oracle(scene)
+        elif method == "sharded":
+            from .parallel import render_scene_sharded
+
+            img = render_scene_sharded(scene)
+        else:
+            from .engine.queue import render_progressive
+
+            img = render_progressive(scene, chunks=16,
+                                     on_progress=_progress_printer(t0))
+            print()
+    out = _save_png(img, outfile)
+    print(f"Image saved to file {out}")
+    return 0
+
+
+def cmd_skybox(argv) -> int:
+    if len(argv) != 5:
+        print(f"{len(argv)}\nIncorrect usage/parameters for skybox. Usage:")
+        print(USAGE)
+        return 1
+    method = argv[1].lower()
+    from .engine.queue import RenderQueue
+    from .io.renderparams import RenderParamsFile
+
+    rp = RenderParamsFile.load(argv[2])
+    galaxy = gax.load(argv[3])
+    size = int(float(argv[4]))
+    scene = Scene(
+        camera=rp.camera,
+        instances=[GalaxyInstance(galaxy=galaxy)],
+        config=rp.to_render_config(size=size),
+        spectra=rp.spectra or None,
+    )
+    print(f"Starting rendering on {_backend_desc(method)}.")
+    rq = RenderQueue()
+    rq.add_skybox(scene)
+    t0 = time.perf_counter()
+    with ScopedTimer("Rendering"):
+        for job, _img, secs in rq.render_all("."):
+            print(f"Image saved to file {job.filename}.png  ({secs:.1f}s)")
+    return 0
+
+
+def cmd_renderhpx(argv) -> int:
+    if len(argv) != 7:
+        print(USAGE)
+        return 1
+    import numpy as np
+
+    from .engine.render import post_process
+    from .io.fits import read_fits_image
+    from .post.mollweide import mollweide_image
+
+    import jax.numpy as jnp
+
+    hpx = np.asarray(read_fits_image(argv[1])).ravel()
+    nside = int(np.sqrt(hpx.size / 12))
+    if 12 * nside * nside != hpx.size:
+        print(f"ERROR: {hpx.size} values is not a HEALPix map (12*nside^2)")
+        return 1
+    size = int(argv[2])
+    buf = mollweide_image(hpx, nside, size)
+    img = np.asarray(post_process(
+        jnp.asarray(buf), jnp.float32(float(argv[4])),
+        jnp.float32(float(argv[5])), jnp.float32(float(argv[6]))))
+    out = _save_png(img, argv[3])
+    print(f"Image saved to file {out}")
+    return 0
+
+
+def cmd_allsky(argv) -> int:
+    if len(argv) != 5:
+        print(USAGE)
+        return 1
+    from .engine.allsky import render_allsky_image
+
+    scene = Scene(
+        camera=CameraParams(camera=(0.5, 0, 0), target=(0, 0, 0), up=(0, 1, 0),
+                            fov=90.0),
+        instances=[GalaxyInstance(galaxy=gax.load(argv[1]))],
+        config=RenderConfig(size=int(argv[3]), ray_step=0.025),
+    )
+    with ScopedTimer("All-sky rendering"):
+        img = render_allsky_image(scene, nside=int(argv[2]), size=int(argv[3]))
+    out = _save_png(img, argv[4])
+    print(f"Image saved to file {out}")
+    return 0
+
+
+def cmd_render(argv) -> int:
+    if len(argv) != 3:
+        print(USAGE)
+        return 1
+    from .engine.render import render_scene
+
+    scene = scene_from_dict(json.loads(Path(argv[1]).read_text()))
+    with ScopedTimer("Rendering"):
+        img = render_scene(scene)
+    out = _save_png(img, argv[2])
+    print(f"Image saved to file {out}")
+    return 0
+
+
+def cmd_info(argv) -> int:
+    if len(argv) != 2:
+        print(USAGE)
+        return 1
+    print(json.dumps(galaxy_to_dict(gax.load(argv[1])), indent=2))
+    return 0
+
+
+def _backend_desc(method: str) -> str:
+    if method == "oracle":
+        return "the spec-exact CPU oracle"
+    try:
+        import jax
+
+        d = jax.devices()
+        return f"{len(d)} {d[0].platform.upper()} device(s)"
+    except Exception:  # noqa: BLE001
+        return "the default backend"
+
+
+COMMANDS = {
+    "galaxy": cmd_galaxy,
+    "skybox": cmd_skybox,
+    "renderhpx": cmd_renderhpx,
+    "allsky": cmd_allsky,
+    "render": cmd_render,
+    "info": cmd_info,
+}
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    print("Welcome to gamer-tpu (GAMER-compatible TPU galaxy renderer)\n")
+    if not argv:
+        print(USAGE)
+        return 0
+    handler = COMMANDS.get(argv[0].lower())
+    if handler is None:
+        print(USAGE)
+        return 0
+    return handler(argv)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

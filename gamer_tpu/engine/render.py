@@ -321,6 +321,21 @@ def render_scene(scene: Scene, dtype=jnp.float32, return_linear: bool = False):
     )
     import numpy as np
 
+    if cfg.no_stars > 0:
+        # Star-field overlay added to the radiance buffer at assembly time
+        # (rasterizer.cpp:320-321), then the post chain re-runs.
+        from ..post.stars import render_star_field
+
+        stars = render_star_field(
+            cfg.size, cfg.no_stars, cfg.star_size, cfg.star_size_spread,
+            cfg.star_strength, cfg.star_seed,
+        )
+        linear = jnp.asarray(np.asarray(linear) + stars, dtype)
+        img = post_process(
+            linear, jnp.asarray(cfg.exposure, dtype),
+            jnp.asarray(cfg.gamma, dtype), jnp.asarray(cfg.saturation, dtype),
+        )
+
     if return_linear:
         return np.asarray(img), np.asarray(linear)
     return np.asarray(img)

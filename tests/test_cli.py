@@ -1,0 +1,82 @@
+"""CLI tests — 19-token reference-compatible invocation, skybox, info."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from gamer_tpu.cli import main
+
+
+def test_usage_and_unknown(capsys):
+    assert main([]) == 0
+    assert "Usage" in capsys.readouterr().out
+    assert main(["frobnicate"]) == 0
+
+
+def test_galaxy_wrong_arity(capsys):
+    assert main(["galaxy", "omp", "1"]) == 1
+
+
+def test_galaxy_bad_method(capsys, fixtures_dir):
+    argv = ["galaxy", "cuda"] + ["0"] * 14 + [
+        str(fixtures_dir / "Spiral.gax"), "16", "/tmp/x"]
+    assert main(argv) == 1
+    assert "Cannot recognize" in capsys.readouterr().out
+
+
+def test_galaxy_renders_png(tmp_path, fixtures_dir):
+    out = tmp_path / "vortex"
+    argv = ["galaxy", "omp", "0.5", "0", "0", "0", "0", "0", "0", "1", "0",
+            "90", "1", "1", "1.0", "0.025",
+            str(fixtures_dir / "VortexCloud.gax"), "16", str(out)]
+    assert main(argv) == 0
+    img = np.asarray(Image.open(str(out) + ".png"))
+    assert img.shape == (16, 16, 3)
+    assert img.sum() > 0
+
+    # CLI output equals the library render for the same scene
+    import gamer_tpu
+    from gamer_tpu.engine.render import render_scene
+    from gamer_tpu.scene import gax
+
+    scene = gamer_tpu.Scene(
+        camera=gamer_tpu.CameraParams(camera=(0.5, 0, 0), target=(0, 0, 0),
+                                      up=(0, 1, 0), fov=90.0),
+        instances=[gamer_tpu.GalaxyInstance(galaxy=gax.load(fixtures_dir / "VortexCloud.gax"))],
+        config=gamer_tpu.RenderConfig(size=16, ray_step=0.025),
+    )
+    lib = render_scene(scene)
+    d = np.abs(img.astype(np.int16) - lib.astype(np.int16))
+    assert d.max() <= 1
+
+
+def test_info_prints_scene_dict(capsys, fixtures_dir):
+    assert main(["info", str(fixtures_dir / "Spiral.gax")]) == 0
+    out = capsys.readouterr().out
+    payload = out[out.index("{"):]
+    d = json.loads(payload)
+    assert d["components"], "info should dump components"
+
+
+def test_skybox_jobs_geometry(fixtures_dir):
+    import gamer_tpu
+    from gamer_tpu.engine.queue import skybox_jobs
+    from gamer_tpu.scene import gax
+
+    scene = gamer_tpu.Scene(
+        camera=gamer_tpu.CameraParams(camera=(0.2, 0.1, 0.0)),
+        instances=[gamer_tpu.GalaxyInstance(galaxy=gax.load(fixtures_dir / "VortexCloud.gax"))],
+        config=gamer_tpu.RenderConfig(size=16, ray_step=0.025),
+    )
+    jobs = skybox_jobs(scene)
+    assert [j.filename for j in jobs] == [
+        "SkyboxZ-", "SkyboxZ+", "SkyboxY-", "SkyboxY+", "SkyboxX-", "SkyboxX+"]
+    for j in jobs:
+        assert j.scene.camera.fov == 90.0
+        assert j.scene.camera.camera == (0.2, 0.1, 0.0)
+        t = np.asarray(j.scene.camera.target) - np.asarray(j.scene.camera.camera)
+        assert np.abs(t).sum() == 1.0  # unit axis offset
