@@ -15,75 +15,95 @@ spec-exact CPU oracle at a smaller size (scale-invariant for a fixed camera).
 vs_baseline is the speedup over the spec-exact CPU oracle on this host —
 the reference publishes no numbers (BASELINE.md), so the measured oracle is
 the baseline datum.
+
+Each frame size runs in a fresh subprocess: a TPU-runtime crash (the tunnel
+is occasionally unstable) poisons the whole client process, so in-process
+retries at smaller sizes would always fail.
 """
 
 from __future__ import annotations
 
-import contextlib
 import json
-import signal
+import os
+import subprocess
 import sys
 import time
 
+_CHILD_SNIPPET = r"""
+import json, sys, time
+size = int(sys.argv[1])
+kernel = sys.argv[2]
+import gamer_tpu
+from gamer_tpu.scene import gax
 
-@contextlib.contextmanager
-def _deadline(seconds: int):
-    """SIGALRM watchdog: device tunnels can hang a compile indefinitely."""
+galaxy = gax.load("/root/reference/publish/data/galaxies/Spiral.gax")
+scene = gamer_tpu.Scene(
+    camera=gamer_tpu.CameraParams(camera=(0.5, 0, 0), target=(0, 0, 0),
+                                  up=(0, 1, 0), fov=90.0),
+    instances=[gamer_tpu.GalaxyInstance(galaxy=galaxy)],
+    config=gamer_tpu.RenderConfig(size=size, ray_step=0.025),
+)
+if kernel == "pallas":
+    from gamer_tpu.engine.pallas_render import render_scene_pallas as render
+else:
+    from gamer_tpu.engine.render import render_scene as render
+render(scene)  # compile + warm
+t0 = time.perf_counter()
+img = render(scene)
+dt = time.perf_counter() - t0
+print(json.dumps({"ok": True, "size": size, "dt": dt,
+                  "checksum": int(img.astype("int64").sum())}))
+"""
 
-    def _raise(signum, frame):
-        raise TimeoutError(f"exceeded {seconds}s")
 
-    old = signal.signal(signal.SIGALRM, _raise)
-    signal.alarm(seconds)
+def _try_size(size: int, kernel: str, timeout_s: int):
     try:
-        yield
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
+        proc = subprocess.run(
+            [sys.executable, "-c", _CHILD_SNIPPET, str(size), kernel],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        print(f"bench: size {size} ({kernel}) timed out", file=sys.stderr)
+        return None
+    for line in proc.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    err = (proc.stderr or "").strip().splitlines()
+    print(f"bench: size {size} ({kernel}) failed: "
+          f"{err[-1] if err else 'no output'}", file=sys.stderr)
+    return None
 
 
 def main() -> None:
-    import numpy as np
-
-    import gamer_tpu
-    from gamer_tpu.engine.render import render_scene
     from gamer_tpu.oracle.reference import render_oracle
     from gamer_tpu.scene import gax
 
+    import gamer_tpu
+
     galaxy = gax.load("/root/reference/publish/data/galaxies/Spiral.gax")
-
-    def scene(size):
-        return gamer_tpu.Scene(
-            camera=gamer_tpu.CameraParams(
-                camera=(0.5, 0, 0), target=(0, 0, 0), up=(0, 1, 0), fov=90.0
-            ),
-            instances=[gamer_tpu.GalaxyInstance(galaxy=galaxy)],
-            config=gamer_tpu.RenderConfig(size=size, ray_step=0.025),
-        )
-
-    # Oracle datum: per-pixel sample count + CPU Msamples/s.
-    _, otim = render_oracle(scene(48))
+    oracle_scene = gamer_tpu.Scene(
+        camera=gamer_tpu.CameraParams(camera=(0.5, 0, 0), target=(0, 0, 0),
+                                      up=(0, 1, 0), fov=90.0),
+        instances=[gamer_tpu.GalaxyInstance(galaxy=galaxy)],
+        config=gamer_tpu.RenderConfig(size=48, ray_step=0.025),
+    )
+    _, otim = render_oracle(oracle_scene)
     samples_per_px = otim.samples / otim.pixels
     oracle_msps = otim.msamples_per_sec
 
-    # Engine: largest sustainable frame, cached-executable timing.
-    value = None
-    for size in (512, 256, 128, 64):
-        try:
-            with _deadline(420):
-                render_scene(scene(size))  # compile + warm
-            with _deadline(180):
-                t0 = time.perf_counter()
-                render_scene(scene(size))
-                dt = time.perf_counter() - t0
-            est_samples = samples_per_px * size * size
-            value = est_samples / dt / 1e6
-            break
-        except Exception as e:  # noqa: BLE001 — device flakiness: try smaller
-            print(f"bench: size {size} failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
+    best = None
+    for kernel in ("pallas", "xla"):
+        for size, budget in ((512, 540), (256, 420), (128, 360), (64, 300)):
+            r = _try_size(size, kernel, budget)
+            if r and r.get("ok"):
+                msps = samples_per_px * size * size / r["dt"] / 1e6
+                if best is None or msps > best["msps"]:
+                    best = {"msps": msps, "size": size, "dt": r["dt"],
+                            "kernel": kernel}
+                break  # largest working size per kernel is enough
 
-    if value is None:
+    if best is None:
         print(json.dumps({
             "metric": "ray_march_msamples_per_sec_per_chip",
             "value": 0.0, "unit": "Msamples/s", "vs_baseline": 0.0,
@@ -93,11 +113,12 @@ def main() -> None:
 
     print(json.dumps({
         "metric": "ray_march_msamples_per_sec_per_chip",
-        "value": round(value, 3),
+        "value": round(best["msps"], 3),
         "unit": "Msamples/s",
-        "vs_baseline": round(value / oracle_msps, 3),
-        "frame_px": size,
-        "frame_time_s": round(dt, 4),
+        "vs_baseline": round(best["msps"] / oracle_msps, 3),
+        "frame_px": best["size"],
+        "frame_time_s": round(best["dt"], 4),
+        "kernel": best["kernel"],
         "oracle_msamples_per_sec": round(oracle_msps, 3),
     }))
 

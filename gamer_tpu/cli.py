@@ -9,8 +9,9 @@ scripts (e.g. singleGalaxy.sh:1) work by swapping the binary name:
   renderhpx <hpx fits> <size> <outfile> <exposure> <gamma> <saturation>
 
 <method> selects the execution backend: the reference's 'omp'/'thread'
-both map to the XLA engine (every pixel is already parallel); 'oracle'
-selects the spec-exact CPU path, 'sharded' the device-mesh path.
+both map to the Pallas TPU kernel (every pixel is already parallel), as
+does 'pallas'; 'xla' selects the lockstep XLA path (with progress/ETA),
+'oracle' the spec-exact CPU path, 'sharded' the device-mesh path.
 
 Extensions beyond the reference (same spirit, scene-dict world):
   render <scene.json> <outfile>       render a JSON scene dict
@@ -46,7 +47,7 @@ Commands:
    allsky <gax file> <nside> <size> <outfile>
    render <scene.json> <outfile>
    info <gax file>
-<method>: omp | thread (XLA engine, reference-compatible) | oracle | sharded
+<method>: omp | thread | pallas (TPU kernel) | xla | oracle | sharded
 """
 
 
@@ -78,9 +79,9 @@ def cmd_galaxy(argv) -> int:
         print(USAGE)
         return 1
     method = argv[1].lower()
-    if method not in ("omp", "thread", "oracle", "sharded"):
+    if method not in ("omp", "thread", "pallas", "xla", "oracle", "sharded"):
         print(f"ERROR! Cannot recognize {argv[1]}")
-        print("Must be 'omp', 'thread', 'oracle' or 'sharded'")
+        print("Must be 'omp', 'thread', 'pallas', 'xla', 'oracle' or 'sharded'")
         return 1
     fl = [float(x) for x in argv[2:16]]
     scene = Scene(
@@ -106,12 +107,17 @@ def cmd_galaxy(argv) -> int:
             from .parallel import render_scene_sharded
 
             img = render_scene_sharded(scene)
-        else:
+        elif method == "xla":
             from .engine.queue import render_progressive
 
             img = render_progressive(scene, chunks=16,
                                      on_progress=_progress_printer(t0))
             print()
+        else:
+            # 'omp'/'thread' (reference names) and 'pallas' -> the TPU kernel
+            from .engine.pallas_render import render_scene_pallas
+
+            img = render_scene_pallas(scene)
     out = _save_png(img, outfile)
     print(f"Image saved to file {out}")
     return 0

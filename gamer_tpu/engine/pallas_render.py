@@ -1,0 +1,575 @@
+"""Pallas TPU render kernel — the production hot path.
+
+One pallas_call renders the whole frame: the grid tiles the image into
+(8, 128)-pixel blocks (the VPU register shape); each program generates its
+tile's rays from the inverse view-projection, intersects the scene's
+ellipsoids, and runs the emission-absorption march with a TILE-LOCAL
+while loop. Spatially coherent rays share trip counts, so each tile stops
+as soon as ITS rays are done — the early-out structure the reference gets
+from per-pixel loop exits (rasterizer.cpp:447-475) and that a lockstep
+whole-image march (engine/render.py) cannot express.
+
+Mosaic-specific shapes of the design (see ops/pallas_noise.py for why):
+  - march state lives in VMEM scratch refs; the while loop carries only
+    (iteration, active-count) scalars (vector carries hit layout bugs)
+  - scene scalars are packed into one SMEM row with trace-time offsets
+  - the 512-entry permutation table sits row-broadcast in VMEM and is
+    gathered 128 lanes at a time
+  - winding is computed where used — it is provably write-before-read per
+    component in the reference (galaxycomponent.cpp:45-88), so no state ref
+
+Semantics mirror engine/render.py (same reference citations), with two
+knowing deviations, both inside fp32 tolerance: atan/atan2 are minimax
+polynomials, and the march-exit test uses the accumulated path length
+instead of re-projecting p onto the ray.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops import pallas_noise as pn
+from ..ops import camera as cam_ops
+from ..scene.schema import (
+    CID_BULGE,
+    CID_DISK,
+    CID_DUST,
+    CID_DUST2,
+    CID_DUST_POSITIVE,
+    CID_STARS,
+    Scene,
+)
+from ..ops.tables import PERM
+from .scene_prep import SceneStatic, flatten_scene
+
+PI = 3.141592653589793
+TILE_R, TILE_C = 8, 128
+MAX_ITERS = 8192  # hard safety cap; real trip counts are << this
+RIDGED_OCTAVES = 9
+COMP_FIELDS = ("strength", "arm", "z0", "r0", "inner", "delta", "winding",
+               "scale", "noise_offset", "noise_tilt", "ks")
+
+
+class _Layout:
+    """Trace-time scalar packing: names -> offsets into one SMEM row."""
+
+    def __init__(self):
+        self.names = []
+        self.sizes = {}
+        self.offsets = {}
+        self.n = 0
+
+    def add(self, name: str, k: int) -> int:
+        self.offsets[name] = self.n
+        self.sizes[name] = k
+        self.names.append(name)
+        self.n += k
+        return self.offsets[name]
+
+
+def _build_layout(static: SceneStatic) -> _Layout:
+    lay = _Layout()
+    lay.add("inv_vp", 16)
+    lay.add("camera", 3)
+    lay.add("ray_step", 1)
+    lay.add("min_step", 1)
+    for gi, inst in enumerate(static.instances):
+        p = f"i{gi}."
+        lay.add(p + "pos", 3)
+        lay.add(p + "axis_inv", 3)   # 1/axis^2
+        lay.add(p + "axis_x", 1)
+        lay.add(p + "winding_b", 1)
+        lay.add(p + "winding_n", 1)
+        lay.add(p + "arms", 4)
+        lay.add(p + "rotmat", 4)
+        lay.add(p + "twirl_axis", 3)
+        lay.add(p + "orientation", 3)
+        lay.add(p + "iscale", 1)
+        for ci, cs in enumerate(inst.comps):
+            cp = f"{p}c{ci}."
+            for f in COMP_FIELDS:
+                lay.add(cp + f, 1)
+            lay.add(cp + "spec", 3)
+            if cs.cid in (CID_DUST2, CID_DUST_POSITIVE):
+                lay.add(cp + "ridged_w", RIDGED_OCTAVES)
+    return lay
+
+
+def _pack_scalars(static: SceneStatic, lay: _Layout, params, camera, inv_vp,
+                  ray_step, min_step):
+    vals = [None] * len(lay.names)
+
+    def put(name, v):
+        vals[lay.names.index(name)] = jnp.reshape(jnp.asarray(v, jnp.float32), (-1,))
+
+    put("inv_vp", inv_vp)
+    put("camera", camera)
+    put("ray_step", ray_step)
+    put("min_step", min_step)
+    for gi, (inst, pr) in enumerate(zip(static.instances, params)):
+        p = f"i{gi}."
+        axis = pr["axis"]
+        put(p + "pos", pr["position"])
+        put(p + "axis_inv", 1.0 / (axis * axis))
+        put(p + "axis_x", axis[0])
+        put(p + "winding_b", pr["winding_b"])
+        put(p + "winding_n", pr["winding_n"])
+        put(p + "arms", pr["arms"])
+        put(p + "rotmat", pr["rotmat"])
+        put(p + "twirl_axis", pr["twirl_axis"])
+        put(p + "orientation", pr["orientation"])
+        put(p + "iscale", pr["intensity_scale"])
+        for ci, (cs, cp) in enumerate(zip(inst.comps, pr["comps"])):
+            cpre = f"{p}c{ci}."
+            for f in COMP_FIELDS:
+                put(cpre + f, cp[f])
+            put(cpre + "spec", cp["spec"])
+            if cs.cid in (CID_DUST2, CID_DUST_POSITIVE):
+                # per-octave pow(freq, -0.05) — scalar pow must run outside
+                # the kernel (noise.cpp:122)
+                lac = jnp.float32(2.5)
+                freqs = cp["ks"] * lac ** jnp.arange(RIDGED_OCTAVES, dtype=jnp.float32)
+                put(cpre + "ridged_w", jnp.power(freqs, jnp.float32(-0.05)))
+    return jnp.concatenate(vals).reshape(1, -1)
+
+
+def _qt_clamp(v, lo, hi):
+    r = jnp.where(v < hi, v, jnp.full_like(v, hi) if not hasattr(hi, "shape") else hi)
+    return jnp.where(r > lo, r, jnp.full_like(r, lo) if not hasattr(lo, "shape") else lo)
+
+
+def _make_kernel(static: SceneStatic, lay: _Layout, size: int,
+                 rows: int, cols: int):
+    """Build the kernel function for one scene structure."""
+
+    def kernel(sp_ref, perm_ref, outr_ref, outg_ref, outb_ref,
+               rd0, rd1, rd2, I0, I1, I2, p0, p1, p2, tacc, steppr, done):
+        def S(name, k=0):
+            return sp_ref[0, lay.offsets[name] + k]
+
+        perm_rows = perm_ref[:]
+
+        # --- rays from the inverse view-projection (gamercamera.cpp:210-217)
+        pid_r = pl.program_id(0)
+        pid_c = pl.program_id(1)
+        jrow = (pid_r * TILE_R + jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_R, TILE_C), 0)).astype(jnp.float32)
+        icol = (pid_c * TILE_C + jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_R, TILE_C), 1)).astype(jnp.float32)
+        half = float(size) * 0.5
+        xx = icol / half - 1.0
+        yy = jrow / half - 1.0
+        wx = S("inv_vp", 0) * xx - S("inv_vp", 1) * yy + S("inv_vp", 2) + S("inv_vp", 3)
+        wy = S("inv_vp", 4) * xx - S("inv_vp", 5) * yy + S("inv_vp", 6) + S("inv_vp", 7)
+        wz = S("inv_vp", 8) * xx - S("inv_vp", 9) * yy + S("inv_vp", 10) + S("inv_vp", 11)
+        inv_n = jax.lax.rsqrt(wx * wx + wy * wy + wz * wz)
+        rd0[:] = wx * inv_n
+        rd1[:] = wy * inv_n
+        rd2[:] = wz * inv_n
+
+        I0[:] = jnp.zeros_like(I0)
+        I1[:] = jnp.zeros_like(I1)
+        I2[:] = jnp.zeros_like(I2)
+
+        ray_step = S("ray_step")
+        min_step = S("min_step")
+
+        for gi, inst in enumerate(static.instances):
+            pfx = f"i{gi}."
+            _march_instance(
+                static, inst, lay, S, pfx, perm_rows, ray_step, min_step,
+                rd0, rd1, rd2, I0, I1, I2, p0, p1, p2, tacc, steppr, done,
+            )
+
+        # final scale (rasterizer.cpp:409)
+        fs = 0.01 / ray_step
+        outr_ref[:] = I0[:] * fs
+        outg_ref[:] = I1[:] * fs
+        outb_ref[:] = I2[:] * fs
+
+    return kernel
+
+
+def _march_instance(static, inst, lay, S, pfx, perm_rows, ray_step, min_step,
+                    rd0, rd1, rd2, I0, I1, I2, p0, p1, p2, tacc, steppr, done):
+    """Intersect + march one galaxy instance (rasterizer.cpp:379-483)."""
+    cx = S("camera", 0) - S(pfx + "pos", 0)
+    cy = S("camera", 1) - S(pfx + "pos", 1)
+    cz = S("camera", 2) - S(pfx + "pos", 2)
+    ivx = S(pfx + "axis_inv", 0)
+    ivy = S(pfx + "axis_inv", 1)
+    ivz = S(pfx + "axis_inv", 2)
+
+    dx, dy, dz = rd0[:], rd1[:], rd2[:]
+    A = dx * dx * ivx + dy * dy * ivy + dz * dz * ivz
+    B = 2.0 * (dx * cx * ivx + dy * cy * ivy + dz * cz * ivz)
+    C = (cx * cx * ivx + cy * cy * ivy + cz * cz * ivz) - 1.0
+    Sdisc = B * B - 4.0 * A * C
+    hit = Sdisc > 0.0
+    sq = jnp.sqrt(jnp.where(hit, Sdisc, jnp.zeros_like(Sdisc)))
+    t0 = (-B - sq) / (2.0 * A)
+    t1 = (-B + sq) / (2.0 * A)
+    # behind-camera rules (rasterizer.cpp:396-403)
+    near_t = jnp.where(t1 > 0, jnp.zeros_like(t1), t1)
+    alive = hit & ~((t0 > 0) & (t1 > 0))
+
+    o1x = cx + dx * t0
+    o1y = cy + dy * t0
+    o1z = cz + dz * t0
+    o2x = cx + dx * near_t
+    o2y = cy + dy * near_t
+    o2z = cz + dz * near_t
+    fx = o1x - o2x
+    fy = o1y - o2y
+    fz = o1z - o2z
+    length = jnp.sqrt(fx * fx + fy * fy + fz * fz)
+    safe = jnp.where(length == 0, jnp.ones_like(length), length)
+    # march direction (unit, from far point toward the camera-side point)
+    mdx = fx / safe
+    mdy = fy / safe
+    mdz = fz / safe
+
+    p0[:] = o1x
+    p1[:] = o1y
+    p2[:] = o1z
+    tacc[:] = jnp.zeros_like(o1x)
+    steppr[:] = jnp.zeros_like(o1x) + ray_step
+    done[:] = jnp.where(alive, jnp.zeros_like(length, jnp.int32),
+                        jnp.ones_like(length, jnp.int32))
+
+    def cond(c):
+        it, n_active = c
+        return (n_active > 0) & (it < MAX_ITERS)
+
+    def body(c):
+        it, _ = c
+        # loop exit check (rasterizer.cpp:447): path length vs chord
+        stop = tacc[:] >= length + steppr[:]
+        d = jnp.where(stop, jnp.ones_like(done[:]), done[:])
+        done[:] = d
+        active = d == 0
+
+        px, py, pz = p0[:], p1[:], p2[:]
+        rx = px - cx
+        ry = py - cy
+        rz = pz - cz
+        dist = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+        step = _qt_clamp(dist * ray_step, min_step, 0.01)
+        weight = step * 200.0
+
+        for ci, cs in enumerate(inst.comps):
+            _apply_component(
+                static, inst, cs, lay, S, pfx, f"{pfx}c{ci}.", perm_rows,
+                px, py, pz, active, weight, step, ray_step,
+                I0, I1, I2,
+            )
+
+        # advance + floor (rasterizer.cpp:467-470)
+        af = active.astype(jnp.float32)
+        p0[:] = px - mdx * step * af
+        p1[:] = py - mdy * step * af
+        p2[:] = pz - mdz * step * af
+        tacc[:] = tacc[:] + step * af
+        steppr[:] = jnp.where(active, step, steppr[:])
+        for ref in (I0, I1, I2):
+            v = ref[:]
+            ref[:] = jnp.where(active & (v < 0), jnp.zeros_like(v), v)
+        return it + 1, jnp.sum(1 - d)
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.sum(1 - done[:])))
+
+
+def _apply_component(static, inst, cs, lay, S, pfx, cpre, perm_rows,
+                     px, py, pz, active, weight, step, ray_step, I0, I1, I2):
+    """One component at the current samples (galaxycomponent.cpp:45-88 +
+    galaxycomponents.cpp kernels), masked by `active`."""
+    iscale = S(pfx + "iscale")
+    qw = S(pfx + "rotmat", 0)
+    qx = S(pfx + "rotmat", 1)
+    qy = S(pfx + "rotmat", 2)
+    qz = S(pfx + "rotmat", 3)
+
+    def rot_by_rotmat(vx, vy, vz):
+        return _quat_rotate_scalar(qw, qx, qy, qz, vx, vy, vz)
+
+    spec_r = S(cpre + "spec", 0)
+    spec_g = S(cpre + "spec", 1)
+    spec_b = S(cpre + "spec", 2)
+    strength = S(cpre + "strength")
+
+    if cs.cid == CID_BULGE:
+        bx, by, bz = rot_by_rotmat(px, py, pz)
+        rad = (jnp.sqrt(bx * bx + by * by + bz * bz) + 0.01) * S(cpre + "r0") + 0.01
+        ival = (strength * weight) * (
+            jnp.power(rad, -0.855) * jnp.exp(-jnp.power(rad, 0.25)) - 0.05
+        ) * iscale
+        ival = jnp.where(ival < 0, jnp.zeros_like(ival), ival)
+        add = ival * ray_step
+        m = active.astype(jnp.float32)
+        I0[:] = I0[:] + spec_r * add * m
+        I1[:] = I1[:] + spec_g * add * m
+        I2[:] = I2[:] + spec_b * add * m
+        return
+
+    ox = S(pfx + "orientation", 0)
+    oy = S(pfx + "orientation", 1)
+    oz = S(pfx + "orientation", 2)
+    dott = px * ox + py * oy + pz * oz
+    Px = px - ox * dott
+    Py = py - oy * dott
+    Pz = pz - oz * dott
+    radius = jnp.sqrt(Px * Px + Py * Py + Pz * Pz) / S(pfx + "axis_x")
+    h = jnp.abs(dott / S(cpre + "z0"))
+    sech = 1.0 / ((jnp.exp(h) + jnp.exp(-h)) / 2.0)
+    z = jnp.where(h > 2.0, jnp.zeros_like(h), sech * sech)
+
+    ri = jnp.exp(-radius / (S(cpre + "r0") * 0.5))
+    intensity = _qt_clamp(ri - 0.01, 0.0, 1.0)
+    intensity = jnp.where(intensity > 0.1, jnp.full_like(intensity, 0.1), intensity)
+    gates = active & (z > 0.01) & (intensity > 0.001)
+
+    t_s = _qt_clamp((radius - 0.0) / jnp.maximum(S(cpre + "inner"), 1e-38), 0.0, 1.0)
+    # qt_smoothstep with inner==0 -> x/0 -> inf -> clamps to 1 like the
+    # reference's NaN-clamp path; maximum() guards the literal 0/0 only
+    scale_inner_base = t_s * t_s * (3.0 - 2.0 * t_s)
+    scale_inner = (scale_inner_base * scale_inner_base) * (scale_inner_base * scale_inner_base)
+
+    twx = S(pfx + "twirl_axis", 0)
+    twy = S(pfx + "twirl_axis", 1)
+    twz = S(pfx + "twirl_axis", 2)
+
+    if cs.arm_enabled:
+        arm_val = _arm_value(static, inst, lay, S, pfx, cpre, radius, Px, Py, Pz,
+                             rot_by_rotmat)
+        if cs.winding_enabled:
+            winding = _get_winding(radius, S(pfx + "winding_b"),
+                                   S(pfx + "winding_n")) * S(cpre + "winding")
+        else:
+            winding = jnp.zeros_like(radius)
+    else:
+        arm_val = jnp.ones_like(radius)
+        winding = jnp.zeros_like(radius)
+
+    val = strength * scale_inner * arm_val * z * intensity * iscale
+    ival = val * weight
+    emit = gates & (ival > 0.0005)
+    m = emit.astype(jnp.float32)
+
+    ks = S(cpre + "ks")
+    cscale = S(cpre + "scale")
+    noff = S(cpre + "noise_offset")
+    ntilt = S(cpre + "noise_tilt")
+
+    def cloud(octaves, t, ks_, pers_):
+        tx, ty, tz = _twirl(twx, twy, twz, t, px, py, pz)
+        return pn.octave_noise_3d(perm_rows, octaves, pers_, ks_ * 0.1,
+                                  tx, ty, tz)
+
+    if cs.cid == CID_DISK:
+        p2v = jnp.abs(cloud(10, winding, cscale, ks))
+        p2v = jnp.maximum(p2v, 0.01)
+        p2v = jnp.power(p2v, ntilt)
+        p2v = p2v + noff
+        ok = (p2v >= 0).astype(jnp.float32)
+        add = ival * p2v * ray_step * m * ok
+        I0[:] = I0[:] + spec_r * add
+        I1[:] = I1[:] + spec_g * add
+        I2[:] = I2[:] + spec_b * add
+    elif cs.cid == CID_DUST:
+        p2v = cloud(9, winding, cscale, ks)
+        p2v = jnp.maximum(p2v - noff, 0.0)
+        p2v = _qt_clamp(jnp.power(5.0 * p2v, ntilt), -10.0, 10.0)
+        e = -p2v * ival * 0.01
+        one = jnp.ones_like(e)
+        I0[:] = I0[:] * jnp.where(emit, jnp.exp(e * spec_r), one)
+        I1[:] = I1[:] * jnp.where(emit, jnp.exp(e * spec_g), one)
+        I2[:] = I2[:] * jnp.where(emit, jnp.exp(e * spec_b), one)
+    elif cs.cid in (CID_DUST2, CID_DUST_POSITIVE):
+        tx, ty, tz = _twirl(twx, twy, twz, winding, px, py, pz)
+        sw = tuple(S(cpre + "ridged_w", k) for k in range(RIDGED_OCTAVES))
+        p2v = pn.ridged_mf(perm_rows, tx * cscale, ty * cscale, tz * cscale,
+                           sw, 2.5, noff, ntilt)
+        p2v = jnp.maximum(p2v, 0.0)
+        if cs.cid == CID_DUST2:
+            e = -p2v * ival * 0.01
+            one = jnp.ones_like(e)
+            I0[:] = I0[:] * jnp.where(emit, jnp.exp(e * spec_r), one)
+            I1[:] = I1[:] * jnp.where(emit, jnp.exp(e * spec_g), one)
+            I2[:] = I2[:] * jnp.where(emit, jnp.exp(e * spec_b), one)
+        else:
+            add = ival * p2v * ray_step * m
+            I0[:] = I0[:] + spec_r * add
+            I1[:] = I1[:] + spec_g * add
+            I2[:] = I2[:] + spec_b * add
+    elif cs.cid == CID_STARS:
+        freq = (0.01 * cscale) * 100.0
+        perlin = jnp.abs(pn.octave_noise_3d(perm_rows, 10, ks, freq, px, py, pz))
+        add_n = jnp.zeros_like(perlin)
+        if cs.star_extra:
+            add_n = noff * cloud(4, winding, 2.0, -2.0)
+            add_n = add_n + 0.5 * noff * cloud(4, winding * 0.5, 4.0, -2.0)
+        v = jnp.abs(jnp.power(perlin + 1.0 + add_n, ntilt))
+        add = ival * v * ray_step * m
+        I0[:] = I0[:] + spec_r * add
+        I1[:] = I1[:] + spec_g * add
+        I2[:] = I2[:] + spec_b * add
+
+
+def _quat_rotate_scalar(qw, qx, qy, qz, vx, vy, vz):
+    """Rotate tile vectors by a scalar quaternion (sandwich product)."""
+    uvx = qy * vz - qz * vy
+    uvy = qz * vx - qx * vz
+    uvz = qx * vy - qy * vx
+    uuvx = qy * uvz - qz * uvy
+    uuvy = qz * uvx - qx * uvz
+    uuvz = qx * uvy - qy * uvx
+    return (vx + 2.0 * (qw * uvx + uuvx),
+            vy + 2.0 * (qw * uvy + uuvy),
+            vz + 2.0 * (qw * uvz + uuvz))
+
+
+def _twirl(ax, ay, az, t, vx, vy, vz):
+    """Rotate by angle t*pi about the (scalar) unit twirl axis; t is a tile
+    vector (galaxycomponent.h:86-90)."""
+    half = t * (PI * 0.5)
+    s = jnp.sin(half)
+    c = jnp.cos(half)
+    qx = ax * s
+    qy = ay * s
+    qz = az * s
+    uvx = qy * vz - qz * vy
+    uvy = qz * vx - qx * vz
+    uvz = qx * vy - qy * vx
+    uuvx = qy * uvz - qz * uvy
+    uuvy = qz * uvx - qx * uvz
+    uuvz = qx * uvy - qy * uvx
+    return (vx + 2.0 * (c * uvx + uuvx),
+            vy + 2.0 * (c * uvy + uuvy),
+            vz + 2.0 * (c * uvz + uuvz))
+
+
+def _get_winding(rad, winding_b, winding_n):
+    """galaxycomponent.h:156-165 (atan via the in-kernel minimax)."""
+    r = rad + 0.05
+    return pn.atan_f32(jnp.exp(-0.25 / (0.5 * r)) / winding_b) * 2.0 * winding_n
+
+
+def _find_difference(t1, t2):
+    d = t1 - t2
+    v = jnp.abs(d)
+    v = jnp.minimum(v, jnp.abs(d - 2 * PI))
+    v = jnp.minimum(v, jnp.abs(d + 2 * PI))
+    v = jnp.minimum(v, jnp.abs(d - 4 * PI))
+    v = jnp.minimum(v, jnp.abs(d + 4 * PI))
+    return v
+
+
+def _arm_value(static, inst, lay, S, pfx, cpre, radius, Px, Py, Pz, rot_by_rotmat):
+    """galaxycomponent.h:120-146, arm equality-ladder count, NaN-safe max."""
+    rx, _, rz = rot_by_rotmat(Px, Py, Pz)
+    theta = pn.atan2_f32(rx, rz) + S(cpre + "delta")
+    ww = _get_winding(radius, S(pfx + "winding_b"), S(pfx + "winding_n"))
+    arm15 = S(cpre + "arm") * 15.0
+    val = None
+    for a in range(inst.max_arms):
+        v = jnp.abs(_find_difference(ww, -theta + S(pfx + "arms", a))) / PI
+        arm_v = jnp.power(1.0 - v, arm15)
+        val = arm_v if val is None else jnp.where(arm_v > val, arm_v, val)
+    return val
+
+
+# ---------------------------------------------------------------------------
+# host wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled(static: SceneStatic, size: int):
+    lay = _build_layout(static)
+    rows = -(-size // TILE_R) * TILE_R
+    cols = -(-size // TILE_C) * TILE_C
+    kernel = _make_kernel(static, lay, size, rows, cols)
+
+    grid = (rows // TILE_R, cols // TILE_C)
+    vmem = lambda: pltpu.VMEM((TILE_R, TILE_C), jnp.float32)
+
+    # interpret mode on non-TPU backends (tests run on the CPU mesh)
+    interpret = jax.default_backend() != "tpu"
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        out_shape=[jax.ShapeDtypeStruct((rows, cols), jnp.float32)] * 3,
+        in_specs=[
+            pl.BlockSpec((1, lay.n), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILE_R, 512), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_R, TILE_C), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+        ] * 3,
+        scratch_shapes=[vmem() for _ in range(11)]
+        + [pltpu.VMEM((TILE_R, TILE_C), jnp.int32)],
+    )
+
+    perm_rows = jnp.asarray(
+        np.broadcast_to(PERM.astype(np.int32), (TILE_R, 512)).copy())
+
+    @jax.jit
+    def run(sp):
+        r, g, b = call(sp, perm_rows)
+        return jnp.stack([r[:size, :size], g[:size, :size], b[:size, :size]],
+                         axis=-1)
+
+    return lay, run
+
+
+def render_linear_pallas(scene: Scene):
+    """Linear radiance buffer (size, size, 3) float32 via the Pallas kernel."""
+    cfg = scene.config
+    static, params = flatten_scene(scene, jnp.float32)
+    camera = jnp.asarray(scene.camera.camera, jnp.float32)
+    inv_vp = cam_ops.inv_view_projection(
+        camera,
+        jnp.asarray(scene.camera.target, jnp.float32),
+        jnp.asarray(scene.camera.up, jnp.float32),
+        jnp.asarray(scene.camera.fov, jnp.float32),
+    )
+    lay, run = _compiled(static, cfg.size)
+    sp = _pack_scalars(static, lay, params, camera, inv_vp,
+                       jnp.float32(cfg.ray_step), jnp.float32(cfg.min_ray_step))
+    return run(sp)
+
+
+def render_scene_pallas(scene: Scene):
+    """Full frame via the Pallas kernel -> uint8 image (+ star overlay/post
+    identical to engine.render.render_scene)."""
+    import numpy as np
+
+    from .render import post_process
+
+    cfg = scene.config
+    linear = render_linear_pallas(scene)
+    lin = np.asarray(linear)
+    if cfg.no_stars > 0:
+        from ..post.stars import render_star_field
+
+        lin = lin + render_star_field(
+            cfg.size, cfg.no_stars, cfg.star_size, cfg.star_size_spread,
+            cfg.star_strength, cfg.star_seed,
+        )
+    img = post_process(
+        jnp.asarray(lin), jnp.float32(cfg.exposure),
+        jnp.float32(cfg.gamma), jnp.float32(cfg.saturation),
+    )
+    return np.asarray(img)

@@ -1,0 +1,200 @@
+"""In-kernel (Mosaic) math + simplex noise for the Pallas render kernel.
+
+Everything here operates on (8, 128) float32/int32 tiles inside a
+pallas_call. Differences from ops/noise.py forced by the Mosaic TPU target:
+
+  - the 512-entry permutation lookup runs as four 128-lane dynamic gathers
+    (jnp.take_along_axis within a tile row) + chunk selects — Mosaic has no
+    general 1-D gather, but lane-wise dynamic_gather is native
+  - atan/atan2 are unimplemented primitives on the TC core; this module
+    carries float32 minimax implementations (range-reduced, ~2 ulp)
+  - octave loops are python-unrolled (static counts), matching
+    noise.cpp:81-180 semantics exactly otherwise
+
+Semantics sources: simplexnoise.cpp:173+ (raw), noise.cpp:162-180 (octave),
+noise.cpp:81-128 (ridged multifractal).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+PI = 3.141592653589793
+
+
+# ---------------------------------------------------------------------------
+# float32 atan / atan2 (Mosaic lacks the primitives)
+# ---------------------------------------------------------------------------
+
+
+def atan_f32(x):
+    """Minimax float32 arctangent — range-reduced, max error ~2 ulp."""
+    ax = jnp.abs(x)
+    big = ax > 2.414213562373095   # tan(3*pi/8)
+    mid = ax > 0.4142135623730950  # tan(pi/8)
+    safe = jnp.where(ax == 0, jnp.ones_like(ax), ax)
+    z = jnp.where(big, -1.0 / safe, jnp.where(mid, (ax - 1.0) / (ax + 1.0), ax))
+    base = jnp.where(big, jnp.full_like(ax, PI / 2),
+                     jnp.where(mid, jnp.full_like(ax, PI / 4),
+                               jnp.zeros_like(ax)))
+    z2 = z * z
+    p = ((8.05374449538e-2 * z2 - 1.38776856032e-1) * z2
+         + 1.99777106478e-1) * z2 - 3.33329491539e-1
+    r = base + (z + z * z2 * p)
+    return jnp.where(x < 0, -r, r)
+
+
+def atan2_f32(y, x):
+    """float32 atan2 built on atan_f32 with full quadrant handling."""
+    safe_x = jnp.where(x == 0, jnp.ones_like(x), x)
+    r = atan_f32(y / safe_x)
+    # x < 0: shift by +-pi toward y's sign (atan2 convention, y==0 -> +pi)
+    shift = jnp.where(y < 0, jnp.full_like(y, -PI), jnp.full_like(y, PI))
+    r = jnp.where(x < 0, r + shift, r)
+    # x == 0: +-pi/2 by y's sign; (0, 0) -> 0
+    vert = jnp.where(y > 0, jnp.full_like(y, PI / 2),
+                     jnp.where(y < 0, jnp.full_like(y, -PI / 2),
+                               jnp.zeros_like(y)))
+    return jnp.where(x == 0, vert, r)
+
+
+# ---------------------------------------------------------------------------
+# permutation lookup + raw simplex
+# ---------------------------------------------------------------------------
+
+
+def perm_lookup(perm_rows, idx):
+    """perm[idx] for idx int32 in [0, 512): 4 lane-gathers + selects.
+
+    perm_rows: (R, 512) int32 — the 512-entry table broadcast across tile
+    rows; idx: (R, 128) int32.
+    """
+    low = idx & 127
+    chunk = idx >> 7
+    out = jnp.zeros_like(idx)
+    for c in range(4):
+        v = jnp.take_along_axis(perm_rows[:, c * 128:(c + 1) * 128], low, axis=1)
+        out = jnp.where(chunk == c, v, out)
+    return out
+
+
+def _grad_dot(gi, x, y, z):
+    """dot(GRAD3[gi], (x, y, z)) — branchless (see ops/noise.py)."""
+    group = gi >> 2
+    u = jnp.where(group == 2, y, x)
+    v = jnp.where(group == 0, y, z)
+    u = jnp.where((gi & 1) == 1, -u, u)
+    v = jnp.where((gi & 2) == 2, -v, v)
+    return u + v
+
+
+def _fastfloor(x):
+    t = jnp.trunc(x)
+    return jnp.where(x > 0, t, t - 1.0).astype(jnp.int32)
+
+
+def raw_noise_3d(perm_rows, x, y, z):
+    """Raw 3-D simplex noise on an (R, 128) tile (simplexnoise.cpp:173+)."""
+    third = 1.0 / 3.0
+    sixth = 1.0 / 6.0
+    s = (x + y + z) * third
+    i = _fastfloor(x + s)
+    j = _fastfloor(y + s)
+    k = _fastfloor(z + s)
+    t = (i + j + k).astype(x.dtype) * sixth
+    x0 = x - (i.astype(x.dtype) - t)
+    y0 = y - (j.astype(x.dtype) - t)
+    z0 = z - (k.astype(x.dtype) - t)
+
+    A = x0 >= y0
+    B = y0 >= z0
+    C = x0 >= z0
+    one = jnp.ones_like(i)
+    zero = jnp.zeros_like(i)
+    i1 = jnp.where(A & (B | C), one, zero)
+    j1 = jnp.where(~A & B, one, zero)
+    k1 = jnp.where((A & ~B & ~C) | (~A & ~B), one, zero)
+    i2 = jnp.where(A | (B & C), one, zero)
+    j2 = jnp.where(~A | B, one, zero)
+    k2 = jnp.where((A & ~B) | (~A & (~B | ~C)), one, zero)
+
+    f1 = i1.astype(x.dtype)
+    g1 = j1.astype(x.dtype)
+    h1 = k1.astype(x.dtype)
+    f2 = i2.astype(x.dtype)
+    g2 = j2.astype(x.dtype)
+    h2 = k2.astype(x.dtype)
+
+    x1 = x0 - f1 + sixth
+    y1 = y0 - g1 + sixth
+    z1 = z0 - h1 + sixth
+    x2 = x0 - f2 + 2.0 * sixth
+    y2 = y0 - g2 + 2.0 * sixth
+    z2 = z0 - h2 + 2.0 * sixth
+    x3 = x0 - 1.0 + 3.0 * sixth
+    y3 = y0 - 1.0 + 3.0 * sixth
+    z3 = z0 - 1.0 + 3.0 * sixth
+
+    ii = i & 255
+    jj = j & 255
+    kk = k & 255
+    pkk = perm_lookup(perm_rows, kk)
+    pkk1 = perm_lookup(perm_rows, kk + k1)
+    pkk2 = perm_lookup(perm_rows, kk + k2)
+    pkk3 = perm_lookup(perm_rows, kk + 1)
+    pj0 = perm_lookup(perm_rows, jj + pkk)
+    pj1 = perm_lookup(perm_rows, jj + j1 + pkk1)
+    pj2 = perm_lookup(perm_rows, jj + j2 + pkk2)
+    pj3 = perm_lookup(perm_rows, jj + 1 + pkk3)
+    gi0 = perm_lookup(perm_rows, ii + pj0) % 12
+    gi1 = perm_lookup(perm_rows, ii + i1 + pj1) % 12
+    gi2 = perm_lookup(perm_rows, ii + i2 + pj2) % 12
+    gi3 = perm_lookup(perm_rows, ii + 1 + pj3) % 12
+
+    def contrib(tv, gi, cx, cy, cz):
+        tt = tv * tv
+        return jnp.where(tv < 0, jnp.zeros_like(tv),
+                         tt * tt * _grad_dot(gi, cx, cy, cz))
+
+    n0 = contrib(0.6 - x0 * x0 - y0 * y0 - z0 * z0, gi0, x0, y0, z0)
+    n1 = contrib(0.6 - x1 * x1 - y1 * y1 - z1 * z1, gi1, x1, y1, z1)
+    n2 = contrib(0.6 - x2 * x2 - y2 * y2 - z2 * z2, gi2, x2, y2, z2)
+    n3 = contrib(0.6 - x3 * x3 - y3 * y3 - z3 * z3, gi3, x3, y3, z3)
+    return 32.0 * (n0 + n1 + n2 + n3)
+
+
+def octave_noise_3d(perm_rows, octaves: int, persistence, scale, x, y, z):
+    """noise.cpp:162-180; octaves static, unrolled."""
+    total = jnp.zeros_like(x)
+    freq = scale
+    amp = 1.0
+    max_amp = 0.0
+    for _ in range(int(octaves)):
+        total = total + raw_noise_3d(perm_rows, x * freq, y * freq, z * freq) * amp
+        freq = freq * 2.0
+        max_amp = max_amp + amp
+        amp = amp * persistence
+    return total / max_amp
+
+
+def ridged_mf(perm_rows, x, y, z, spectral_weights, lacunarity, offset, gain):
+    """noise.cpp:81-128; per-octave f32 coordinate scaling is native here.
+
+    spectral_weights: per-octave pow(freq_k, -0.05) scalars, computed by the
+    caller OUTSIDE the kernel (scalar pow is not lowerable on the TC core);
+    its length sets the octave count.
+    """
+    value = jnp.zeros_like(x)
+    weight = jnp.ones_like(x)
+    vx, vy, vz = x, y, z
+    for sw in spectral_weights:
+        signal = raw_noise_3d(perm_rows, vx, vy, vz)
+        signal = offset - jnp.abs(signal)
+        signal = signal * signal
+        signal = signal * weight
+        weight = jnp.clip(signal * gain, 0.0, 1.0)
+        value = value + signal * sw
+        vx = vx * lacunarity
+        vy = vy * lacunarity
+        vz = vz * lacunarity
+    return value * 1.25 - 1.0

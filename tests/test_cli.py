@@ -30,7 +30,7 @@ def test_galaxy_bad_method(capsys, fixtures_dir):
 
 def test_galaxy_renders_png(tmp_path, fixtures_dir):
     out = tmp_path / "vortex"
-    argv = ["galaxy", "omp", "0.5", "0", "0", "0", "0", "0", "0", "1", "0",
+    argv = ["galaxy", "xla", "0.5", "0", "0", "0", "0", "0", "0", "1", "0",
             "90", "1", "1", "1.0", "0.025",
             str(fixtures_dir / "VortexCloud.gax"), "16", str(out)]
     assert main(argv) == 0

@@ -1,0 +1,78 @@
+"""Pallas kernel tests (interpret mode on the CPU backend).
+
+The compiled kernel is exercised on real TPU hardware by bench.py; here the
+same kernel runs through the Pallas interpreter and is gated against the
+XLA path (which is itself gated against the spec-exact oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import gamer_tpu
+from gamer_tpu.ops import pallas_noise as pn
+from gamer_tpu.scene import gax
+
+
+def test_atan_polynomials_accurate():
+    x = np.linspace(-30, 30, 20001)
+    ours = np.asarray(pn.atan_f32(jnp.asarray(x, jnp.float32)))
+    ref = np.arctan(x)
+    assert np.abs(ours - ref).max() < 3e-7
+
+    rng = np.random.default_rng(0)
+    y = rng.uniform(-5, 5, 5000)
+    xs = rng.uniform(-5, 5, 5000)
+    xs[::17] = 0.0  # exercise the vertical cases
+    ours2 = np.asarray(pn.atan2_f32(jnp.asarray(y, jnp.float32),
+                                    jnp.asarray(xs, jnp.float32)))
+    ref2 = np.arctan2(y, xs)
+    assert np.abs(ours2 - ref2).max() < 4e-7
+
+
+def test_perm_lookup_matches_table():
+    from gamer_tpu.ops.tables import PERM
+
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    perm_rows = jnp.asarray(np.broadcast_to(PERM.astype(np.int32), (8, 512)).copy())
+    idx = jnp.asarray(np.random.default_rng(1).integers(0, 512, (8, 128)),
+                      jnp.int32)
+
+    def kernel(p_ref, i_ref, o_ref):
+        o_ref[:] = pn.perm_lookup(p_ref[:], i_ref[:])
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=True,
+    )(perm_rows, idx)
+    np.testing.assert_array_equal(np.asarray(out),
+                                  PERM.astype(np.int32)[np.asarray(idx)])
+
+
+def test_pallas_render_matches_xla(fixtures_dir):
+    """Interpreted kernel vs the XLA path: <=2 uint8 LSB on a real fixture."""
+    from gamer_tpu.engine.pallas_render import render_scene_pallas
+    from gamer_tpu.engine.render import render_scene
+
+    g = gax.load(fixtures_dir / "VortexCloud.gax")
+    scene = gamer_tpu.Scene(
+        camera=gamer_tpu.CameraParams(camera=(0.5, 0, 0), target=(0, 0, 0),
+                                      up=(0, 1, 0), fov=90.0),
+        instances=[gamer_tpu.GalaxyInstance(galaxy=g)],
+        config=gamer_tpu.RenderConfig(size=16, ray_step=0.025),
+    )
+    ours = render_scene_pallas(scene)
+    ref = render_scene(scene)
+    d = np.abs(ours.astype(np.int16) - ref.astype(np.int16))
+    assert d.max() <= 2, f"pallas vs xla max diff {d.max()}"
+    assert (d.max(-1) > 0).mean() < 0.05
