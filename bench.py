@@ -102,6 +102,9 @@ def main() -> None:
                     best = {"msps": msps, "size": size, "dt": r["dt"],
                             "kernel": kernel}
                 break  # largest working size per kernel is enough
+        if best is not None:
+            break  # pallas worked; the xla fallback can't beat it and its
+            # large-frame attempts can destabilize the device runtime
 
     if best is None:
         print(json.dumps({

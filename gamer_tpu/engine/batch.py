@@ -1,0 +1,132 @@
+"""Batched rendering: camera fly-throughs and galaxy dataset generation.
+
+The reference's frame queue renders camera paths one frame at a time
+(renderqueue.cpp:63-87) and its scene mode samples random galaxies
+(mainwindow.cpp:1137-1170); the TPU-native shape is a BATCH axis:
+
+  fly-through  — one scene pytree, B cameras      (BASELINE config 4)
+  dataset gen  — B galaxy-parameter variations    (BASELINE config 5)
+
+Both compile to ONE Pallas launch with grid (B, rows/8, cols/128), each
+batch element selecting its own packed scalar row (camera AND galaxy params
+live in the row, so the two modes are the same kernel). Across a device
+mesh the batch axis is sharded with shard_map — frames/seeds are
+independent, so the only collective is the output gather.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map  # jax >= 0.7
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..ops import camera as cam_ops
+from ..scene.schema import CameraParams, Scene
+from .pallas_render import _build_layout, _compiled_batch, _pack_scalars
+from .render import post_process
+from .scene_prep import flatten_scene
+
+BATCH_AXIS = "batch"
+
+
+def _scene_rows(scenes: Sequence[Scene], dtype=jnp.float32):
+    """Flatten scenes sharing one structure into packed scalar rows."""
+    statics_params = [flatten_scene(s, dtype) for s in scenes]
+    static0 = statics_params[0][0]
+    for st, _ in statics_params[1:]:
+        if st != static0:
+            raise ValueError(
+                "all scenes in a batch must share the same component "
+                "structure (same classes/arm ladder/star-extra flags)"
+            )
+    lay = _build_layout(static0)
+    rows = []
+    for scene, (st, params) in zip(scenes, statics_params):
+        camera = jnp.asarray(scene.camera.camera, dtype)
+        inv_vp = cam_ops.inv_view_projection(
+            camera,
+            jnp.asarray(scene.camera.target, dtype),
+            jnp.asarray(scene.camera.up, dtype),
+            jnp.asarray(scene.camera.fov, dtype),
+        )
+        cfg = scene.config
+        rows.append(_pack_scalars(
+            static0, lay, params, camera, inv_vp,
+            jnp.asarray(cfg.ray_step, dtype),
+            jnp.asarray(cfg.min_ray_step, dtype),
+        ))
+    return static0, jnp.concatenate(rows, axis=0)
+
+
+def render_batch(scenes: Sequence[Scene], mesh: Optional[Mesh] = None) -> np.ndarray:
+    """Render B scenes (same structure + size) -> (B, S, S, 3) uint8.
+
+    With a mesh, the batch axis is sharded across its devices (B must
+    divide the mesh size).
+    """
+    size = scenes[0].config.size
+    for s in scenes:
+        if s.config.size != size:
+            raise ValueError("all scenes in a batch must share the size")
+    static, sp_rows = _scene_rows(scenes)
+    B = sp_rows.shape[0]
+
+    if mesh is None:
+        _, run = _compiled_batch(static, size, B)
+        linear = run(sp_rows)
+    else:
+        n_dev = mesh.devices.size
+        if B % n_dev != 0:
+            raise ValueError(f"batch {B} not divisible by mesh size {n_dev}")
+        _, run_local = _compiled_batch(static, size, B // n_dev)
+
+        @jax.jit
+        def run_sharded(rows):
+            return shard_map(
+                run_local, mesh=mesh,
+                in_specs=P(BATCH_AXIS, None, None),
+                out_specs=P(BATCH_AXIS, None, None, None),
+                check_vma=False,  # pallas_call out_shapes carry no vma info
+            )(rows)
+
+        linear = run_sharded(sp_rows)
+
+    # post chain per frame (exposure/gamma/saturation may differ per scene)
+    out = np.empty((B, size, size, 3), np.uint8)
+    lin = np.asarray(linear)
+    for b, scene in enumerate(scenes):
+        cfg = scene.config
+        frame = lin[b]
+        if cfg.no_stars > 0:
+            from ..post.stars import render_star_field
+
+            frame = frame + render_star_field(
+                cfg.size, cfg.no_stars, cfg.star_size, cfg.star_size_spread,
+                cfg.star_strength, cfg.star_seed,
+            )
+        out[b] = np.asarray(post_process(
+            jnp.asarray(frame), jnp.float32(cfg.exposure),
+            jnp.float32(cfg.gamma), jnp.float32(cfg.saturation),
+        ))
+    return out
+
+
+def render_flythrough(scene: Scene, cameras: Sequence[CameraParams],
+                      mesh: Optional[Mesh] = None) -> np.ndarray:
+    """BASELINE config 4: one scene, B cameras -> (B, S, S, 3) uint8."""
+    import dataclasses
+
+    scenes = [dataclasses.replace(scene, camera=cam) for cam in cameras]
+    return render_batch(scenes, mesh=mesh)
+
+
+def make_batch_mesh(devices=None, axis_name: str = BATCH_AXIS) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices, (axis_name,))

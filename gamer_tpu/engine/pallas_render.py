@@ -73,6 +73,17 @@ class _Layout:
         self.n += k
         return self.offsets[name]
 
+    @property
+    def smem_rows(self) -> int:
+        """Scalar page height: the row is stored as an (smem_rows, 128)
+        page per batch element (Mosaic blocked-SMEM tiles must be (8k, 128)
+        aligned)."""
+        return max(8, ((-(-self.n // 128) + 7) // 8) * 8)
+
+    @property
+    def padded_n(self) -> int:
+        return self.smem_rows * 128
+
 
 def _build_layout(static: SceneStatic) -> _Layout:
     lay = _Layout()
@@ -137,7 +148,11 @@ def _pack_scalars(static: SceneStatic, lay: _Layout, params, camera, inv_vp,
                 lac = jnp.float32(2.5)
                 freqs = cp["ks"] * lac ** jnp.arange(RIDGED_OCTAVES, dtype=jnp.float32)
                 put(cpre + "ridged_w", jnp.power(freqs, jnp.float32(-0.05)))
-    return jnp.concatenate(vals).reshape(1, -1)
+    row = jnp.concatenate(vals)
+    pad = lay.padded_n - row.shape[0]
+    if pad:
+        row = jnp.concatenate([row, jnp.zeros((pad,), jnp.float32)])
+    return row.reshape(1, lay.smem_rows, 128)
 
 
 def _qt_clamp(v, lo, hi):
@@ -146,19 +161,26 @@ def _qt_clamp(v, lo, hi):
 
 
 def _make_kernel(static: SceneStatic, lay: _Layout, size: int,
-                 rows: int, cols: int):
-    """Build the kernel function for one scene structure."""
+                 rows: int, cols: int, batched: bool = False):
+    """Build the kernel function for one scene structure.
+
+    With `batched`, grid axis 0 indexes the batch element (frame of a
+    fly-through, or seed of a dataset batch); the SMEM scalar row and the
+    output block are selected per batch element by the BlockSpecs, so the
+    kernel body only shifts its tile program ids.
+    """
 
     def kernel(sp_ref, perm_ref, outr_ref, outg_ref, outb_ref,
                rd0, rd1, rd2, I0, I1, I2, p0, p1, p2, tacc, steppr, done):
         def S(name, k=0):
-            return sp_ref[0, lay.offsets[name] + k]
+            off = lay.offsets[name] + k
+            return sp_ref[0, off // 128, off % 128]
 
         perm_rows = perm_ref[:]
 
         # --- rays from the inverse view-projection (gamercamera.cpp:210-217)
-        pid_r = pl.program_id(0)
-        pid_c = pl.program_id(1)
+        pid_r = pl.program_id(1 if batched else 0)
+        pid_c = pl.program_id(2 if batched else 1)
         jrow = (pid_r * TILE_R + jax.lax.broadcasted_iota(
             jnp.int32, (TILE_R, TILE_C), 0)).astype(jnp.float32)
         icol = (pid_c * TILE_C + jax.lax.broadcasted_iota(
@@ -188,11 +210,11 @@ def _make_kernel(static: SceneStatic, lay: _Layout, size: int,
                 rd0, rd1, rd2, I0, I1, I2, p0, p1, p2, tacc, steppr, done,
             )
 
-        # final scale (rasterizer.cpp:409)
+        # final scale (rasterizer.cpp:409); batched blocks are (1, 8, 128)
         fs = 0.01 / ray_step
-        outr_ref[:] = I0[:] * fs
-        outg_ref[:] = I1[:] * fs
-        outb_ref[:] = I2[:] * fs
+        outr_ref[...] = (I0[:] * fs).reshape(outr_ref.shape)
+        outg_ref[...] = (I1[:] * fs).reshape(outg_ref.shape)
+        outb_ref[...] = (I2[:] * fs).reshape(outb_ref.shape)
 
     return kernel
 
@@ -509,7 +531,7 @@ def _compiled(static: SceneStatic, size: int):
         interpret=interpret,
         out_shape=[jax.ShapeDtypeStruct((rows, cols), jnp.float32)] * 3,
         in_specs=[
-            pl.BlockSpec((1, lay.n), lambda i, j: (0, 0),
+            pl.BlockSpec((1, lay.smem_rows, 128), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((TILE_R, 512), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -530,6 +552,51 @@ def _compiled(static: SceneStatic, size: int):
         r, g, b = call(sp, perm_rows)
         return jnp.stack([r[:size, :size], g[:size, :size], b[:size, :size]],
                          axis=-1)
+
+    return lay, run
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_batch(static: SceneStatic, size: int, nbatch: int):
+    """Batched variant: grid (nbatch, rows/8, cols/128); one SMEM scalar row
+    and one output frame per batch element."""
+    lay = _build_layout(static)
+    rows = -(-size // TILE_R) * TILE_R
+    cols = -(-size // TILE_C) * TILE_C
+    kernel = _make_kernel(static, lay, size, rows, cols, batched=True)
+
+    grid = (nbatch, rows // TILE_R, cols // TILE_C)
+    vmem = lambda: pltpu.VMEM((TILE_R, TILE_C), jnp.float32)
+    interpret = jax.default_backend() != "tpu"
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        out_shape=[jax.ShapeDtypeStruct((nbatch, rows, cols), jnp.float32)] * 3,
+        in_specs=[
+            pl.BlockSpec((1, lay.smem_rows, 128), lambda b, i, j: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILE_R, 512), lambda b, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE_R, TILE_C), lambda b, i, j: (b, i, j),
+                         memory_space=pltpu.VMEM)
+        ] * 3,
+        scratch_shapes=[vmem() for _ in range(11)]
+        + [pltpu.VMEM((TILE_R, TILE_C), jnp.int32)],
+    )
+
+    perm_rows = jnp.asarray(
+        np.broadcast_to(PERM.astype(np.int32), (TILE_R, 512)).copy())
+
+    @jax.jit
+    def run(sp_rows):
+        r, g, b = call(sp_rows, perm_rows)
+        return jnp.stack(
+            [r[:, :size, :size], g[:, :size, :size], b[:, :size, :size]],
+            axis=-1)
 
     return lay, run
 
