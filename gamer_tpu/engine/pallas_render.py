@@ -44,6 +44,7 @@ from ..scene.schema import (
     CID_DUST2,
     CID_DUST_POSITIVE,
     CID_STARS,
+    CID_STARS_SMALL,
     Scene,
 )
 from ..ops.tables import PERM
@@ -439,6 +440,23 @@ def _apply_component(static, inst, cs, lay, S, pfx, cpre, perm_rows,
             add_n = add_n + 0.5 * noff * cloud(4, winding * 0.5, 4.0, -2.0)
         v = jnp.abs(jnp.power(perlin + 1.0 + add_n, ntilt))
         add = ival * v * ray_step * m
+        I0[:] = I0[:] + spec_r * add
+        I1[:] = I1[:] + spec_g * add
+        I2[:] = I2[:] + spec_b * add
+    elif cs.cid == CID_STARS_SMALL:
+        # seeded position-hash sparkle (see engine.render._sparkle_hash)
+        bx = jax.lax.bitcast_convert_type(px, jnp.int32)
+        by = jax.lax.bitcast_convert_type(py, jnp.int32)
+        bz = jax.lax.bitcast_convert_type(pz, jnp.int32)
+        hsh = (bx * jnp.int32(-1640531527) ^ by * jnp.int32(97)
+               ^ bz * jnp.int32(1013904223))
+        hsh = hsh ^ (hsh >> 13)
+        hu = jnp.abs(hsh)
+        scale_i = jnp.maximum(cscale.astype(jnp.int32), 1)
+        sel = ((hu % scale_i) == 0).astype(jnp.float32)
+        dval = ((hu >> 8) % 10).astype(jnp.float32)
+        v = jnp.power(dval, ntilt)
+        add = ival * v * ray_step * m * sel
         I0[:] = I0[:] + spec_r * add
         I1[:] = I1[:] + spec_g * add
         I2[:] = I2[:] + spec_b * add

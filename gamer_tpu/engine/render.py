@@ -40,6 +40,7 @@ from ..scene.schema import (
     CID_DUST2,
     CID_DUST_POSITIVE,
     CID_STARS,
+    CID_STARS_SMALL,
     Scene,
 )
 from .scene_prep import CompStatic, InstanceStatic, SceneStatic, flatten_scene
@@ -198,9 +199,31 @@ def _apply_component(
         v = jnp.abs(jnp.power(perlin + 1.0 + add_n, cp["noise_tilt"]))
         add = spec * (ival * v * ray_step)[..., None]
         I = jnp.where(emit[..., None], I + add, I)
-    # CID_STARS_SMALL never reaches here (dropped at flatten time).
+    elif cs.cid == CID_STARS_SMALL:
+        # The reference sprinkles with unseeded rand() (galaxycomponents.cpp:
+        # 159-170: emit with prob 1/scale, val = (rand()%10)^tilt) — inherently
+        # nondeterministic, excluded from conformance (galaxy_repro.py:734).
+        # Here: a position-hash draw — same statistics, reproducible.
+        sel, dval = _sparkle_hash(p, cp["scale"])
+        v = jnp.power(dval, cp["noise_tilt"])
+        add = spec * (ival * v * ray_step)[..., None]
+        I = jnp.where((emit & sel)[..., None], I + add, I)
 
     return I, winding
+
+
+def _sparkle_hash(p, scale):
+    """Deterministic stand-in for the rand() sparkle: hash the sample
+    position to (emit?, digit) with P(emit) = 1/scale and digit in [0, 10)."""
+    bits = jax.lax.bitcast_convert_type(p, jnp.int32)
+    h = (bits[..., 0] * jnp.int32(-1640531527)
+         ^ bits[..., 1] * jnp.int32(97) ^ bits[..., 2] * jnp.int32(1013904223))
+    h = h ^ (h >> 13)
+    hu = jnp.abs(h)
+    scale_i = jnp.maximum(scale.astype(jnp.int32), 1)
+    sel = (hu % scale_i) == 0
+    dval = ((hu >> 8) % 10).astype(p.dtype)
+    return sel, dval
 
 
 def _march_instance(st: InstanceStatic, pr, dirs, camera, I, winding, ray_step, min_step):

@@ -1,0 +1,125 @@
+"""Alternative noise backends: classic Perlin and IQ sin-hash value noise.
+
+The reference ships three Noise implementations but hardcodes Simplex in
+every rasterizer constructor (rasterizer.h:57,62,67); Perlin
+(source/noise/perlin.{h,cpp}) and IQ value noise (source/noise/iqnoise.cpp)
+are selectable-in-principle alternatives. They are provided here with the
+same interface as ops.noise for library parity:
+
+  - perlin_raw_3d: Ken Perlin's classic gradient noise, SAMPLE_SIZE=1024
+    tables, x2 output scaling (perlin.h:32-37). The reference seeds its
+    tables from libc srand/rand (perlin.cpp init); here the tables come
+    from a seeded MT19937 — same algorithm, different (but reproducible)
+    gradient sets, since libc's rand stream is not part of any observable
+    contract (the class is never instantiated by the engine).
+  - iq_value_noise_3d: sin-hash trilinear value noise, exact semantics
+    (iqnoise.cpp:34-53).
+
+Both are traceable jnp ops (jit/vmap-safe).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+SAMPLE_SIZE = 1024
+_N_OFF = 0x1000
+
+
+@functools.lru_cache(maxsize=8)
+def _perlin_tables(seed: int):
+    rng = np.random.Generator(np.random.MT19937(seed))
+    B = SAMPLE_SIZE
+    perm = np.arange(B)
+    rng.shuffle(perm)
+    perm = np.concatenate([perm, perm, perm[:2]]).astype(np.int32)
+    g3 = rng.uniform(-1.0, 1.0, (B, 3))
+    g3 /= np.linalg.norm(g3, axis=1, keepdims=True)
+    g3 = np.concatenate([g3, g3, g3[:2]], axis=0)
+    return perm, g3.astype(np.float64)
+
+
+def perlin_raw_3d(x, y, z, seed: int = 94):
+    """Classic Perlin gradient noise in roughly [-1, 1] (x2 scaling like
+    Perlin::raw_3d, perlin.h:32-37)."""
+    perm_np, g3_np = _perlin_tables(seed)
+    dtype = jnp.result_type(x, y, z)
+    perm = jnp.asarray(perm_np)
+    g3 = jnp.asarray(g3_np, dtype)
+
+    def setup(v):
+        t = v + _N_OFF
+        b0 = t.astype(jnp.int32) & (SAMPLE_SIZE - 1)
+        b1 = (b0 + 1) & (SAMPLE_SIZE - 1)
+        r0 = t - jnp.trunc(t)
+        r1 = r0 - 1.0
+        return b0, b1, r0, r1
+
+    bx0, bx1, rx0, rx1 = setup(jnp.asarray(x, dtype))
+    by0, by1, ry0, ry1 = setup(jnp.asarray(y, dtype))
+    bz0, bz1, rz0, rz1 = setup(jnp.asarray(z, dtype))
+
+    i = jnp.take(perm, bx0, axis=0)
+    j = jnp.take(perm, bx1, axis=0)
+    b00 = jnp.take(perm, i + by0, axis=0)
+    b10 = jnp.take(perm, j + by0, axis=0)
+    b01 = jnp.take(perm, i + by1, axis=0)
+    b11 = jnp.take(perm, j + by1, axis=0)
+
+    def s_curve(t):
+        return t * t * (3.0 - 2.0 * t)
+
+    def at3(q_idx, rx, ry, rz):
+        g = jnp.take(g3, q_idx, axis=0)
+        return rx * g[..., 0] + ry * g[..., 1] + rz * g[..., 2]
+
+    t = s_curve(rx0)
+    sy = s_curve(ry0)
+    sz = s_curve(rz0)
+
+    def lerp(w, a, b):
+        return a + w * (b - a)
+
+    a = lerp(t, at3(b00 + bz0, rx0, ry0, rz0), at3(b10 + bz0, rx1, ry0, rz0))
+    b = lerp(t, at3(b01 + bz0, rx0, ry1, rz0), at3(b11 + bz0, rx1, ry1, rz0))
+    c = lerp(sy, a, b)
+    a = lerp(t, at3(b00 + bz1, rx0, ry0, rz1), at3(b10 + bz1, rx1, ry0, rz1))
+    b = lerp(t, at3(b01 + bz1, rx0, ry1, rz1), at3(b11 + bz1, rx1, ry1, rz1))
+    d = lerp(sy, a, b)
+    return 2.0 * lerp(sz, c, d)
+
+
+def iq_value_noise_3d(x, y, z):
+    """IQ sin-hash trilinear value noise (iqnoise.cpp:34-53), in [-1, 1]-ish
+    (the hash is in [0,1); the reference's comment claims [-1,1] — kept
+    as-written)."""
+    dtype = jnp.result_type(x, y, z)
+    x = jnp.asarray(x, dtype)
+    y = jnp.asarray(y, dtype)
+    z = jnp.asarray(z, dtype)
+    px = jnp.floor(x)
+    py = jnp.floor(y)
+    pz = jnp.floor(z)
+    fx = x - px
+    fy = y - py
+    fz = z - pz
+    fx = fx * fx * (3.0 - 2.0 * fx)
+    fy = fy * fy * (3.0 - 2.0 * fy)
+    fz = fz * fz * (3.0 - 2.0 * fz)
+    n = px + py * 157.0 + 113.0 * pz
+
+    def h(o):
+        v = jnp.sin(n + o) * 753.5453123
+        return v - jnp.floor(v)
+
+    def lerp(w, a, b):
+        return a + w * (b - a)
+
+    return lerp(
+        fz,
+        lerp(fy, lerp(fx, h(0.0), h(1.0)), lerp(fx, h(157.0), h(158.0))),
+        lerp(fy, lerp(fx, h(113.0), h(114.0)), lerp(fx, h(270.0), h(271.0))),
+    )

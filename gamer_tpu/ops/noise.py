@@ -190,3 +190,25 @@ def ridged_mf(px, py, pz, frequency, octaves: int, lacunarity: float, offset, ga
     )
     (value, *_), _ = jax.lax.scan(body, init, None, length=int(octaves))
     return value * 1.25 - 1.0
+
+
+def offset_octave_noise_3d(octaves: int, persistence, frequency, x, y, z):
+    """Noise::get — octave fractal with per-octave coordinate offsets
+    (noise.cpp:16-40). Part of the Noise interface; not used by any
+    component kernel (kept for library parity)."""
+    import jax
+
+    dtype = jnp.result_type(x, y, z)
+    shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y), jnp.shape(z))
+    total = jnp.zeros(shape, dtype)
+    freq = jnp.asarray(frequency, dtype)
+    amp = jnp.asarray(1.0, dtype)
+    max_amp = jnp.asarray(0.0, dtype)
+    for i in range(int(octaves)):
+        total = total + raw_noise_3d(
+            (x + 0.1231 * i) * freq, (y + 0.6123 * i) * freq,
+            (z + 100.539127 * i) * freq) * amp
+        freq = freq * 2.0
+        max_amp = max_amp + amp
+        amp = amp * persistence
+    return total / max_amp

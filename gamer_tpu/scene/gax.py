@@ -178,8 +178,22 @@ def dumps(galaxy: GalaxyData) -> bytes:
 
 
 def load(path: Union[str, Path]) -> GalaxyData:
-    """Load a galaxy from a ``.gax`` file."""
-    return loads(Path(path).read_bytes())
+    """Load a galaxy from a ``.gax`` file.
+
+    Uses the C++ codec (gamer_tpu.native) when the library is available —
+    byte-exact with this module (tested), ~10x faster for dataset pipelines
+    over thousands of files; falls back to the pure-Python reader.
+    """
+    data = Path(path).read_bytes()
+    try:
+        from .. import native
+
+        g = native.gax_loads(data)
+        if g is not None:
+            return g
+    except Exception:  # noqa: BLE001 — native parse problems fall back
+        pass
+    return loads(data)
 
 
 def save(galaxy: GalaxyData, path: Union[str, Path]) -> None:

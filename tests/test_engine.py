@@ -177,3 +177,71 @@ def test_multi_instance_scene(fixtures_dir):
     ref, _ = render_oracle(scene)
     d = np.abs(ours.astype(np.int16) - ref.astype(np.int16))
     assert d.max() <= 2, f"multi-instance: max diff {d.max()}"
+
+
+def test_stars_small_sparkles(fixtures_dir):
+    """'stars small' (seeded position-hash sparkle variant of the rand()
+    component, galaxycomponents.cpp:159-170): off in deterministic mode,
+    adds light when enabled, reproducible."""
+    from gamer_tpu.engine.render import render_scene
+    from gamer_tpu.scene.schema import ComponentParams
+
+    g = gax.load(fixtures_dir / "VortexCloud.gax")
+    g.components.append(ComponentParams(
+        class_name="stars small", strength=500.0, scale=40.0,
+        noise_tilt=1.0, r0=0.5, z0=0.1, arm=0.0, spectrum="White"))
+    base = _scene(g, size=16)
+
+    import dataclasses
+    det = dataclasses.replace(base, config=dataclasses.replace(
+        base.config, deterministic=True))
+    non = dataclasses.replace(base, config=dataclasses.replace(
+        base.config, deterministic=False))
+    img_det = render_scene(det)
+    img_non = render_scene(non)
+    img_non2 = render_scene(non)
+    assert img_non.astype(int).sum() > img_det.astype(int).sum()
+    np.testing.assert_array_equal(img_non, img_non2)
+
+
+def test_offset_octave_matches_oracle(points):
+    out = np.asarray(jnoise.offset_octave_noise_3d(
+        4, 0.6, 0.8, jnp.asarray(points[:, 0], jnp.float32),
+        jnp.asarray(points[:, 1], jnp.float32), jnp.asarray(points[:, 2], jnp.float32)))
+    ref = onoise.offset_octave_noise_3d(4, 0.6, 0.8, points[:, 0], points[:, 1], points[:, 2])
+    # the large per-octave coordinate offsets (100.539127*i) push f32
+    # precision; median f32-vs-f64 error sits around 1e-5
+    assert np.median(np.abs(out - ref)) < 5e-5
+
+
+def test_alternative_noise_backends(points):
+    """Perlin + IQ value noise (library parity; the engine hardcodes
+    simplex exactly like rasterizer.h:57)."""
+    from gamer_tpu.ops.altnoise import iq_value_noise_3d, perlin_raw_3d
+
+    x = jnp.asarray(points[:, 0]); y = jnp.asarray(points[:, 1]); z = jnp.asarray(points[:, 2])
+    p = np.asarray(perlin_raw_3d(x, y, z))
+    assert np.isfinite(p).all() and np.abs(p).max() <= 2.5
+    assert p.std() > 0.05  # non-degenerate
+    # deterministic under the seed
+    np.testing.assert_array_equal(p, np.asarray(perlin_raw_3d(x, y, z)))
+
+    q = np.asarray(iq_value_noise_3d(x, y, z))
+    assert np.isfinite(q).all() and (q >= -1e-6).all() and (q <= 1.0 + 1e-6).all()
+    # spot-check the sin-hash formula at a point
+    import math
+    def iq_ref(px, py, pz):
+        fl = lambda v: math.floor(v)
+        P = (fl(px), fl(py), fl(pz)); F = [px-P[0], py-P[1], pz-P[2]]
+        F = [f*f*(3-2*f) for f in F]
+        n = P[0] + P[1]*157.0 + 113.0*P[2]
+        h = lambda o: (math.sin(n+o)*753.5453123) % 1.0
+        l = lambda w,a,b: a + w*(b-a)
+        return l(F[2], l(F[1], l(F[0], h(0), h(1)), l(F[0], h(157), h(158))),
+                 l(F[1], l(F[0], h(113), h(114)), l(F[0], h(270), h(271))))
+    v = float(np.asarray(iq_value_noise_3d(jnp.float64(0.7), jnp.float64(-1.3), jnp.float64(2.2))))
+    with jax.enable_x64(True):
+        v = float(np.asarray(iq_value_noise_3d(jnp.asarray(0.7, jnp.float64),
+                                               jnp.asarray(-1.3, jnp.float64),
+                                               jnp.asarray(2.2, jnp.float64))))
+    assert abs(v - iq_ref(0.7, -1.3, 2.2)) < 1e-12
