@@ -201,11 +201,11 @@ def cmd_render(argv) -> int:
     if len(argv) != 3:
         print(USAGE)
         return 1
-    from .engine.render import render_scene
+    from .engine.pallas_render import render_scene_pallas
 
     scene = scene_from_dict(json.loads(Path(argv[1]).read_text()))
     with ScopedTimer("Rendering"):
-        img = render_scene(scene)
+        img = render_scene_pallas(scene)
     out = _save_png(img, argv[2])
     print(f"Image saved to file {out}")
     return 0

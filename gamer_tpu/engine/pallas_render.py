@@ -287,10 +287,23 @@ def _march_instance(static, inst, lay, S, pfx, perm_rows, ray_step, min_step,
         step = _qt_clamp(dist * ray_step, min_step, 0.01)
         weight = step * 200.0
 
+        # shared per-sample geometry, hoisted: identical for every
+        # non-bulge component (rasterizer.cpp:460-462 recomputes it per
+        # component, but only h = |dott/z0| actually varies)
+        ox = S(pfx + "orientation", 0)
+        oy = S(pfx + "orientation", 1)
+        oz = S(pfx + "orientation", 2)
+        dott = px * ox + py * oy + pz * oz
+        Px = px - ox * dott
+        Py = py - oy * dott
+        Pz = pz - oz * dott
+        radius = jnp.sqrt(Px * Px + Py * Py + Pz * Pz) / S(pfx + "axis_x")
+
         for ci, cs in enumerate(inst.comps):
             _apply_component(
                 static, inst, cs, lay, S, pfx, f"{pfx}c{ci}.", perm_rows,
                 px, py, pz, active, weight, step, ray_step,
+                dott, Px, Py, Pz, radius,
                 I0, I1, I2,
             )
 
@@ -310,7 +323,8 @@ def _march_instance(static, inst, lay, S, pfx, perm_rows, ray_step, min_step,
 
 
 def _apply_component(static, inst, cs, lay, S, pfx, cpre, perm_rows,
-                     px, py, pz, active, weight, step, ray_step, I0, I1, I2):
+                     px, py, pz, active, weight, step, ray_step,
+                     dott, Px, Py, Pz, radius, I0, I1, I2):
     """One component at the current samples (galaxycomponent.cpp:45-88 +
     galaxycomponents.cpp kernels), masked by `active`."""
     iscale = S(pfx + "iscale")
@@ -341,14 +355,6 @@ def _apply_component(static, inst, cs, lay, S, pfx, cpre, perm_rows,
         I2[:] = I2[:] + spec_b * add * m
         return
 
-    ox = S(pfx + "orientation", 0)
-    oy = S(pfx + "orientation", 1)
-    oz = S(pfx + "orientation", 2)
-    dott = px * ox + py * oy + pz * oz
-    Px = px - ox * dott
-    Py = py - oy * dott
-    Pz = pz - oz * dott
-    radius = jnp.sqrt(Px * Px + Py * Py + Pz * Pz) / S(pfx + "axis_x")
     h = jnp.abs(dott / S(cpre + "z0"))
     sech = 1.0 / ((jnp.exp(h) + jnp.exp(-h)) / 2.0)
     z = jnp.where(h > 2.0, jnp.zeros_like(h), sech * sech)
@@ -358,6 +364,22 @@ def _apply_component(static, inst, cs, lay, S, pfx, cpre, perm_rows,
     intensity = jnp.where(intensity > 0.1, jnp.full_like(intensity, 0.1), intensity)
     gates = active & (z > 0.01) & (intensity > 0.001)
 
+    # Tile-level early-out: skip the arm math + noise entirely when no lane
+    # in this tile passes the gates — the vectorized analog of the
+    # reference's per-pixel early returns (galaxycomponent.cpp:50-60). Most
+    # steps of most tiles skip the expensive work (thin z-slab gates).
+    @pl.when(jnp.any(gates))
+    def _gated():
+        _component_emit(static, inst, cs, lay, S, pfx, cpre, perm_rows,
+                        px, py, pz, gates, weight, ray_step, iscale,
+                        strength, z, intensity, radius, Px, Py, Pz,
+                        rot_by_rotmat, spec_r, spec_g, spec_b, I0, I1, I2)
+
+
+def _component_emit(static, inst, cs, lay, S, pfx, cpre, perm_rows,
+                    px, py, pz, gates, weight, ray_step, iscale, strength,
+                    z, intensity, radius, Px, Py, Pz, rot_by_rotmat,
+                    spec_r, spec_g, spec_b, I0, I1, I2):
     t_s = _qt_clamp((radius - 0.0) / jnp.maximum(S(cpre + "inner"), 1e-38), 0.0, 1.0)
     # qt_smoothstep with inner==0 -> x/0 -> inf -> clamps to 1 like the
     # reference's NaN-clamp path; maximum() guards the literal 0/0 only
@@ -390,11 +412,27 @@ def _apply_component(static, inst, cs, lay, S, pfx, cpre, perm_rows,
     noff = S(cpre + "noise_offset")
     ntilt = S(cpre + "noise_tilt")
 
+    def twirl3(t):
+        return _twirl(twx, twy, twz, t, px, py, pz)
+
     def cloud(octaves, t, ks_, pers_):
-        tx, ty, tz = _twirl(twx, twy, twz, t, px, py, pz)
+        tx, ty, tz = twirl3(t)
         return pn.octave_noise_3d(perm_rows, octaves, pers_, ks_ * 0.1,
                                   tx, ty, tz)
 
+    # second-level early-out: gates passed somewhere, but the intensity
+    # floor (val*weight > 0.0005, galaxycomponent.cpp:75) may still kill
+    # every lane in the tile — skip the noise then too
+    @pl.when(jnp.any(emit))
+    def _emitting():
+        _component_noise(cs, S, cpre, perm_rows, px, py, pz, emit, m, ival,
+                         winding, ray_step, ks, cscale, noff, ntilt, cloud,
+                         twirl3, spec_r, spec_g, spec_b, I0, I1, I2)
+
+
+def _component_noise(cs, S, cpre, perm_rows, px, py, pz, emit, m, ival,
+                     winding, ray_step, ks, cscale, noff, ntilt, cloud,
+                     twirl3, spec_r, spec_g, spec_b, I0, I1, I2):
     if cs.cid == CID_DISK:
         p2v = jnp.abs(cloud(10, winding, cscale, ks))
         p2v = jnp.maximum(p2v, 0.01)
@@ -415,7 +453,7 @@ def _apply_component(static, inst, cs, lay, S, pfx, cpre, perm_rows,
         I1[:] = I1[:] * jnp.where(emit, jnp.exp(e * spec_g), one)
         I2[:] = I2[:] * jnp.where(emit, jnp.exp(e * spec_b), one)
     elif cs.cid in (CID_DUST2, CID_DUST_POSITIVE):
-        tx, ty, tz = _twirl(twx, twy, twz, winding, px, py, pz)
+        tx, ty, tz = twirl3(winding)
         sw = tuple(S(cpre + "ridged_w", k) for k in range(RIDGED_OCTAVES))
         p2v = pn.ridged_mf(perm_rows, tx * cscale, ty * cscale, tz * cscale,
                            sw, 2.5, noff, ntilt)
