@@ -26,22 +26,29 @@ from .render import post_process, render_rays
 from .scene_prep import flatten_scene
 
 
-def render_allsky_map(scene: Scene, nside: int, dtype=jnp.float32) -> np.ndarray:
+def render_allsky_map(scene: Scene, nside: int, dtype=jnp.float32,
+                      kernel: str = "pallas") -> np.ndarray:
     """Render the scene into a RING HEALPix luminance map of 12*nside^2."""
-    static, params = flatten_scene(scene, dtype)
     n = npix(nside)
     dirs_np = pix2vec_ring(nside, np.arange(n))
     # rotate 90 deg about +X: (x, y, z) -> (x, -z, y)
     dirs_np = np.stack(
         [dirs_np[:, 0], -dirs_np[:, 2], dirs_np[:, 1]], axis=-1
     )
-    dirs = jnp.asarray(dirs_np, dtype)
-    camera = jnp.asarray(scene.camera.camera, dtype)
-    cfg = scene.config
-    linear = render_rays(
-        static, params, dirs, camera,
-        jnp.asarray(cfg.ray_step, dtype), jnp.asarray(cfg.min_ray_step, dtype),
-    )
+    if kernel == "pallas":
+        from .pallas_render import render_dirs_pallas
+
+        linear = render_dirs_pallas(scene, dirs_np)
+    else:
+        static, params = flatten_scene(scene, dtype)
+        dirs = jnp.asarray(dirs_np, dtype)
+        camera = jnp.asarray(scene.camera.camera, dtype)
+        cfg = scene.config
+        linear = render_rays(
+            static, params, dirs, camera,
+            jnp.asarray(cfg.ray_step, dtype),
+            jnp.asarray(cfg.min_ray_step, dtype),
+        )
     lum = (np.asarray(linear).sum(axis=-1)) / 3.0
     return lum.astype(np.float64)
 

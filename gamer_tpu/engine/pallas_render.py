@@ -162,7 +162,8 @@ def _qt_clamp(v, lo, hi):
 
 
 def _make_kernel(static: SceneStatic, lay: _Layout, size: int,
-                 rows: int, cols: int, batched: bool = False):
+                 rows: int, cols: int, batched: bool = False,
+                 rays_input: bool = False):
     """Build the kernel function for one scene structure.
 
     With `batched`, grid axis 0 indexes the batch element (frame of a
@@ -171,31 +172,42 @@ def _make_kernel(static: SceneStatic, lay: _Layout, size: int,
     kernel body only shifts its tile program ids.
     """
 
-    def kernel(sp_ref, perm_ref, outr_ref, outg_ref, outb_ref,
-               rd0, rd1, rd2, I0, I1, I2, p0, p1, p2, tacc, steppr, done):
+    def kernel(sp_ref, perm_ref, *rest):
+        if rays_input:
+            dx_ref, dy_ref, dz_ref = rest[:3]
+            rest = rest[3:]
+        (outr_ref, outg_ref, outb_ref,
+         rd0, rd1, rd2, I0, I1, I2, p0, p1, p2, tacc, steppr, done) = rest
+
         def S(name, k=0):
             off = lay.offsets[name] + k
             return sp_ref[0, off // 128, off % 128]
 
         perm_rows = perm_ref[:]
 
-        # --- rays from the inverse view-projection (gamercamera.cpp:210-217)
-        pid_r = pl.program_id(1 if batched else 0)
-        pid_c = pl.program_id(2 if batched else 1)
-        jrow = (pid_r * TILE_R + jax.lax.broadcasted_iota(
-            jnp.int32, (TILE_R, TILE_C), 0)).astype(jnp.float32)
-        icol = (pid_c * TILE_C + jax.lax.broadcasted_iota(
-            jnp.int32, (TILE_R, TILE_C), 1)).astype(jnp.float32)
-        half = float(size) * 0.5
-        xx = icol / half - 1.0
-        yy = jrow / half - 1.0
-        wx = S("inv_vp", 0) * xx - S("inv_vp", 1) * yy + S("inv_vp", 2) + S("inv_vp", 3)
-        wy = S("inv_vp", 4) * xx - S("inv_vp", 5) * yy + S("inv_vp", 6) + S("inv_vp", 7)
-        wz = S("inv_vp", 8) * xx - S("inv_vp", 9) * yy + S("inv_vp", 10) + S("inv_vp", 11)
-        inv_n = jax.lax.rsqrt(wx * wx + wy * wy + wz * wz)
-        rd0[:] = wx * inv_n
-        rd1[:] = wy * inv_n
-        rd2[:] = wz * inv_n
+        if rays_input:
+            # arbitrary ray directions (HEALPix all-sky mode)
+            rd0[:] = dx_ref[...].reshape(TILE_R, TILE_C)
+            rd1[:] = dy_ref[...].reshape(TILE_R, TILE_C)
+            rd2[:] = dz_ref[...].reshape(TILE_R, TILE_C)
+        else:
+            # --- rays from the inverse view-projection (gamercamera.cpp:210-217)
+            pid_r = pl.program_id(1 if batched else 0)
+            pid_c = pl.program_id(2 if batched else 1)
+            jrow = (pid_r * TILE_R + jax.lax.broadcasted_iota(
+                jnp.int32, (TILE_R, TILE_C), 0)).astype(jnp.float32)
+            icol = (pid_c * TILE_C + jax.lax.broadcasted_iota(
+                jnp.int32, (TILE_R, TILE_C), 1)).astype(jnp.float32)
+            half = float(size) * 0.5
+            xx = icol / half - 1.0
+            yy = jrow / half - 1.0
+            wx = S("inv_vp", 0) * xx - S("inv_vp", 1) * yy + S("inv_vp", 2) + S("inv_vp", 3)
+            wy = S("inv_vp", 4) * xx - S("inv_vp", 5) * yy + S("inv_vp", 6) + S("inv_vp", 7)
+            wz = S("inv_vp", 8) * xx - S("inv_vp", 9) * yy + S("inv_vp", 10) + S("inv_vp", 11)
+            inv_n = jax.lax.rsqrt(wx * wx + wy * wy + wz * wz)
+            rd0[:] = wx * inv_n
+            rd1[:] = wy * inv_n
+            rd2[:] = wz * inv_n
 
         I0[:] = jnp.zeros_like(I0)
         I1[:] = jnp.zeros_like(I1)
@@ -655,6 +667,77 @@ def _compiled_batch(static: SceneStatic, size: int, nbatch: int):
             axis=-1)
 
     return lay, run
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_dirs(static: SceneStatic, n_rays: int):
+    """Ray-list variant (all-sky / arbitrary directions): rays arrive as
+    three (rows, 128) arrays instead of being generated from the camera."""
+    lay = _build_layout(static)
+    rows = -(-n_rays // TILE_C)
+    rows = -(-rows // TILE_R) * TILE_R
+    cols = TILE_C
+    kernel = _make_kernel(static, lay, 0, rows, cols, rays_input=True)
+
+    grid = (rows // TILE_R, 1)
+    vmem = lambda: pltpu.VMEM((TILE_R, TILE_C), jnp.float32)
+    interpret = jax.default_backend() != "tpu"
+
+    dir_spec = pl.BlockSpec((TILE_R, TILE_C), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        out_shape=[jax.ShapeDtypeStruct((rows, cols), jnp.float32)] * 3,
+        in_specs=[
+            pl.BlockSpec((1, lay.smem_rows, 128), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILE_R, 512), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            dir_spec, dir_spec, dir_spec,
+        ],
+        out_specs=[dir_spec] * 3,
+        scratch_shapes=[vmem() for _ in range(11)]
+        + [pltpu.VMEM((TILE_R, TILE_C), jnp.int32)],
+    )
+
+    perm_rows = jnp.asarray(
+        np.broadcast_to(PERM.astype(np.int32), (TILE_R, 512)).copy())
+
+    @jax.jit
+    def run(sp, dx, dy, dz):
+        r, g, b = call(sp, perm_rows, dx, dy, dz)
+        flat = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
+        return flat[:n_rays]
+
+    return lay, rows * cols, run
+
+
+def render_dirs_pallas(scene: Scene, dirs) -> np.ndarray:
+    """Linear radiance for an arbitrary (N, 3) ray-direction list via the
+    Pallas kernel (the HPXRasterizer work-list analog)."""
+    static, params = flatten_scene(scene, jnp.float32)
+    camera = jnp.asarray(scene.camera.camera, jnp.float32)
+    inv_vp = cam_ops.inv_view_projection(
+        camera,
+        jnp.asarray(scene.camera.target, jnp.float32),
+        jnp.asarray(scene.camera.up, jnp.float32),
+        jnp.asarray(scene.camera.fov, jnp.float32),
+    )
+    cfg = scene.config
+    dirs = np.asarray(dirs, np.float32)
+    n = dirs.shape[0]
+    lay, padded, run = _compiled_dirs(static, n)
+    sp = _pack_scalars(static, lay, params, camera, inv_vp,
+                       jnp.float32(cfg.ray_step), jnp.float32(cfg.min_ray_step))
+    pad = padded - n
+    d = np.concatenate([dirs, np.zeros((pad, 3), np.float32)], axis=0)
+    rows = padded // TILE_C
+    dx = jnp.asarray(d[:, 0].reshape(rows, TILE_C))
+    dy = jnp.asarray(d[:, 1].reshape(rows, TILE_C))
+    dz = jnp.asarray(d[:, 2].reshape(rows, TILE_C))
+    return np.asarray(run(sp, dx, dy, dz))
 
 
 def render_linear_pallas(scene: Scene):
