@@ -1,0 +1,12 @@
+"""Galaxy model families: parametric builders + the fixture gallery."""
+
+from .presets import (  # noqa: F401
+    GALLERY,
+    barred_spiral,
+    dusty_disk,
+    elliptical,
+    fixture,
+    fixture_names,
+    irregular,
+    spiral,
+)

@@ -1,0 +1,163 @@
+"""Interactive galaxy viewer — the tools/galaxy_viewer.py analog.
+
+The reference's realtime viewer is a desktop window over its GPU kernel with
+WASD/mouse orbit and gallery cycling (tools/galaxy_viewer.py:102-211). This
+environment has no display, so the equivalent surface is a tiny stdlib HTTP
+server: the browser shows the current frame and every interaction re-renders
+through the engine (Pallas on TPU, XLA elsewhere).
+
+    python -m gamer_tpu.viewer [--port 8000] [--size 256] [--dir <gax dir>]
+
+Endpoints:
+    /                  viewer page (orbit buttons / keyboard)
+    /render?...        PNG frame: galaxy=<name>&h=<deg>&v=<deg>&zoom=<f>
+    /galaxies          JSON list of available galaxies (files + presets)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+_PAGE = """<!doctype html>
+<title>gamer-tpu viewer</title>
+<style>body{background:#000;color:#ccc;font-family:monospace;text-align:center}
+img{image-rendering:pixelated;width:70vmin;height:70vmin;margin:8px}
+button{background:#222;color:#ccc;border:1px solid #555;margin:2px;padding:4px 10px}</style>
+<h3 id=t>gamer-tpu</h3>
+<div>
+<button onclick="rot(-15,0)">&larr;</button>
+<button onclick="rot(15,0)">&rarr;</button>
+<button onclick="rot(0,-15)">&uarr;</button>
+<button onclick="rot(0,15)">&darr;</button>
+<button onclick="zoomBy(0.1)">zoom+</button>
+<button onclick="zoomBy(-0.1)">zoom-</button>
+<button onclick="cycle(1)">next galaxy</button>
+</div>
+<img id=v>
+<script>
+let h=0,v=20,zoom=0,gi=0,names=[];
+async function load(){names=await (await fetch('/galaxies')).json();refresh();}
+function refresh(){
+  const g=names[gi]||'';
+  document.getElementById('t').textContent='gamer-tpu :: '+g+'  h='+h+' v='+v;
+  document.getElementById('v').src='/render?galaxy='+encodeURIComponent(g)+
+    '&h='+h+'&v='+v+'&zoom='+zoom+'&_='+Date.now();}
+function rot(dh,dv){h+=dh;v+=dv;refresh();}
+function zoomBy(d){zoom+=d;refresh();}
+function cycle(d){gi=(gi+d+names.length)%names.length;refresh();}
+document.addEventListener('keydown',e=>{
+  if(e.key=='a')rot(-15,0); if(e.key=='d')rot(15,0);
+  if(e.key=='w')rot(0,-15); if(e.key=='s')rot(0,15);
+  if(e.key=='q')zoomBy(0.1); if(e.key=='e')zoomBy(-0.1);
+  if(e.key=='n')cycle(1);});
+load();
+</script>"""
+
+
+class _ViewerState:
+    def __init__(self, size: int, gax_dir: Path | None):
+        self.size = size
+        self.lock = threading.Lock()
+        self.galaxies = {}
+        if gax_dir and gax_dir.is_dir():
+            from .scene import gax
+
+            for p in sorted(gax_dir.glob("*.gax")):
+                self.galaxies[p.stem] = lambda p=p: gax.load(p)
+        from .models import GALLERY
+
+        for name, builder in GALLERY.items():
+            self.galaxies.setdefault(name, builder)
+
+    def render_png(self, name: str, h_deg: float, v_deg: float,
+                   zoom: float) -> bytes:
+        import numpy as np
+        from PIL import Image
+
+        import gamer_tpu
+        from .scene.cameracontrols import rotate_horizontal, rotate_vertical
+        from .scene.cameracontrols import zoom as czoom
+
+        builder = self.galaxies.get(name) or next(iter(self.galaxies.values()))
+        cam = gamer_tpu.CameraParams(camera=(1.2, 0.0, 0.0), target=(0, 0, 0),
+                                     up=(0, 0, 1), fov=75.0)
+        cam = rotate_horizontal(cam, h_deg)
+        cam = rotate_vertical(cam, v_deg)
+        if zoom:
+            cam = czoom(cam, zoom)
+        scene = gamer_tpu.Scene(
+            camera=cam,
+            instances=[gamer_tpu.GalaxyInstance(galaxy=builder())],
+            config=gamer_tpu.RenderConfig(size=self.size, ray_step=0.025,
+                                          is_preview=True),
+        )
+        with self.lock:  # one device render at a time
+            from .engine.pallas_render import render_scene_pallas
+
+            img = render_scene_pallas(scene)
+        buf = io.BytesIO()
+        Image.fromarray(np.asarray(img)).save(buf, format="PNG")
+        return buf.getvalue()
+
+
+def make_handler(state: _ViewerState):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, ctype, body: bytes):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urllib.parse.urlparse(self.path)
+            if url.path == "/":
+                self._send(200, "text/html", _PAGE.encode())
+            elif url.path == "/galaxies":
+                self._send(200, "application/json",
+                           json.dumps(sorted(state.galaxies)).encode())
+            elif url.path == "/render":
+                q = urllib.parse.parse_qs(url.query)
+                get = lambda k, d: float(q.get(k, [d])[0])
+                name = q.get("galaxy", [""])[0]
+                try:
+                    png = state.render_png(name, get("h", 0), get("v", 0),
+                                           get("zoom", 0))
+                    self._send(200, "image/png", png)
+                except Exception as e:  # noqa: BLE001
+                    self._send(500, "text/plain", str(e).encode())
+            else:
+                self._send(404, "text/plain", b"not found")
+
+    return Handler
+
+
+def serve(port: int = 8000, size: int = 256, gax_dir: str | None = None,
+          poll: bool = True):
+    state = _ViewerState(size, Path(gax_dir) if gax_dir else
+                         Path("/root/reference/publish/data/galaxies"))
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(state))
+    print(f"gamer-tpu viewer on http://127.0.0.1:{port}/ "
+          f"({len(state.galaxies)} galaxies, {size}px)")
+    if poll:
+        httpd.serve_forever()
+    return httpd
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--dir", default=None)
+    args = ap.parse_args()
+    serve(args.port, args.size, args.dir)

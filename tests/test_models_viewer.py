@@ -1,0 +1,65 @@
+"""Model families (parametric galaxies) + the HTTP viewer."""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+import gamer_tpu
+from gamer_tpu.models import GALLERY, fixture, fixture_names
+
+
+def test_gallery_builders_render():
+    from gamer_tpu.engine.render import render_scene
+
+    for name, builder in GALLERY.items():
+        g = builder()
+        assert g.components, name
+        scene = gamer_tpu.Scene(
+            camera=gamer_tpu.CameraParams(camera=(0.25, 0.9, 0.1),
+                                          target=(0, 0, 0), up=(0, 0, 1),
+                                          fov=75.0),
+            instances=[gamer_tpu.GalaxyInstance(galaxy=g)],
+            config=gamer_tpu.RenderConfig(size=12, ray_step=0.025),
+        )
+        img = render_scene(scene)
+        assert int(img.sum()) > 0, f"{name} rendered black"
+
+
+def test_fixture_loader(fixtures_dir):
+    names = fixture_names()
+    assert "Spiral" in names
+    g = fixture("Spiral")
+    assert g.components
+    with pytest.raises(FileNotFoundError):
+        fixture("NoSuchGalaxy")
+
+
+def test_viewer_endpoints():
+    from gamer_tpu.viewer import serve
+
+    httpd = serve(port=8763, size=12, poll=False)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        time.sleep(0.2)
+        base = "http://127.0.0.1:8763"
+        page = urllib.request.urlopen(base + "/").read()
+        assert b"gamer-tpu" in page
+        names = json.loads(urllib.request.urlopen(base + "/galaxies").read())
+        assert len(names) >= len(GALLERY)
+        png = urllib.request.urlopen(
+            base + f"/render?galaxy={names[-1]}&h=30&v=10").read()
+        assert png[:4] == b"\x89PNG"
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(base + "/render?h=notanumber").read()
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(base + "/nope").read()
+    finally:
+        httpd.shutdown()
