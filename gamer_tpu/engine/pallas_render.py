@@ -1,7 +1,7 @@
 """Pallas TPU render kernel — the production hot path.
 
 One pallas_call renders the whole frame: the grid tiles the image into
-(8, 128)-pixel blocks (the VPU register shape); each program generates its
+(TILE_R, 128)-pixel blocks (VPU-register multiples); each program generates its
 tile's rays from the inverse view-projection, intersects the scene's
 ellipsoids, and runs the emission-absorption march with a TILE-LOCAL
 while loop. Spatially coherent rays share trip counts, so each tile stops
@@ -51,7 +51,9 @@ from ..ops.tables import PERM
 from .scene_prep import SceneStatic, flatten_scene
 
 PI = 3.141592653589793
-TILE_R, TILE_C = 8, 128
+# (16, 128) measured fastest on v5e (vs 8/32) for the 512px preset: fewer
+# grid programs than (8,128) without paying much tile divergence
+TILE_R, TILE_C = 16, 128
 MAX_ITERS = 8192  # hard safety cap; real trip counts are << this
 RIDGED_OCTAVES = 9
 COMP_FIELDS = ("strength", "arm", "z0", "r0", "inner", "delta", "winding",
