@@ -14,7 +14,9 @@ does 'pallas'; 'xla' selects the lockstep XLA path (with progress/ETA),
 'oracle' the spec-exact CPU path, 'sharded' the device-mesh path.
 
 Extensions beyond the reference (same spirit, scene-dict world):
-  render <scene.json> <outfile>       render a JSON scene dict
+  render <scene.json> <outfile>       render a JSON scene dict (outfile
+                                      ending .fits -> per-channel FITS of
+                                      the linear radiance buffer)
   allsky <gaxfile> <nside> <size> <outfile>   HEALPix all-sky + Mollweide
   info <gaxfile>                      print a galaxy as a scene dict
 """
@@ -142,12 +144,23 @@ def cmd_skybox(argv) -> int:
         spectra=rp.spectra or None,
     )
     print(f"Starting rendering on {_backend_desc(method)}.")
-    rq = RenderQueue()
-    rq.add_skybox(scene)
     t0 = time.perf_counter()
     with ScopedTimer("Rendering"):
-        for job, _img, secs in rq.render_all("."):
-            print(f"Image saved to file {job.filename}.png  ({secs:.1f}s)")
+        if method == "xla":
+            rq = RenderQueue()
+            rq.add_skybox(scene)
+            for job, _img, secs in rq.render_all("."):
+                print(f"Image saved to file {job.filename}.png  ({secs:.1f}s)")
+        else:
+            # all 6 faces in ONE batched kernel launch
+            from .engine.batch import render_batch
+            from .engine.queue import skybox_jobs
+
+            jobs = skybox_jobs(scene)
+            frames = render_batch([j.scene for j in jobs])
+            for job, img in zip(jobs, frames):
+                out = _save_png(img, job.filename)
+                print(f"Image saved to file {out}")
     return 0
 
 
@@ -201,12 +214,25 @@ def cmd_render(argv) -> int:
     if len(argv) != 3:
         print(USAGE)
         return 1
-    from .engine.pallas_render import render_scene_pallas
+    from .engine.pallas_render import render_linear_pallas, render_scene_pallas
 
     scene = scene_from_dict(json.loads(Path(argv[1]).read_text()))
+    outfile = argv[2]
     with ScopedTimer("Rendering"):
+        if outfile.endswith(".fits"):
+            # per-channel FITS export of the linear radiance buffer — the
+            # GUI's optional save path (mainwindow.cpp:889-893)
+            import numpy as np
+
+            from .io.fits import write_fits_channels
+
+            linear = np.asarray(render_linear_pallas(scene))
+            paths = write_fits_channels(outfile[:-5], linear)
+            for p in paths:
+                print(f"Image saved to file {p}")
+            return 0
         img = render_scene_pallas(scene)
-    out = _save_png(img, argv[2])
+    out = _save_png(img, outfile)
     print(f"Image saved to file {out}")
     return 0
 
