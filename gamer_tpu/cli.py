@@ -37,7 +37,6 @@ from .scene.schema import (
     galaxy_to_dict,
     scene_from_dict,
 )
-from .utils.log import Messages
 from .utils.timers import ScopedTimer, format_ms
 
 USAGE = """Usage: gamer-tpu [ command ] [ parameters ]

@@ -27,7 +27,6 @@ instead of re-projecting p onto the ray.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ parameters (dataset generation) and shards over device meshes (parallel/).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,16 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..oracle import qtmath as qm
-from ..scene.schema import (
-    CID_BULGE,
-    CID_DISK,
-    CID_DUST,
-    CID_DUST2,
-    CID_DUST_POSITIVE,
-    CID_STARS,
-    CID_STARS_SMALL,
-    Scene,
-)
+from ..scene.schema import CID_STARS, CID_STARS_SMALL, Scene
 from ..scene.spectra import find_spectrum
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import math
 from pathlib import Path
-from typing import List, Optional
+from typing import List
 
 from ..scene import gax
 from ..scene.schema import ComponentParams, GalaxyData, GalaxyParams

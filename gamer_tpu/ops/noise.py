@@ -20,8 +20,6 @@ static (python ints) — loops unroll at trace time.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax.numpy as jnp
 import numpy as np
 

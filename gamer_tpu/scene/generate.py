@@ -14,7 +14,6 @@ compiled kernel.
 from __future__ import annotations
 
 import copy
-import dataclasses
 from typing import List, Sequence
 
 import numpy as np
