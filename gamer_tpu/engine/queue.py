@@ -26,7 +26,9 @@ from .render import post_process, render_rays
 from .scene_prep import flatten_scene
 from ..ops import camera as cam_ops
 
-ProgressFn = Callable[[float, np.ndarray], None]  # (fraction done, partial image)
+# (fraction done, partial image) -> False aborts the render (Rasterizer::Abort
+# analog, rasterizer.h:91-98: cooperative cancellation between chunks)
+ProgressFn = Callable[[float, np.ndarray], object]
 
 # Skybox face definitions (renderqueue.cpp:129-173): target = camera + plane.
 SKYBOX_FACES = (
@@ -101,7 +103,10 @@ def render_progressive(scene: Scene, chunks: int = 16,
         linear[row0 : row0 + rows_per] = np.asarray(chunk_linear(f(row0)))
         if on_progress is not None:
             partial = _assemble(linear[:size], cfg, dtype)
-            on_progress((c + 1) / chunks, partial)
+            if on_progress((c + 1) / chunks, partial) is False:
+                # cooperative abort: return the progressively-filled frame,
+                # like the reference's aborted back buffer
+                return partial
     return _assemble(linear[:size], cfg, dtype)
 
 

@@ -210,3 +210,19 @@ def offset_octave_noise_3d(octaves: int, persistence, frequency, x, y, z):
         max_amp = max_amp + amp
         amp = amp * persistence
     return total / max_amp
+
+
+def noise_statistics(sampler, n: int = 100000, lo: float = -1.0,
+                     hi: float = 1.0, seed: int = 0):
+    """Min/max/mean/std of a noise sampler over random points —
+    Noise::calculate_statistics parity (noise.cpp:132-160, the reference's
+    unused self-check helper), seeded here."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(lo, hi, size=(int(n), 3))
+    vals = np.asarray(sampler(jnp.asarray(pts[:, 0], jnp.float32),
+                              jnp.asarray(pts[:, 1], jnp.float32),
+                              jnp.asarray(pts[:, 2], jnp.float32)))
+    return {"min": float(vals.min()), "max": float(vals.max()),
+            "mean": float(vals.mean()), "std": float(vals.std())}

@@ -245,3 +245,32 @@ def test_alternative_noise_backends(points):
                                                jnp.asarray(-1.3, jnp.float64),
                                                jnp.asarray(2.2, jnp.float64))))
     assert abs(v - iq_ref(0.7, -1.3, 2.2)) < 1e-12
+
+
+def test_progressive_abort(fixtures_dir):
+    """Cooperative abort between chunks (Rasterizer::Abort analog)."""
+    from gamer_tpu.engine.queue import render_progressive
+
+    g = gax.load(fixtures_dir / "VortexCloud.gax")
+    scene = _scene(g, size=16)
+    calls = []
+
+    def stop_after_first(frac, partial):
+        calls.append(frac)
+        return False  # abort immediately
+
+    img = render_progressive(scene, chunks=4, on_progress=stop_after_first)
+    assert len(calls) == 1
+    assert img.shape == (16, 16, 3)
+    # top chunk rendered, bottom rows still black
+    assert img[:4].sum() > 0
+    assert img[12:].sum() == 0
+
+
+def test_noise_statistics():
+    from gamer_tpu.ops.noise import noise_statistics, raw_noise_3d
+
+    st = noise_statistics(raw_noise_3d, n=20000, seed=1)
+    assert -1.05 <= st["min"] <= st["max"] <= 1.05
+    assert abs(st["mean"]) < 0.05
+    assert 0.1 < st["std"] < 0.6
