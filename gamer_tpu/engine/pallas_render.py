@@ -357,8 +357,9 @@ def _apply_component(static, inst, cs, lay, S, pfx, cpre, perm_rows,
     if cs.cid == CID_BULGE:
         bx, by, bz = rot_by_rotmat(px, py, pz)
         rad = (jnp.sqrt(bx * bx + by * by + bz * bz) + 0.01) * S(cpre + "r0") + 0.01
+        # rad^0.25 == sqrt(sqrt(rad)) — two cheap VPU sqrts instead of exp/log
         ival = (strength * weight) * (
-            jnp.power(rad, -0.855) * jnp.exp(-jnp.power(rad, 0.25)) - 0.05
+            jnp.power(rad, -0.855) * jnp.exp(-jnp.sqrt(jnp.sqrt(rad))) - 0.05
         ) * iscale
         ival = jnp.where(ival < 0, jnp.zeros_like(ival), ival)
         add = ival * ray_step
@@ -369,7 +370,9 @@ def _apply_component(static, inst, cs, lay, S, pfx, cpre, perm_rows,
         return
 
     h = jnp.abs(dott / S(cpre + "z0"))
-    sech = 1.0 / ((jnp.exp(h) + jnp.exp(-h)) / 2.0)
+    # cosh via one exp: e^-h = 1/e^h (saves an exp per component per step)
+    eh = jnp.exp(h)
+    sech = 2.0 / (eh + 1.0 / eh)
     z = jnp.where(h > 2.0, jnp.zeros_like(h), sech * sech)
 
     ri = jnp.exp(-radius / (S(cpre + "r0") * 0.5))

@@ -64,18 +64,19 @@ def atan2_f32(y, x):
 
 
 def perm_lookup(perm_rows, idx):
-    """perm[idx] for idx int32 in [0, 512): 4 lane-gathers + selects.
+    """perm[idx] for idx int32 in [0, 512): 2 lane-gathers + 1 select.
 
-    perm_rows: (R, 512) int32 — the 512-entry table broadcast across tile
-    rows; idx: (R, 128) int32.
+    perm_rows: (R, 512) int32 — the doubled 256-entry table broadcast across
+    tile rows; idx: (R, 128) int32. Because the table is PERM_HALF repeated
+    (perm[i] == perm[i & 255], tables.py), only the low 8 index bits matter —
+    two 128-lane gathers cover the whole range.
     """
-    low = idx & 127
-    chunk = idx >> 7
-    out = jnp.zeros_like(idx)
-    for c in range(4):
-        v = jnp.take_along_axis(perm_rows[:, c * 128:(c + 1) * 128], low, axis=1)
-        out = jnp.where(chunk == c, v, out)
-    return out
+    low8 = idx & 255
+    lane = low8 & 127
+    hi = low8 >> 7
+    v0 = jnp.take_along_axis(perm_rows[:, 0:128], lane, axis=1)
+    v1 = jnp.take_along_axis(perm_rows[:, 128:256], lane, axis=1)
+    return jnp.where(hi == 0, v0, v1)
 
 
 def _grad_dot(gi, x, y, z):
