@@ -76,3 +76,42 @@ def test_pallas_render_matches_xla(fixtures_dir):
     d = np.abs(ours.astype(np.int16) - ref.astype(np.int16))
     assert d.max() <= 2, f"pallas vs xla max diff {d.max()}"
     assert (d.max(-1) > 0).mean() < 0.05
+
+
+def test_pallas_multi_instance(fixtures_dir):
+    """Multi-galaxy scene through the kernel matches the XLA path."""
+    from gamer_tpu.engine.pallas_render import render_scene_pallas
+    from gamer_tpu.engine.render import render_scene
+
+    g = gax.load(fixtures_dir / "VortexCloud.gax")
+    scene = gamer_tpu.Scene(
+        camera=gamer_tpu.CameraParams(camera=(2.5, 0.3, 0), target=(0, 0, 0),
+                                      up=(0, 1, 0), fov=70.0),
+        instances=[
+            gamer_tpu.GalaxyInstance(galaxy=g, position=(0, 0, 0)),
+            gamer_tpu.GalaxyInstance(galaxy=g, position=(0.5, 0.2, -0.8),
+                                     orientation=(0.3, 0.8, 0.1),
+                                     intensity_scale=0.7),
+        ],
+        config=gamer_tpu.RenderConfig(size=16, ray_step=0.025),
+    )
+    ours = render_scene_pallas(scene)
+    ref = render_scene(scene)
+    d = np.abs(ours.astype(np.int16) - ref.astype(np.int16))
+    assert d.max() <= 2, f"multi-instance pallas vs xla: {d.max()}"
+
+
+def test_pallas_allsky_matches_xla(fixtures_dir):
+    from gamer_tpu.engine.allsky import render_allsky_map
+
+    g = gax.load(fixtures_dir / "VortexCloud.gax")
+    scene = gamer_tpu.Scene(
+        camera=gamer_tpu.CameraParams(camera=(0.3, 0.05, 0), target=(0, 0, 0),
+                                      up=(0, 1, 0), fov=90.0),
+        instances=[gamer_tpu.GalaxyInstance(galaxy=g)],
+        config=gamer_tpu.RenderConfig(size=16, ray_step=0.025),
+    )
+    m_p = render_allsky_map(scene, 4, kernel="pallas")
+    m_x = render_allsky_map(scene, 4, kernel="xla")
+    scale = np.abs(m_x).max() + 1e-12
+    assert np.abs(m_p - m_x).max() / scale < 1e-3
