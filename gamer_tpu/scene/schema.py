@@ -57,7 +57,19 @@ def class_name_to_cid(name: str) -> int:
 
 @dataclass
 class GalaxyParams:
-    """Galaxy-wide shape parameters (galaxyparams.h:10-43 defaults)."""
+    """Galaxy-wide shape parameters (galaxyparams.h:10-43 defaults).
+
+    Semantics (paraphrasing the reference's galaxy-tab help):
+      winding_b/winding_n — the log-spiral winding law: arm angle
+        theta(r) = atan(exp(-0.25/(0.5 r)) / B) * 2N, so B sets how fast
+        arms wrap and N the total wind count.
+      no_arms — number of spiral arms; compared EXACTLY against 1/2/3,
+        any other value (including 0 or non-integers) enables all 4.
+      arm1..arm4 — per-arm starting phase in radians.
+      axis — ellipsoid semi-axes bounding the galaxy volume.
+      bulge_dust/bulge_axis/inner_twirl/warp_* — serialized for .gax
+        compatibility; unused by the shading (also unused in the reference).
+    """
 
     name: str = "NewGalaxy"
     axis: Vec3 = (1.0, 1.0, 1.0)
@@ -77,7 +89,32 @@ class GalaxyParams:
 
 @dataclass
 class ComponentParams:
-    """Per-component parameters (componentparams.h:7-59 defaults)."""
+    """Per-component parameters (componentparams.h:7-59 defaults).
+
+    Semantics (paraphrasing the reference's components-tab help):
+      strength — overall intensity: emitted light for bulge/disk/stars,
+        absorption for the dust classes.
+      arm — arm concentration exponent (profile is (1-v)^(arm*15)): low
+        values spread light across the disk, high values pinch it into
+        thin arms; 0 disables arm modulation entirely.
+      z0 — scale height above the galactic plane (sech^2 falloff with a
+        hard cutoff at |z/z0| > 2); typical 0.001-0.05.
+      r0 — radial falloff scale of exp(-r/(r0/2)); for bulge it instead
+        scales the de-Vaucouleurs radius (larger r0 = tighter bulge).
+      inner — inner cutoff radius; intensity ramps in as
+        smoothstep(0, inner, r)^4.
+      delta — tangential phase lag of this component's arms (radians).
+      winding — per-component twirl factor applied to the noise field;
+        higher values swirl the noise along the arms (typical 0-0.5).
+      scale — base frequency of the procedural noise (evaluated at
+        scale*0.1 for cloud noise; stars use scale*1.0).
+      noise_offset — additive threshold on the noise field (dust clips at
+        noise-offset; stars blend extra cloud noise when nonzero).
+      noise_tilt — power-function shaping: noise = pow(noise, tilt).
+      ks — noise persistence (octave amplitude decay): low = large-scale
+        structure dominates, high = fine grain.
+      active — 1.0 renders the component, anything else skips it.
+    """
 
     class_name: str = "bulge"
     spectrum: str = "White"
