@@ -13,8 +13,9 @@ Mosaic-specific shapes of the design (see ops/pallas_noise.py for why):
   - march state lives in VMEM scratch refs; the while loop carries only
     (iteration, active-count) scalars (vector carries hit layout bugs)
   - scene scalars are packed into one SMEM row with trace-time offsets
-  - the 512-entry permutation table sits row-broadcast in VMEM and is
-    gathered 128 lanes at a time
+  - the permutation table sits row-broadcast in VMEM as one byte-packed
+    int32 word per lane (tables.PERM_PACKED32): one 128-lane gather + byte
+    extraction per table lookup
   - winding is computed where used — it is provably write-before-read per
     component in the reference (galaxycomponent.cpp:45-88), so no state ref
 
@@ -46,14 +47,24 @@ from ..scene.schema import (
     CID_STARS_SMALL,
     Scene,
 )
-from ..ops.tables import PERM
+from ..ops.tables import PERM_PACKED32
 from .scene_prep import SceneStatic, flatten_scene
 
 PI = 3.141592653589793
-# (16, 128) measured fastest on v5e (vs 8/32) for the 512px preset: fewer
-# grid programs than (8,128) without paying much tile divergence
-TILE_R, TILE_C = 16, 128
+# (32, 128) measured fastest on v5e for the 512px preset (interleaved A/B,
+# scripts/perf_ab.py: 8 -> 0.29s, 16 -> 0.23s, 32 -> 0.18s, 64 -> 0.24s):
+# once the per-step unconditional work is trigger-gated, fewer grid programs
+# beat tile-divergence costs up to 32 rows
+TILE_R, TILE_C = 32, 128
 MAX_ITERS = 8192  # hard safety cap; real trip counts are << this
+# march substeps per while-loop iteration: amortizes the per-iteration
+# overhead (loop condition's cross-lane reduction, scalar carries, Mosaic
+# loop scheduling) over UNROLL straight-line steps. Finished tiles run at
+# most UNROLL-1 masked extra substeps — negligible vs the ~100-250 real
+# ones. Measured at TILE_R=32: 1 and 2 tie, 4 is slower — with the cheap
+# triggers in place there is no per-iteration overhead left to amortize, so
+# default 1 (3x faster kernel compiles); the knob stays for perf_ab tuning
+UNROLL = 1
 RIDGED_OCTAVES = 9
 COMP_FIELDS = ("strength", "arm", "z0", "r0", "inner", "delta", "winding",
                "scale", "noise_offset", "noise_tilt", "ks")
@@ -284,8 +295,7 @@ def _march_instance(static, inst, lay, S, pfx, perm_rows, ray_step, min_step,
         it, n_active = c
         return (n_active > 0) & (it < MAX_ITERS)
 
-    def body(c):
-        it, _ = c
+    def substep(count_active: bool):
         # loop exit check (rasterizer.cpp:447): path length vs chord
         stop = tacc[:] >= length + steppr[:]
         d = jnp.where(stop, jnp.ones_like(done[:]), done[:])
@@ -330,7 +340,15 @@ def _march_instance(static, inst, lay, S, pfx, perm_rows, ray_step, min_step,
         for ref in (I0, I1, I2):
             v = ref[:]
             ref[:] = jnp.where(active & (v < 0), jnp.zeros_like(v), v)
-        return it + 1, jnp.sum(1 - d)
+        # the cross-lane reduction is only needed once per while iteration
+        return jnp.sum(1 - d) if count_active else None
+
+    def body(c):
+        it, _ = c
+        n_active = None
+        for k in range(UNROLL):
+            n_active = substep(count_active=(k == UNROLL - 1))
+        return it + UNROLL, n_active
 
     jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.sum(1 - done[:])))
 
@@ -370,22 +388,34 @@ def _apply_component(static, inst, cs, lay, S, pfx, cpre, perm_rows,
         return
 
     h = jnp.abs(dott / S(cpre + "z0"))
-    # cosh via one exp: e^-h = 1/e^h (saves an exp per component per step)
-    eh = jnp.exp(h)
-    sech = 2.0 / (eh + 1.0 / eh)
-    z = jnp.where(h > 2.0, jnp.zeros_like(h), sech * sech)
+    r0 = S(cpre + "r0")
 
-    ri = jnp.exp(-radius / (S(cpre + "r0") * 0.5))
-    intensity = _qt_clamp(ri - 0.01, 0.0, 1.0)
-    intensity = jnp.where(intensity > 0.1, jnp.full_like(intensity, 0.1), intensity)
-    gates = active & (z > 0.01) & (intensity > 0.001)
+    # Tile-level early-out via CONSERVATIVE transcendental-free triggers —
+    # the only per-step unconditional cost is |dott/z0| and two compares:
+    #   z > 0.01  <=>  h <= 2   (sech^2(2) = 0.0707 > 0.01, and the reference
+    #                            hard-cuts z to 0 for h > 2)
+    #   intensity > 0.001  <=>  exp(-radius/(r0/2)) > 0.011
+    #                      <=>  radius < -ln(0.011)*r0/2 = 2.25493*r0
+    #     (widened to 2.2552, and to +inf for r0 <= 0 where exp blows up, so
+    #      the trigger is a strict superset of the gate)
+    # The EXACT exp-based gates (galaxycomponent.cpp:50-60) are re-derived
+    # inside the gated region, so triggering never changes a pixel value —
+    # it only decides whether this tile does the work this step.
+    r_thr = jnp.where(r0 > 0, r0 * jnp.float32(2.2552), jnp.float32(3.4e38))
+    trigger = active & (h <= 2.0) & (radius < r_thr)
 
-    # Tile-level early-out: skip the arm math + noise entirely when no lane
-    # in this tile passes the gates — the vectorized analog of the
-    # reference's per-pixel early returns (galaxycomponent.cpp:50-60). Most
-    # steps of most tiles skip the expensive work (thin z-slab gates).
-    @pl.when(jnp.any(gates))
+    @pl.when(jnp.any(trigger))
     def _gated():
+        # cosh via one exp: e^-h = 1/e^h (saves an exp per component per step)
+        eh = jnp.exp(h)
+        sech = 2.0 / (eh + 1.0 / eh)
+        z = jnp.where(h > 2.0, jnp.zeros_like(h), sech * sech)
+
+        ri = jnp.exp(-radius / (r0 * 0.5))
+        intensity = _qt_clamp(ri - 0.01, 0.0, 1.0)
+        intensity = jnp.where(intensity > 0.1, jnp.full_like(intensity, 0.1),
+                              intensity)
+        gates = active & (z > 0.01) & (intensity > 0.001)
         _component_emit(static, inst, cs, lay, S, pfx, cpre, perm_rows,
                         px, py, pz, gates, weight, ray_step, iscale,
                         strength, z, intensity, radius, Px, Py, Pz,
@@ -605,7 +635,7 @@ def _compiled(static: SceneStatic, size: int):
         in_specs=[
             pl.BlockSpec((1, lay.smem_rows, 128), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILE_R, 512), lambda i, j: (0, 0),
+            pl.BlockSpec((TILE_R, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -617,7 +647,7 @@ def _compiled(static: SceneStatic, size: int):
     )
 
     perm_rows = jnp.asarray(
-        np.broadcast_to(PERM.astype(np.int32), (TILE_R, 512)).copy())
+        np.broadcast_to(PERM_PACKED32, (TILE_R, 128)).copy())
 
     @jax.jit
     def run(sp):
@@ -649,7 +679,7 @@ def _compiled_batch(static: SceneStatic, size: int, nbatch: int):
         in_specs=[
             pl.BlockSpec((1, lay.smem_rows, 128), lambda b, i, j: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILE_R, 512), lambda b, i, j: (0, 0),
+            pl.BlockSpec((TILE_R, 128), lambda b, i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -661,7 +691,7 @@ def _compiled_batch(static: SceneStatic, size: int, nbatch: int):
     )
 
     perm_rows = jnp.asarray(
-        np.broadcast_to(PERM.astype(np.int32), (TILE_R, 512)).copy())
+        np.broadcast_to(PERM_PACKED32, (TILE_R, 128)).copy())
 
     @jax.jit
     def run(sp_rows):
@@ -697,7 +727,7 @@ def _compiled_dirs(static: SceneStatic, n_rays: int):
         in_specs=[
             pl.BlockSpec((1, lay.smem_rows, 128), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILE_R, 512), lambda i, j: (0, 0),
+            pl.BlockSpec((TILE_R, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             dir_spec, dir_spec, dir_spec,
         ],
@@ -707,7 +737,7 @@ def _compiled_dirs(static: SceneStatic, n_rays: int):
     )
 
     perm_rows = jnp.asarray(
-        np.broadcast_to(PERM.astype(np.int32), (TILE_R, 512)).copy())
+        np.broadcast_to(PERM_PACKED32, (TILE_R, 128)).copy())
 
     @jax.jit
     def run(sp, dx, dy, dz):

@@ -21,6 +21,11 @@ import jax.numpy as jnp
 
 PI = 3.141592653589793
 
+# Profiling hook (scripts/perf_ab.py): >0 caps every octave loop at this
+# count to measure the kernel's noise-cost share. NEVER set in production —
+# it changes rendered values.
+ABLATE_OCTAVES = 0
+
 
 # ---------------------------------------------------------------------------
 # float32 atan / atan2 (Mosaic lacks the primitives)
@@ -63,20 +68,30 @@ def atan2_f32(y, x):
 # ---------------------------------------------------------------------------
 
 
-def perm_lookup(perm_rows, idx):
-    """perm[idx] for idx int32 in [0, 512): 2 lane-gathers + 1 select.
+def _packed_word(perm_rows, idx):
+    """One lane-gather of the packed word (tables.PERM_PACKED32 layout).
 
-    perm_rows: (R, 512) int32 — the doubled 256-entry table broadcast across
-    tile rows; idx: (R, 128) int32. Because the table is PERM_HALF repeated
-    (perm[i] == perm[i & 255], tables.py), only the low 8 index bits matter —
-    two 128-lane gathers cover the whole range.
+    perm_rows: (R, 128) int32 broadcast across tile rows; idx: (R, 128)
+    int32 in [0, 512). Because the table is PERM_HALF repeated
+    (perm[i] == perm[i & 255]), bit 7 selects the byte and bits 0-6 the
+    lane; bit 8 is redundant.
     """
-    low8 = idx & 255
-    lane = low8 & 127
-    hi = low8 >> 7
-    v0 = jnp.take_along_axis(perm_rows[:, 0:128], lane, axis=1)
-    v1 = jnp.take_along_axis(perm_rows[:, 128:256], lane, axis=1)
-    return jnp.where(hi == 0, v0, v1)
+    lane = idx & 127
+    hi = (idx >> 7) & 1
+    return jnp.take_along_axis(perm_rows, lane, axis=1), hi
+
+
+def perm_lookup(perm_rows, idx):
+    """perm[idx] for idx int32 in [0, 512): 1 lane-gather + byte extract."""
+    w, hi = _packed_word(perm_rows, idx)
+    return jnp.where(hi == 0, w & 255, (w >> 8) & 255)
+
+
+def mod12_lookup(perm_rows, idx):
+    """perm[idx] % 12 from the packed word — no gather beyond perm_lookup's,
+    no vector integer mod."""
+    w, hi = _packed_word(perm_rows, idx)
+    return jnp.where(hi == 0, (w >> 16) & 255, (w >> 24) & 255)
 
 
 def _grad_dot(gi, x, y, z):
@@ -139,18 +154,21 @@ def raw_noise_3d(perm_rows, x, y, z):
     ii = i & 255
     jj = j & 255
     kk = k & 255
+    # the four k-level indices only ever take the two values kk and kk+1
+    # (k1, k2 in {0, 1}) — two gather pairs + selects instead of four
     pkk = perm_lookup(perm_rows, kk)
-    pkk1 = perm_lookup(perm_rows, kk + k1)
-    pkk2 = perm_lookup(perm_rows, kk + k2)
     pkk3 = perm_lookup(perm_rows, kk + 1)
+    pkk1 = jnp.where(k1 == 1, pkk3, pkk)
+    pkk2 = jnp.where(k2 == 1, pkk3, pkk)
     pj0 = perm_lookup(perm_rows, jj + pkk)
     pj1 = perm_lookup(perm_rows, jj + j1 + pkk1)
     pj2 = perm_lookup(perm_rows, jj + j2 + pkk2)
     pj3 = perm_lookup(perm_rows, jj + 1 + pkk3)
-    gi0 = perm_lookup(perm_rows, ii + pj0) % 12
-    gi1 = perm_lookup(perm_rows, ii + i1 + pj1) % 12
-    gi2 = perm_lookup(perm_rows, ii + i2 + pj2) % 12
-    gi3 = perm_lookup(perm_rows, ii + 1 + pj3) % 12
+    # gradient indices from the packed perm%12 half — no vector integer mod
+    gi0 = mod12_lookup(perm_rows, ii + pj0)
+    gi1 = mod12_lookup(perm_rows, ii + i1 + pj1)
+    gi2 = mod12_lookup(perm_rows, ii + i2 + pj2)
+    gi3 = mod12_lookup(perm_rows, ii + 1 + pj3)
 
     def contrib(tv, gi, cx, cy, cz):
         tt = tv * tv
@@ -166,6 +184,8 @@ def raw_noise_3d(perm_rows, x, y, z):
 
 def octave_noise_3d(perm_rows, octaves: int, persistence, scale, x, y, z):
     """noise.cpp:162-180; octaves static, unrolled."""
+    if ABLATE_OCTAVES:
+        octaves = min(int(octaves), ABLATE_OCTAVES)
     total = jnp.zeros_like(x)
     freq = scale
     amp = 1.0
@@ -185,6 +205,8 @@ def ridged_mf(perm_rows, x, y, z, spectral_weights, lacunarity, offset, gain):
     caller OUTSIDE the kernel (scalar pow is not lowerable on the TC core);
     its length sets the octave count.
     """
+    if ABLATE_OCTAVES:
+        spectral_weights = spectral_weights[:ABLATE_OCTAVES]
     value = jnp.zeros_like(x)
     weight = jnp.ones_like(x)
     vx, vy, vz = x, y, z

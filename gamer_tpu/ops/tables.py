@@ -44,3 +44,16 @@ GRAD3 = np.array(
 # perm[i] % 12 precomputed: the only use of perm values at the final lookup
 # level; keeping the raw table too because inner levels add indices first.
 PERM_MOD12 = (PERM % 12).astype(np.int32)
+
+# Packed layout for the Pallas kernel: Mosaic's native lane gather covers
+# 128 lanes, and table entries are 8-bit, so ALL four values a lookup can
+# need — perm[lane], perm[lane+128], perm%12[lane], perm%12[lane+128] — fit
+# in one int32 word per lane. One gather + byte extraction replaces two
+# gathers + select per table lookup (ops/pallas_noise.perm_lookup /
+# mod12_lookup), and the gradient index skips the vector integer mod.
+PERM_PACKED32 = (
+    PERM[:128]
+    | (PERM[128:256] << 8)
+    | (PERM_MOD12[:128] << 16)
+    | (PERM_MOD12[128:256] << 24)
+).astype(np.int32)

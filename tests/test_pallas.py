@@ -33,30 +33,36 @@ def test_atan_polynomials_accurate():
     assert np.abs(ours2 - ref2).max() < 4e-7
 
 
-def test_perm_lookup_matches_table():
-    from gamer_tpu.ops.tables import PERM
+def test_packed_perm_lookups_match_table():
+    """perm_lookup / mod12_lookup on the byte-packed word must return
+    perm[idx] and perm[idx] % 12 exactly for every index in [0, 512)."""
+    from gamer_tpu.ops.tables import PERM, PERM_PACKED32
 
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    perm_rows = jnp.asarray(np.broadcast_to(PERM.astype(np.int32), (8, 512)).copy())
-    idx = jnp.asarray(np.random.default_rng(1).integers(0, 512, (8, 128)),
-                      jnp.int32)
+    perm_rows = jnp.asarray(np.broadcast_to(PERM_PACKED32, (8, 128)).copy())
+    # cover the whole index range, then shuffle in some random duplicates
+    rng = np.random.default_rng(2)
+    all_idx = np.concatenate([np.arange(512), rng.integers(0, 512, 512)])
+    idx = jnp.asarray(all_idx.reshape(8, 128), jnp.int32)
 
-    def kernel(p_ref, i_ref, o_ref):
-        o_ref[:] = pn.perm_lookup(p_ref[:], i_ref[:])
+    def kernel(p_ref, i_ref, o_ref, o2_ref):
+        o_ref[:] = pn.mod12_lookup(p_ref[:], i_ref[:])
+        o2_ref[:] = pn.perm_lookup(p_ref[:], i_ref[:])
 
-    out = pl.pallas_call(
+    out, out2 = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
+        out_shape=[jax.ShapeDtypeStruct((8, 128), jnp.int32)] * 2,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         interpret=True,
     )(perm_rows, idx)
-    np.testing.assert_array_equal(np.asarray(out),
-                                  PERM.astype(np.int32)[np.asarray(idx)])
+    ref = PERM.astype(np.int32)[np.asarray(idx)]
+    np.testing.assert_array_equal(np.asarray(out), ref % 12)
+    np.testing.assert_array_equal(np.asarray(out2), ref)
 
 
 def test_pallas_render_matches_xla(fixtures_dir):
