@@ -283,6 +283,14 @@ def _march_instance(static, inst, lay, S, pfx, perm_rows, ray_step, min_step,
     mdy = fy / safe
     mdz = fz / safe
 
+    # camera distance is affine along the march: every sample sits on the
+    # ray THROUGH the camera (rays originate there; the behind-camera rule
+    # only ever truncates the segment at t=0), and on alive lanes t0 <= 0
+    # with t increasing toward the near point — so |p - cam| = -t0 - tacc.
+    # Saves a sqrt + 6 ops per substep; differs from the per-step sqrt only
+    # in f32 rounding (conformance-gated like the other knowing deviations)
+    dist0 = -t0
+
     p0[:] = o1x
     p1[:] = o1y
     p2[:] = o1z
@@ -303,10 +311,7 @@ def _march_instance(static, inst, lay, S, pfx, perm_rows, ray_step, min_step,
         active = d == 0
 
         px, py, pz = p0[:], p1[:], p2[:]
-        rx = px - cx
-        ry = py - cy
-        rz = pz - cz
-        dist = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+        dist = dist0 - tacc[:]
         step = _qt_clamp(dist * ray_step, min_step, 0.01)
         weight = step * 200.0
 
@@ -322,13 +327,29 @@ def _march_instance(static, inst, lay, S, pfx, perm_rows, ray_step, min_step,
         Pz = pz - oz * dott
         radius = jnp.sqrt(Px * Px + Py * Py + Pz * Pz) / S(pfx + "axis_x")
 
+        # components apply strictly in list order (emission adds, absorption
+        # multiplies — they do not commute, rasterizer.cpp:460-466), so only
+        # CONSECUTIVE non-bulge components may share one tile-level slab
+        # trigger (one cross-lane any on the OR of their triggers in the
+        # common everyone-outside case). Bulge bypasses all gating in the
+        # reference (galaxycomponents.cpp:5-39) and applies unconditionally.
+        runs = []
         for ci, cs in enumerate(inst.comps):
-            _apply_component(
-                static, inst, cs, lay, S, pfx, f"{pfx}c{ci}.", perm_rows,
-                px, py, pz, active, weight, step, ray_step,
-                dott, Px, Py, Pz, radius,
-                I0, I1, I2,
-            )
+            if cs.cid == CID_BULGE:
+                runs.append((True, [(ci, cs)]))
+            elif runs and not runs[-1][0]:
+                runs[-1][1].append((ci, cs))
+            else:
+                runs.append((False, [(ci, cs)]))
+        for is_bulge, comps in runs:
+            if is_bulge:
+                _apply_bulge(S, pfx, f"{pfx}c{comps[0][0]}.", px, py, pz,
+                             active, weight, ray_step, I0, I1, I2)
+            else:
+                _apply_component_run(
+                    static, inst, comps, lay, S, pfx, perm_rows,
+                    px, py, pz, active, weight, ray_step,
+                    dott, Px, Py, Pz, radius, I0, I1, I2)
 
         # advance + floor (rasterizer.cpp:467-470)
         af = active.astype(jnp.float32)
@@ -353,11 +374,81 @@ def _march_instance(static, inst, lay, S, pfx, perm_rows, ray_step, min_step,
     jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.sum(1 - done[:])))
 
 
-def _apply_component(static, inst, cs, lay, S, pfx, cpre, perm_rows,
-                     px, py, pz, active, weight, step, ray_step,
-                     dott, Px, Py, Pz, radius, I0, I1, I2):
-    """One component at the current samples (galaxycomponent.cpp:45-88 +
-    galaxycomponents.cpp kernels), masked by `active`."""
+def _apply_bulge(S, pfx, cpre, px, py, pz, active, weight, ray_step,
+                 I0, I1, I2):
+    """Bulge kernel (galaxycomponents.cpp:5-39): no gating in the reference,
+    applied to every active sample."""
+    qw = S(pfx + "rotmat", 0)
+    qx = S(pfx + "rotmat", 1)
+    qy = S(pfx + "rotmat", 2)
+    qz = S(pfx + "rotmat", 3)
+    bx, by, bz = _quat_rotate_scalar(qw, qx, qy, qz, px, py, pz)
+    rad = (jnp.sqrt(bx * bx + by * by + bz * bz) + 0.01) * S(cpre + "r0") + 0.01
+    # rad^0.25 == sqrt(sqrt(rad)) — two cheap VPU sqrts instead of exp/log
+    ival = (S(cpre + "strength") * weight) * (
+        jnp.power(rad, -0.855) * jnp.exp(-jnp.sqrt(jnp.sqrt(rad))) - 0.05
+    ) * S(pfx + "iscale")
+    ival = jnp.where(ival < 0, jnp.zeros_like(ival), ival)
+    add = ival * ray_step * active.astype(jnp.float32)
+    I0[:] = I0[:] + S(cpre + "spec", 0) * add
+    I1[:] = I1[:] + S(cpre + "spec", 1) * add
+    I2[:] = I2[:] + S(cpre + "spec", 2) * add
+
+
+def _component_trigger(S, cpre, active, dott, radius):
+    """CONSERVATIVE transcendental-free tile trigger for one component —
+    the only per-step unconditional cost is |dott/z0| and two compares:
+      z > 0.01  <=>  h <= 2   (sech^2(2) = 0.0707 > 0.01, and the reference
+                               hard-cuts z to 0 for h > 2)
+      intensity > 0.001  <=>  exp(-radius/(r0/2)) > 0.011
+                         <=>  radius < -ln(0.011)*r0/2 = 2.25493*r0
+        (widened to 2.2552, and to +inf for r0 <= 0 where exp blows up, so
+         the trigger is a strict superset of the gate)
+    The EXACT exp-based gates (galaxycomponent.cpp:50-60) are re-derived
+    inside the gated region, so triggering never changes a pixel value —
+    it only decides whether this tile does the work this step."""
+    h = jnp.abs(dott / S(cpre + "z0"))
+    r0 = S(cpre + "r0")
+    r_thr = jnp.where(r0 > 0, r0 * jnp.float32(2.2552), jnp.float32(3.4e38))
+    return active & (h <= 2.0) & (radius < r_thr), h
+
+
+def _apply_component_run(static, inst, comps, lay, S, pfx, perm_rows,
+                         px, py, pz, active, weight, ray_step,
+                         dott, Px, Py, Pz, radius, I0, I1, I2):
+    """A maximal run of consecutive non-bulge components under ONE tile
+    trigger (the OR of the per-component triggers); per-component triggers
+    re-gate inside when the run has more than one member."""
+    trigs = []
+    any_t = None
+    for ci, cs in comps:
+        cpre = f"{pfx}c{ci}."
+        t, h = _component_trigger(S, cpre, active, dott, radius)
+        trigs.append((cs, cpre, t, h))
+        any_t = t if any_t is None else any_t | t
+
+    @pl.when(jnp.any(any_t))
+    def _slab():
+        for cs, cpre, t, h in trigs:
+            if len(trigs) == 1:
+                _apply_component_gated(
+                    static, inst, cs, lay, S, pfx, cpre, perm_rows,
+                    px, py, pz, active, weight, ray_step,
+                    Px, Py, Pz, radius, t, h, I0, I1, I2)
+            else:
+                @pl.when(jnp.any(t))
+                def _one(cs=cs, cpre=cpre, t=t, h=h):
+                    _apply_component_gated(
+                        static, inst, cs, lay, S, pfx, cpre, perm_rows,
+                        px, py, pz, active, weight, ray_step,
+                        Px, Py, Pz, radius, t, h, I0, I1, I2)
+
+
+def _apply_component_gated(static, inst, cs, lay, S, pfx, cpre, perm_rows,
+                           px, py, pz, active, weight, ray_step,
+                           Px, Py, Pz, radius, trigger, h, I0, I1, I2):
+    """One triggered non-bulge component (galaxycomponent.cpp:45-88 +
+    galaxycomponents.cpp kernels): exact gate re-derivation + emission."""
     iscale = S(pfx + "iscale")
     qw = S(pfx + "rotmat", 0)
     qx = S(pfx + "rotmat", 1)
@@ -371,55 +462,22 @@ def _apply_component(static, inst, cs, lay, S, pfx, cpre, perm_rows,
     spec_g = S(cpre + "spec", 1)
     spec_b = S(cpre + "spec", 2)
     strength = S(cpre + "strength")
-
-    if cs.cid == CID_BULGE:
-        bx, by, bz = rot_by_rotmat(px, py, pz)
-        rad = (jnp.sqrt(bx * bx + by * by + bz * bz) + 0.01) * S(cpre + "r0") + 0.01
-        # rad^0.25 == sqrt(sqrt(rad)) — two cheap VPU sqrts instead of exp/log
-        ival = (strength * weight) * (
-            jnp.power(rad, -0.855) * jnp.exp(-jnp.sqrt(jnp.sqrt(rad))) - 0.05
-        ) * iscale
-        ival = jnp.where(ival < 0, jnp.zeros_like(ival), ival)
-        add = ival * ray_step
-        m = active.astype(jnp.float32)
-        I0[:] = I0[:] + spec_r * add * m
-        I1[:] = I1[:] + spec_g * add * m
-        I2[:] = I2[:] + spec_b * add * m
-        return
-
-    h = jnp.abs(dott / S(cpre + "z0"))
     r0 = S(cpre + "r0")
 
-    # Tile-level early-out via CONSERVATIVE transcendental-free triggers —
-    # the only per-step unconditional cost is |dott/z0| and two compares:
-    #   z > 0.01  <=>  h <= 2   (sech^2(2) = 0.0707 > 0.01, and the reference
-    #                            hard-cuts z to 0 for h > 2)
-    #   intensity > 0.001  <=>  exp(-radius/(r0/2)) > 0.011
-    #                      <=>  radius < -ln(0.011)*r0/2 = 2.25493*r0
-    #     (widened to 2.2552, and to +inf for r0 <= 0 where exp blows up, so
-    #      the trigger is a strict superset of the gate)
-    # The EXACT exp-based gates (galaxycomponent.cpp:50-60) are re-derived
-    # inside the gated region, so triggering never changes a pixel value —
-    # it only decides whether this tile does the work this step.
-    r_thr = jnp.where(r0 > 0, r0 * jnp.float32(2.2552), jnp.float32(3.4e38))
-    trigger = active & (h <= 2.0) & (radius < r_thr)
+    # cosh via one exp: e^-h = 1/e^h (saves an exp per component per step)
+    eh = jnp.exp(h)
+    sech = 2.0 / (eh + 1.0 / eh)
+    z = jnp.where(h > 2.0, jnp.zeros_like(h), sech * sech)
 
-    @pl.when(jnp.any(trigger))
-    def _gated():
-        # cosh via one exp: e^-h = 1/e^h (saves an exp per component per step)
-        eh = jnp.exp(h)
-        sech = 2.0 / (eh + 1.0 / eh)
-        z = jnp.where(h > 2.0, jnp.zeros_like(h), sech * sech)
-
-        ri = jnp.exp(-radius / (r0 * 0.5))
-        intensity = _qt_clamp(ri - 0.01, 0.0, 1.0)
-        intensity = jnp.where(intensity > 0.1, jnp.full_like(intensity, 0.1),
-                              intensity)
-        gates = active & (z > 0.01) & (intensity > 0.001)
-        _component_emit(static, inst, cs, lay, S, pfx, cpre, perm_rows,
-                        px, py, pz, gates, weight, ray_step, iscale,
-                        strength, z, intensity, radius, Px, Py, Pz,
-                        rot_by_rotmat, spec_r, spec_g, spec_b, I0, I1, I2)
+    ri = jnp.exp(-radius / (r0 * 0.5))
+    intensity = _qt_clamp(ri - 0.01, 0.0, 1.0)
+    intensity = jnp.where(intensity > 0.1, jnp.full_like(intensity, 0.1),
+                          intensity)
+    gates = active & (z > 0.01) & (intensity > 0.001)
+    _component_emit(static, inst, cs, lay, S, pfx, cpre, perm_rows,
+                    px, py, pz, gates, weight, ray_step, iscale,
+                    strength, z, intensity, radius, Px, Py, Pz,
+                    rot_by_rotmat, spec_r, spec_g, spec_b, I0, I1, I2)
 
 
 def _component_emit(static, inst, cs, lay, S, pfx, cpre, perm_rows,
@@ -451,7 +509,6 @@ def _component_emit(static, inst, cs, lay, S, pfx, cpre, perm_rows,
     val = strength * scale_inner * arm_val * z * intensity * iscale
     ival = val * weight
     emit = gates & (ival > 0.0005)
-    m = emit.astype(jnp.float32)
 
     ks = S(cpre + "ks")
     cscale = S(cpre + "scale")
@@ -471,24 +528,30 @@ def _component_emit(static, inst, cs, lay, S, pfx, cpre, perm_rows,
     # every lane in the tile — skip the noise then too
     @pl.when(jnp.any(emit))
     def _emitting():
-        _component_noise(cs, S, cpre, perm_rows, px, py, pz, emit, m, ival,
+        _component_noise(cs, S, cpre, perm_rows, px, py, pz, emit, ival,
                          winding, ray_step, ks, cscale, noff, ntilt, cloud,
                          twirl3, spec_r, spec_g, spec_b, I0, I1, I2)
 
 
-def _component_noise(cs, S, cpre, perm_rows, px, py, pz, emit, m, ival,
+def _component_noise(cs, S, cpre, perm_rows, px, py, pz, emit, ival,
                      winding, ray_step, ks, cscale, noff, ntilt, cloud,
                      twirl3, spec_r, spec_g, spec_b, I0, I1, I2):
+    # Emission masks are where-selects, NEVER multiply-by-mask: a NaN or inf
+    # contribution on a masked lane (e.g. pow of a negative arm base) must
+    # vanish like the reference's per-pixel `continue`, but NaN*0 == NaN
+    # would poison the accumulator. Mirrors engine/render.py:161-209.
+    def accum_add(cond, contrib):
+        add = ival * contrib * ray_step
+        I0[:] = jnp.where(cond, I0[:] + spec_r * add, I0[:])
+        I1[:] = jnp.where(cond, I1[:] + spec_g * add, I1[:])
+        I2[:] = jnp.where(cond, I2[:] + spec_b * add, I2[:])
+
     if cs.cid == CID_DISK:
         p2v = jnp.abs(cloud(10, winding, cscale, ks))
         p2v = jnp.maximum(p2v, 0.01)
         p2v = jnp.power(p2v, ntilt)
         p2v = p2v + noff
-        ok = (p2v >= 0).astype(jnp.float32)
-        add = ival * p2v * ray_step * m * ok
-        I0[:] = I0[:] + spec_r * add
-        I1[:] = I1[:] + spec_g * add
-        I2[:] = I2[:] + spec_b * add
+        accum_add(emit & (p2v >= 0), p2v)
     elif cs.cid == CID_DUST:
         p2v = cloud(9, winding, cscale, ks)
         p2v = jnp.maximum(p2v - noff, 0.0)
@@ -511,10 +574,7 @@ def _component_noise(cs, S, cpre, perm_rows, px, py, pz, emit, m, ival,
             I1[:] = I1[:] * jnp.where(emit, jnp.exp(e * spec_g), one)
             I2[:] = I2[:] * jnp.where(emit, jnp.exp(e * spec_b), one)
         else:
-            add = ival * p2v * ray_step * m
-            I0[:] = I0[:] + spec_r * add
-            I1[:] = I1[:] + spec_g * add
-            I2[:] = I2[:] + spec_b * add
+            accum_add(emit, p2v)
     elif cs.cid == CID_STARS:
         freq = (0.01 * cscale) * 100.0
         perlin = jnp.abs(pn.octave_noise_3d(perm_rows, 10, ks, freq, px, py, pz))
@@ -523,10 +583,7 @@ def _component_noise(cs, S, cpre, perm_rows, px, py, pz, emit, m, ival,
             add_n = noff * cloud(4, winding, 2.0, -2.0)
             add_n = add_n + 0.5 * noff * cloud(4, winding * 0.5, 4.0, -2.0)
         v = jnp.abs(jnp.power(perlin + 1.0 + add_n, ntilt))
-        add = ival * v * ray_step * m
-        I0[:] = I0[:] + spec_r * add
-        I1[:] = I1[:] + spec_g * add
-        I2[:] = I2[:] + spec_b * add
+        accum_add(emit, v)
     elif cs.cid == CID_STARS_SMALL:
         # seeded position-hash sparkle (see engine.render._sparkle_hash)
         bx = jax.lax.bitcast_convert_type(px, jnp.int32)
@@ -537,13 +594,10 @@ def _component_noise(cs, S, cpre, perm_rows, px, py, pz, emit, m, ival,
         hsh = hsh ^ (hsh >> 13)
         hu = jnp.abs(hsh)
         scale_i = jnp.maximum(cscale.astype(jnp.int32), 1)
-        sel = ((hu % scale_i) == 0).astype(jnp.float32)
+        sel = (hu % scale_i) == 0
         dval = ((hu >> 8) % 10).astype(jnp.float32)
         v = jnp.power(dval, ntilt)
-        add = ival * v * ray_step * m * sel
-        I0[:] = I0[:] + spec_r * add
-        I1[:] = I1[:] + spec_g * add
-        I2[:] = I2[:] + spec_b * add
+        accum_add(emit & sel, v)
 
 
 def _quat_rotate_scalar(qw, qx, qy, qz, vx, vy, vz):
@@ -596,17 +650,38 @@ def _find_difference(t1, t2):
 
 
 def _arm_value(static, inst, lay, S, pfx, cpre, radius, Px, Py, Pz, rot_by_rotmat):
-    """galaxycomponent.h:120-146, arm equality-ladder count, NaN-safe max."""
+    """galaxycomponent.h:120-146: max over per-arm pow(1-v, arm*15) with the
+    reference's std::max NaN ordering (a NaN candidate never wins; a NaN
+    FIRST arm poisons the max).
+
+    Computed as ONE pow of a selected base instead of max of N pows:
+    pow(., e) is monotone in the base (increasing for e>=0, decreasing over
+    positive bases for e<0), so the winning arm is the max base (e>=0) or
+    the min non-negative base (e<0; negative bases give NaN, which the
+    reference ladder skips). pow(0, e<0)=inf matches the ladder keeping inf.
+    The poisoned-first-arm case returns 0 instead of NaN: both are
+    pixel-identical because emission is where-masked on val*weight > 0.0005,
+    which NaN and 0 both fail (mirrors the reference's `continue`)."""
     rx, _, rz = rot_by_rotmat(Px, Py, Pz)
     theta = pn.atan2_f32(rx, rz) + S(cpre + "delta")
     ww = _get_winding(radius, S(pfx + "winding_b"), S(pfx + "winding_n"))
     arm15 = S(cpre + "arm") * 15.0
-    val = None
+    pos_exp = arm15 >= 0  # scalar
+    base = None
+    first_base = None
     for a in range(inst.max_arms):
         v = jnp.abs(_find_difference(ww, -theta + S(pfx + "arms", a))) / PI
-        arm_v = jnp.power(1.0 - v, arm15)
-        val = arm_v if val is None else jnp.where(arm_v > val, arm_v, val)
-    return val
+        b = 1.0 - v
+        if base is None:
+            base = b
+            first_base = b
+        else:
+            # Mosaic cannot select between i1 vectors — combine the two
+            # direction predicates with bitwise logic instead
+            take = ((b > base) & pos_exp) | ((b >= 0) & (b < base) & ~pos_exp)
+            base = jnp.where(take, b, base)
+    res = jnp.power(base, arm15)
+    return jnp.where(first_base < 0, jnp.zeros_like(res), res)
 
 
 # ---------------------------------------------------------------------------

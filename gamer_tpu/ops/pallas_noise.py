@@ -82,16 +82,17 @@ def _packed_word(perm_rows, idx):
 
 
 def perm_lookup(perm_rows, idx):
-    """perm[idx] for idx int32 in [0, 512): 1 lane-gather + byte extract."""
+    """perm[idx] for idx int32 in [0, 512): 1 lane-gather + byte extract
+    (variable shift by 8*hi instead of a select between extractions)."""
     w, hi = _packed_word(perm_rows, idx)
-    return jnp.where(hi == 0, w & 255, (w >> 8) & 255)
+    return (w >> (hi << 3)) & 255
 
 
 def mod12_lookup(perm_rows, idx):
     """perm[idx] % 12 from the packed word — no gather beyond perm_lookup's,
     no vector integer mod."""
     w, hi = _packed_word(perm_rows, idx)
-    return jnp.where(hi == 0, (w >> 16) & 255, (w >> 24) & 255)
+    return (w >> ((hi << 3) + 16)) & 255
 
 
 def _grad_dot(gi, x, y, z):

@@ -121,3 +121,39 @@ def test_pallas_allsky_matches_xla(fixtures_dir):
     m_x = render_allsky_map(scene, 4, kernel="xla")
     scale = np.abs(m_x).max() + 1e-12
     assert np.abs(m_p - m_x).max() / scale < 1e-3
+
+
+def test_pallas_nan_arm_bases_do_not_poison():
+    """Extreme winding makes some arm bases (1 - v) negative, so
+    pow(base, arm*15) is NaN on those lanes. The reference skips such
+    samples (val*weight > 0.0005 is false for NaN); the kernel must drop
+    them via where-masked emission — multiply-by-mask would turn NaN*0
+    into NaN and poison the accumulator."""
+    from gamer_tpu.engine.pallas_render import render_scene_pallas
+    from gamer_tpu.engine.render import render_scene
+    from gamer_tpu.scene.schema import (
+        CameraParams, ComponentParams, GalaxyData, GalaxyParams,
+    )
+
+    g = GalaxyData(
+        display_name="wound",
+        params=GalaxyParams(winding_b=0.15, winding_n=11.0, no_arms=2.0),
+        components=[
+            ComponentParams(class_name="bulge", strength=10.0, r0=4.0,
+                            spectrum="Yellow"),
+            ComponentParams(class_name="disk", strength=600.0, r0=0.4,
+                            arm=2.5, noise_tilt=0.4, spectrum="Blue"),
+        ],
+    )
+    scene = gamer_tpu.Scene(
+        camera=CameraParams(camera=(0.5, 0, 0), target=(0, 0, 0),
+                            up=(0, 1, 0), fov=90.0),
+        instances=[gamer_tpu.GalaxyInstance(galaxy=g)],
+        config=gamer_tpu.RenderConfig(size=16, ray_step=0.025),
+    )
+    ours = render_scene_pallas(scene)
+    ref = render_scene(scene)
+    assert np.isfinite(ours.astype(np.float64)).all()
+    assert ours.sum() > 0, "render unexpectedly empty"
+    d = np.abs(ours.astype(np.int16) - ref.astype(np.int16))
+    assert d.max() <= 2, f"wound-arm scene pallas vs xla: {d.max()}"
