@@ -36,6 +36,13 @@ from .scene_prep import flatten_scene
 BATCH_AXIS = "batch"
 
 
+def _post_batch_jit():
+
+    if not hasattr(_post_batch_jit, "_fn"):
+        _post_batch_jit._fn = jax.jit(jax.vmap(post_process))
+    return _post_batch_jit._fn
+
+
 def _scene_rows(scenes: Sequence[Scene], dtype=jnp.float32):
     """Flatten scenes sharing one structure into packed scalar rows."""
     statics_params = [flatten_scene(s, dtype) for s in scenes]
@@ -49,20 +56,17 @@ def _scene_rows(scenes: Sequence[Scene], dtype=jnp.float32):
     lay = _build_layout(static0)
     rows = []
     for scene, (st, params) in zip(scenes, statics_params):
-        camera = jnp.asarray(scene.camera.camera, dtype)
-        inv_vp = cam_ops.inv_view_projection(
-            camera,
-            jnp.asarray(scene.camera.target, dtype),
-            jnp.asarray(scene.camera.up, dtype),
-            jnp.asarray(scene.camera.fov, dtype),
-        )
+        camera = np.asarray(scene.camera.camera, dtype)
+        inv_vp = cam_ops.inv_view_projection_host(
+            camera, scene.camera.target, scene.camera.up, scene.camera.fov,
+            dtype=dtype)
         cfg = scene.config
         rows.append(_pack_scalars(
             static0, lay, params, camera, inv_vp,
-            jnp.asarray(cfg.ray_step, dtype),
-            jnp.asarray(cfg.min_ray_step, dtype),
+            np.asarray(cfg.ray_step, dtype),
+            np.asarray(cfg.min_ray_step, dtype),
         ))
-    return static0, jnp.concatenate(rows, axis=0)
+    return static0, np.concatenate(rows, axis=0)
 
 
 def render_batch(scenes: Sequence[Scene], mesh: Optional[Mesh] = None) -> np.ndarray:
@@ -98,24 +102,26 @@ def render_batch(scenes: Sequence[Scene], mesh: Optional[Mesh] = None) -> np.nda
 
         linear = run_sharded(sp_rows)
 
-    # post chain per frame (exposure/gamma/saturation may differ per scene)
-    out = np.empty((B, size, size, 3), np.uint8)
-    lin = np.asarray(linear)
-    for b, scene in enumerate(scenes):
-        cfg = scene.config
-        frame = lin[b]
-        if cfg.no_stars > 0:
-            from ..post.stars import render_star_field
+    # post chain per frame (exposure/gamma/saturation may differ per scene),
+    # vmapped ON DEVICE: only the final uint8 frames are transferred. The
+    # host-generated star overlays are the one extra upload, and only when
+    # some scene uses them.
+    if any(s.config.no_stars > 0 for s in scenes):
+        from ..post.stars import render_star_field
 
-            frame = frame + render_star_field(
-                cfg.size, cfg.no_stars, cfg.star_size, cfg.star_size_spread,
-                cfg.star_strength, cfg.star_seed,
-            )
-        out[b] = np.asarray(post_process(
-            jnp.asarray(frame), jnp.float32(cfg.exposure),
-            jnp.float32(cfg.gamma), jnp.float32(cfg.saturation),
-        ))
-    return out
+        overlays = np.stack([
+            render_star_field(s.config.size, s.config.no_stars,
+                              s.config.star_size, s.config.star_size_spread,
+                              s.config.star_strength, s.config.star_seed)
+            if s.config.no_stars > 0 else np.zeros((size, size, 3), np.float32)
+            for s in scenes
+        ])
+        linear = linear + jnp.asarray(overlays)
+    exposures = np.asarray([s.config.exposure for s in scenes], np.float32)
+    gammas = np.asarray([s.config.gamma for s in scenes], np.float32)
+    saturations = np.asarray([s.config.saturation for s in scenes], np.float32)
+    img = _post_batch_jit()(linear, exposures, gammas, saturations)
+    return np.asarray(img)
 
 
 def render_flythrough(scene: Scene, cameras: Sequence[CameraParams],

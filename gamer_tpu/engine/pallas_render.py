@@ -128,10 +128,21 @@ def _build_layout(static: SceneStatic) -> _Layout:
 
 def _pack_scalars(static: SceneStatic, lay: _Layout, params, camera, inv_vp,
                   ray_step, min_step):
-    vals = [None] * len(lay.names)
+    """Pack the scene scalars into one (1, smem_rows, 128) float32 page.
+
+    Pure NUMPY on the host — one device transfer happens when the row enters
+    the jitted kernel call. Building it from eager jnp ops instead costs
+    ~100 device dispatches per scene (~0.3 s), which dominated small frames
+    and multiplied across batch elements. Only the ridged spectral weights
+    run on device (eager jnp.power) so they stay bit-identical to the XLA
+    conformance path's in-graph pow.
+    """
+    row = np.zeros(lay.padded_n, np.float32)
 
     def put(name, v):
-        vals[lay.names.index(name)] = jnp.reshape(jnp.asarray(v, jnp.float32), (-1,))
+        off = lay.offsets[name]
+        flat = np.asarray(v, np.float32).reshape(-1)
+        row[off:off + flat.shape[0]] = flat
 
     put("inv_vp", inv_vp)
     put("camera", camera)
@@ -139,9 +150,9 @@ def _pack_scalars(static: SceneStatic, lay: _Layout, params, camera, inv_vp,
     put("min_step", min_step)
     for gi, (inst, pr) in enumerate(zip(static.instances, params)):
         p = f"i{gi}."
-        axis = pr["axis"]
+        axis = np.asarray(pr["axis"], np.float32)
         put(p + "pos", pr["position"])
-        put(p + "axis_inv", 1.0 / (axis * axis))
+        put(p + "axis_inv", np.float32(1.0) / (axis * axis))
         put(p + "axis_x", axis[0])
         put(p + "winding_b", pr["winding_b"])
         put(p + "winding_n", pr["winding_n"])
@@ -157,14 +168,13 @@ def _pack_scalars(static: SceneStatic, lay: _Layout, params, camera, inv_vp,
             put(cpre + "spec", cp["spec"])
             if cs.cid in (CID_DUST2, CID_DUST_POSITIVE):
                 # per-octave pow(freq, -0.05) — scalar pow must run outside
-                # the kernel (noise.cpp:122)
+                # the kernel (noise.cpp:122); on device to match the XLA
+                # path's pow bit-for-bit
                 lac = jnp.float32(2.5)
-                freqs = cp["ks"] * lac ** jnp.arange(RIDGED_OCTAVES, dtype=jnp.float32)
-                put(cpre + "ridged_w", jnp.power(freqs, jnp.float32(-0.05)))
-    row = jnp.concatenate(vals)
-    pad = lay.padded_n - row.shape[0]
-    if pad:
-        row = jnp.concatenate([row, jnp.zeros((pad,), jnp.float32)])
+                freqs = jnp.asarray(cp["ks"], jnp.float32) * lac ** jnp.arange(
+                    RIDGED_OCTAVES, dtype=jnp.float32)
+                put(cpre + "ridged_w",
+                    np.asarray(jnp.power(freqs, jnp.float32(-0.05))))
     return row.reshape(1, lay.smem_rows, 128)
 
 
@@ -730,7 +740,18 @@ def _compiled(static: SceneStatic, size: int):
         return jnp.stack([r[:size, :size], g[:size, :size], b[:size, :size]],
                          axis=-1)
 
-    return lay, run
+    # render + post chain fused into ONE dispatch (the no-star-overlay fast
+    # path of render_scene_pallas; each dispatch pays a tunnel round trip)
+    @jax.jit
+    def run_post(sp, exposure, gamma, saturation):
+        from .render import post_process
+
+        r, g, b = call(sp, perm_rows)
+        lin = jnp.stack([r[:size, :size], g[:size, :size], b[:size, :size]],
+                        axis=-1)
+        return post_process(lin, exposure, gamma, saturation)
+
+    return lay, run, run_post
 
 
 @functools.lru_cache(maxsize=32)
@@ -827,19 +848,15 @@ def render_dirs_pallas(scene: Scene, dirs) -> np.ndarray:
     """Linear radiance for an arbitrary (N, 3) ray-direction list via the
     Pallas kernel (the HPXRasterizer work-list analog)."""
     static, params = flatten_scene(scene, jnp.float32)
-    camera = jnp.asarray(scene.camera.camera, jnp.float32)
-    inv_vp = cam_ops.inv_view_projection(
-        camera,
-        jnp.asarray(scene.camera.target, jnp.float32),
-        jnp.asarray(scene.camera.up, jnp.float32),
-        jnp.asarray(scene.camera.fov, jnp.float32),
-    )
+    camera = np.asarray(scene.camera.camera, np.float32)
+    inv_vp = cam_ops.inv_view_projection_host(
+        camera, scene.camera.target, scene.camera.up, scene.camera.fov)
     cfg = scene.config
     dirs = np.asarray(dirs, np.float32)
     n = dirs.shape[0]
     lay, padded, run = _compiled_dirs(static, n)
     sp = _pack_scalars(static, lay, params, camera, inv_vp,
-                       jnp.float32(cfg.ray_step), jnp.float32(cfg.min_ray_step))
+                       np.float32(cfg.ray_step), np.float32(cfg.min_ray_step))
     pad = padded - n
     d = np.concatenate([dirs, np.zeros((pad, 3), np.float32)], axis=0)
     rows = padded // TILE_C
@@ -849,42 +866,55 @@ def render_dirs_pallas(scene: Scene, dirs) -> np.ndarray:
     return np.asarray(run(sp, dx, dy, dz))
 
 
-def render_linear_pallas(scene: Scene):
-    """Linear radiance buffer (size, size, 3) float32 via the Pallas kernel."""
+def _prepared(scene: Scene):
     cfg = scene.config
     static, params = flatten_scene(scene, jnp.float32)
-    camera = jnp.asarray(scene.camera.camera, jnp.float32)
-    inv_vp = cam_ops.inv_view_projection(
-        camera,
-        jnp.asarray(scene.camera.target, jnp.float32),
-        jnp.asarray(scene.camera.up, jnp.float32),
-        jnp.asarray(scene.camera.fov, jnp.float32),
-    )
-    lay, run = _compiled(static, cfg.size)
+    camera = np.asarray(scene.camera.camera, np.float32)
+    inv_vp = cam_ops.inv_view_projection_host(
+        camera, scene.camera.target, scene.camera.up, scene.camera.fov)
+    lay, run, run_post = _compiled(static, cfg.size)
     sp = _pack_scalars(static, lay, params, camera, inv_vp,
-                       jnp.float32(cfg.ray_step), jnp.float32(cfg.min_ray_step))
+                       np.float32(cfg.ray_step), np.float32(cfg.min_ray_step))
+    return sp, run, run_post
+
+
+def render_linear_pallas(scene: Scene):
+    """Linear radiance buffer (size, size, 3) float32 via the Pallas kernel."""
+    sp, run, _ = _prepared(scene)
     return run(sp)
+
+
+@functools.lru_cache(maxsize=1)
+def _post_jit():
+    from .render import post_process
+
+    return jax.jit(post_process)
 
 
 def render_scene_pallas(scene: Scene):
     """Full frame via the Pallas kernel -> uint8 image (+ star overlay/post
-    identical to engine.render.render_scene)."""
-    import numpy as np
+    identical to engine.render.render_scene).
 
-    from .render import post_process
-
+    The linear buffer STAYS ON DEVICE through the post chain — only the
+    final uint8 image is transferred, in ONE dispatch when there is no star
+    overlay. Round-tripping the float32 radiance (down, then back up for
+    post) costs hundreds of ms per frame on a tunneled device link; the
+    host-generated star overlay is the one case that uploads an extra
+    frame-sized array and splits render/post into two dispatches.
+    """
     cfg = scene.config
-    linear = render_linear_pallas(scene)
-    lin = np.asarray(linear)
+    sp, run, run_post = _prepared(scene)
+    exposure = np.float32(cfg.exposure)
+    gamma = np.float32(cfg.gamma)
+    saturation = np.float32(cfg.saturation)
     if cfg.no_stars > 0:
         from ..post.stars import render_star_field
 
-        lin = lin + render_star_field(
+        linear = run(sp) + jnp.asarray(render_star_field(
             cfg.size, cfg.no_stars, cfg.star_size, cfg.star_size_spread,
             cfg.star_strength, cfg.star_seed,
-        )
-    img = post_process(
-        jnp.asarray(lin), jnp.float32(cfg.exposure),
-        jnp.float32(cfg.gamma), jnp.float32(cfg.saturation),
-    )
+        ))
+        img = _post_jit()(linear, exposure, gamma, saturation)
+    else:
+        img = run_post(sp, exposure, gamma, saturation)
     return np.asarray(img)

@@ -75,13 +75,10 @@ def render_progressive(scene: Scene, chunks: int = 16,
     cfg = scene.config
     size = cfg.size
     static, params = flatten_scene(scene, dtype)
-    camera = jnp.asarray(scene.camera.camera, dtype)
-    inv_vp = cam_ops.inv_view_projection(
-        camera,
-        jnp.asarray(scene.camera.target, dtype),
-        jnp.asarray(scene.camera.up, dtype),
-        jnp.asarray(scene.camera.fov, dtype),
-    )
+    camera = np.asarray(scene.camera.camera, dtype)
+    inv_vp = cam_ops.inv_view_projection_host(
+        camera, scene.camera.target, scene.camera.up, scene.camera.fov,
+        dtype=dtype)
     chunks = max(1, min(chunks, size))
     rows_per = -(-size // chunks)  # fixed chunk height -> one compiled shape
     f = lambda v: jnp.asarray(v, dtype)

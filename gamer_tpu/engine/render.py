@@ -19,6 +19,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import camera as cam_ops
 from ..ops import noise as jnoise
@@ -328,20 +329,16 @@ def render_scene(scene: Scene, dtype=jnp.float32, return_linear: bool = False):
     numpy array (and optionally the linear radiance buffer)."""
     cfg = scene.config
     static, params = flatten_scene(scene, dtype)
-    camera = jnp.asarray(scene.camera.camera, dtype)
-    inv_vp = cam_ops.inv_view_projection(
-        camera,
-        jnp.asarray(scene.camera.target, dtype),
-        jnp.asarray(scene.camera.up, dtype),
-        jnp.asarray(scene.camera.fov, dtype),
-    )
+    camera = np.asarray(scene.camera.camera, dtype)
+    inv_vp = cam_ops.inv_view_projection_host(
+        camera, scene.camera.target, scene.camera.up, scene.camera.fov,
+        dtype=dtype)
     img, linear = _render_jit(
         static, cfg.size, params, camera, inv_vp,
         jnp.asarray(cfg.ray_step, dtype), jnp.asarray(cfg.min_ray_step, dtype),
         jnp.asarray(cfg.exposure, dtype), jnp.asarray(cfg.gamma, dtype),
         jnp.asarray(cfg.saturation, dtype),
     )
-    import numpy as np
 
     if cfg.no_stars > 0:
         # Star-field overlay added to the radiance buffer at assembly time

@@ -97,10 +97,13 @@ def flatten_scene(scene: Scene, dtype=jnp.float32):
                     star_extra=(cp.cid == CID_STARS and cp.noise_offset != 0),
                 )
             )
-            fields: Dict[str, jnp.ndarray] = {
-                f: jnp.asarray(getattr(cp, f), dtype) for f in COMP_FIELDS
+            # numpy, not jnp: params transfer to the device ONCE at the
+            # jitted call boundary; eager per-field device puts cost ~100
+            # dispatches per scene and dominated small-frame renders
+            fields: Dict[str, np.ndarray] = {
+                f: np.asarray(getattr(cp, f), dtype) for f in COMP_FIELDS
             }
-            fields["spec"] = jnp.asarray(
+            fields["spec"] = np.asarray(
                 find_spectrum(cp.spectrum, scene.spectra), dtype
             )
             comp_params.append(fields)
@@ -120,16 +123,16 @@ def flatten_scene(scene: Scene, dtype=jnp.float32):
         inst_params.append(
             {
                 "comps": tuple(comp_params),
-                "axis": jnp.asarray(gp.axis, dtype),
-                "winding_b": jnp.asarray(gp.winding_b, dtype),
-                "winding_n": jnp.asarray(gp.winding_n, dtype),
-                "no_arms": jnp.asarray(gp.no_arms, dtype),
-                "arms": jnp.asarray([gp.arm1, gp.arm2, gp.arm3, gp.arm4], dtype),
-                "position": jnp.asarray(gi.position, dtype),
-                "orientation": jnp.asarray(orientation32, dtype),
-                "twirl_axis": jnp.asarray(twirl_axis32, dtype),
-                "rotmat": jnp.asarray(rotmat32, dtype),
-                "intensity_scale": jnp.asarray(gi.intensity_scale, dtype),
+                "axis": np.asarray(gp.axis, dtype),
+                "winding_b": np.asarray(gp.winding_b, dtype),
+                "winding_n": np.asarray(gp.winding_n, dtype),
+                "no_arms": np.asarray(gp.no_arms, dtype),
+                "arms": np.asarray([gp.arm1, gp.arm2, gp.arm3, gp.arm4], dtype),
+                "position": np.asarray(gi.position, dtype),
+                "orientation": np.asarray(orientation32, dtype),
+                "twirl_axis": np.asarray(twirl_axis32, dtype),
+                "rotmat": np.asarray(rotmat32, dtype),
+                "intensity_scale": np.asarray(gi.intensity_scale, dtype),
             }
         )
 

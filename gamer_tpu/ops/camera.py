@@ -18,7 +18,11 @@ for vmap'd camera paths (fly-throughs).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .math3d import dot3
 
@@ -69,6 +73,22 @@ def inv_view_projection(camera, target, up, fov_deg, near=1.0, far=100.0):
     pinv = pinv.at[..., 3, 3].set(m22 / m23)
 
     return vinv @ pinv
+
+
+@functools.lru_cache(maxsize=1)
+def _inv_vp_jitted():
+    return jax.jit(inv_view_projection)
+
+
+def inv_view_projection_host(camera, target, up, fov_deg,
+                             dtype=np.float32) -> np.ndarray:
+    """inv_view_projection for HOST callers: one jitted dispatch + one
+    device read instead of ~30 eager ops (each eager op pays a full
+    client->device round trip on tunneled backends). dtype float64 serves
+    the x64 conformance path."""
+    return np.asarray(_inv_vp_jitted()(
+        np.asarray(camera, dtype), np.asarray(target, dtype),
+        np.asarray(up, dtype), np.asarray(fov_deg, dtype)))
 
 
 def coord2ray(i, j, width, inv_vp):

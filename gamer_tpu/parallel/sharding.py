@@ -76,13 +76,10 @@ def render_scene_sharded(scene: Scene, mesh: Optional[Mesh] = None,
             "choose a size that tiles over the mesh"
         )
     static, params = flatten_scene(scene, dtype)
-    camera = jnp.asarray(scene.camera.camera, dtype)
-    inv_vp = cam_ops.inv_view_projection(
-        camera,
-        jnp.asarray(scene.camera.target, dtype),
-        jnp.asarray(scene.camera.up, dtype),
-        jnp.asarray(scene.camera.fov, dtype),
-    )
+    camera = np.asarray(scene.camera.camera, dtype)
+    inv_vp = cam_ops.inv_view_projection_host(
+        camera, scene.camera.target, scene.camera.up, scene.camera.fov,
+        dtype=dtype)
     f = lambda v: jnp.asarray(v, dtype)
     call = sharded_render_fn(static, cfg.size, mesh)
     img = call(params, camera, inv_vp, f(cfg.ray_step), f(cfg.min_ray_step),

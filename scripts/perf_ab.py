@@ -63,13 +63,9 @@ def main() -> None:
     from gamer_tpu.engine.scene_prep import flatten_scene
 
     static, params = flatten_scene(scene, jnp.float32)
-    camera = jnp.asarray(scene.camera.camera, jnp.float32)
-    inv_vp = cam_ops.inv_view_projection(
-        camera,
-        jnp.asarray(scene.camera.target, jnp.float32),
-        jnp.asarray(scene.camera.up, jnp.float32),
-        jnp.asarray(scene.camera.fov, jnp.float32),
-    )
+    camera = np.asarray(scene.camera.camera, np.float32)
+    inv_vp = cam_ops.inv_view_projection_host(
+        camera, scene.camera.target, scene.camera.up, scene.camera.fov)
     cfg = scene.config
 
     defaults = {k: getattr(*resolve(k)) for k in
@@ -80,10 +76,10 @@ def main() -> None:
             m, a = resolve(k)
             setattr(m, a, v)
         pr._compiled.cache_clear()
-        lay, run = pr._compiled(static, size)
+        lay, run, _ = pr._compiled(static, size)
         sp = pr._pack_scalars(static, lay, params, camera, inv_vp,
-                              jnp.float32(cfg.ray_step),
-                              jnp.float32(cfg.min_ray_step))
+                              np.float32(cfg.ray_step),
+                              np.float32(cfg.min_ray_step))
         t0 = time.perf_counter()
         out = jax.block_until_ready(run(sp))
         print(f"[{name}] compiled+first-run in "
