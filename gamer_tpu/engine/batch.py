@@ -16,6 +16,7 @@ independent, so the only collective is the output gather.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -36,11 +37,9 @@ from .scene_prep import flatten_scene
 BATCH_AXIS = "batch"
 
 
+@functools.lru_cache(maxsize=1)
 def _post_batch_jit():
-
-    if not hasattr(_post_batch_jit, "_fn"):
-        _post_batch_jit._fn = jax.jit(jax.vmap(post_process))
-    return _post_batch_jit._fn
+    return jax.jit(jax.vmap(post_process))
 
 
 def _scene_rows(scenes: Sequence[Scene], dtype=jnp.float32):

@@ -51,11 +51,19 @@ from ..ops.tables import PERM_PACKED32
 from .scene_prep import SceneStatic, flatten_scene
 
 PI = 3.141592653589793
-# (32, 128) measured fastest on v5e for the 512px preset (interleaved A/B,
-# scripts/perf_ab.py: 8 -> 0.29s, 16 -> 0.23s, 32 -> 0.18s, 64 -> 0.24s):
-# once the per-step unconditional work is trigger-gated, fewer grid programs
-# beat tile-divergence costs up to 32 rows
+# Tile height by frame size (interleaved A/B on v5e, scripts/perf_ab.py):
+# at 512px 32 rows win (0.175s vs 0.24s for 64); from 1024px up 64 rows win
+# (1024: 0.40 vs 0.45, 2048: 1.43 vs 1.65, 4096: 5.49 vs 6.37; 128 loses
+# again at 4096) — higher resolution makes a tile's rays angularly tighter,
+# so divergence stops punishing tall tiles and fewer grid programs win
 TILE_R, TILE_C = 32, 128
+TILE_R_LARGE = 64
+
+
+def _tile_rows(size: int) -> int:
+    return TILE_R_LARGE if size >= 1024 else TILE_R
+
+
 MAX_ITERS = 8192  # hard safety cap; real trip counts are << this
 # march substeps per while-loop iteration: amortizes the per-iteration
 # overhead (loop condition's cross-lane reduction, scalar carries, Mosaic
@@ -167,15 +175,19 @@ def _pack_scalars(static: SceneStatic, lay: _Layout, params, camera, inv_vp,
                 put(cpre + f, cp[f])
             put(cpre + "spec", cp["spec"])
             if cs.cid in (CID_DUST2, CID_DUST_POSITIVE):
-                # per-octave pow(freq, -0.05) — scalar pow must run outside
-                # the kernel (noise.cpp:122); on device to match the XLA
-                # path's pow bit-for-bit
-                lac = jnp.float32(2.5)
-                freqs = jnp.asarray(cp["ks"], jnp.float32) * lac ** jnp.arange(
-                    RIDGED_OCTAVES, dtype=jnp.float32)
-                put(cpre + "ridged_w",
-                    np.asarray(jnp.power(freqs, jnp.float32(-0.05))))
+                put(cpre + "ridged_w", _ridged_weights(float(cp["ks"])))
     return row.reshape(1, lay.smem_rows, 128)
+
+
+@functools.lru_cache(maxsize=256)
+def _ridged_weights(ks: float) -> "np.ndarray":
+    """Per-octave pow(freq, -0.05) for the ridged MF — scalar pow cannot run
+    inside the kernel (noise.cpp:122). Computed ON DEVICE to match the XLA
+    path's pow bit-for-bit, memoized per ks so batches/fly-throughs sharing
+    a galaxy pay the device round trip once, not per frame."""
+    lac = jnp.float32(2.5)
+    freqs = jnp.float32(ks) * lac ** jnp.arange(RIDGED_OCTAVES, dtype=jnp.float32)
+    return np.asarray(jnp.power(freqs, jnp.float32(-0.05)))
 
 
 def _qt_clamp(v, lo, hi):
@@ -184,8 +196,8 @@ def _qt_clamp(v, lo, hi):
 
 
 def _make_kernel(static: SceneStatic, lay: _Layout, size: int,
-                 rows: int, cols: int, batched: bool = False,
-                 rays_input: bool = False):
+                 rows: int, cols: int, tr: int = TILE_R,
+                 batched: bool = False, rays_input: bool = False):
     """Build the kernel function for one scene structure.
 
     With `batched`, grid axis 0 indexes the batch element (frame of a
@@ -209,17 +221,17 @@ def _make_kernel(static: SceneStatic, lay: _Layout, size: int,
 
         if rays_input:
             # arbitrary ray directions (HEALPix all-sky mode)
-            rd0[:] = dx_ref[...].reshape(TILE_R, TILE_C)
-            rd1[:] = dy_ref[...].reshape(TILE_R, TILE_C)
-            rd2[:] = dz_ref[...].reshape(TILE_R, TILE_C)
+            rd0[:] = dx_ref[...].reshape(tr, TILE_C)
+            rd1[:] = dy_ref[...].reshape(tr, TILE_C)
+            rd2[:] = dz_ref[...].reshape(tr, TILE_C)
         else:
             # --- rays from the inverse view-projection (gamercamera.cpp:210-217)
             pid_r = pl.program_id(1 if batched else 0)
             pid_c = pl.program_id(2 if batched else 1)
-            jrow = (pid_r * TILE_R + jax.lax.broadcasted_iota(
-                jnp.int32, (TILE_R, TILE_C), 0)).astype(jnp.float32)
+            jrow = (pid_r * tr + jax.lax.broadcasted_iota(
+                jnp.int32, (tr, TILE_C), 0)).astype(jnp.float32)
             icol = (pid_c * TILE_C + jax.lax.broadcasted_iota(
-                jnp.int32, (TILE_R, TILE_C), 1)).astype(jnp.float32)
+                jnp.int32, (tr, TILE_C), 1)).astype(jnp.float32)
             half = float(size) * 0.5
             xx = icol / half - 1.0
             yy = jrow / half - 1.0
@@ -399,10 +411,12 @@ def _apply_bulge(S, pfx, cpre, px, py, pz, active, weight, ray_step,
         jnp.power(rad, -0.855) * jnp.exp(-jnp.sqrt(jnp.sqrt(rad))) - 0.05
     ) * S(pfx + "iscale")
     ival = jnp.where(ival < 0, jnp.zeros_like(ival), ival)
-    add = ival * ray_step * active.astype(jnp.float32)
-    I0[:] = I0[:] + S(cpre + "spec", 0) * add
-    I1[:] = I1[:] + S(cpre + "spec", 1) * add
-    I2[:] = I2[:] + S(cpre + "spec", 2) * add
+    # where-select, not multiply-by-mask: a NaN ival (e.g. pow of a negative
+    # rad under r0 < 0) on a finished lane must not poison the accumulator
+    add = ival * ray_step
+    I0[:] = jnp.where(active, I0[:] + S(cpre + "spec", 0) * add, I0[:])
+    I1[:] = jnp.where(active, I1[:] + S(cpre + "spec", 1) * add, I1[:])
+    I2[:] = jnp.where(active, I2[:] + S(cpre + "spec", 2) * add, I2[:])
 
 
 def _component_trigger(S, cpre, active, dott, radius):
@@ -662,36 +676,26 @@ def _find_difference(t1, t2):
 def _arm_value(static, inst, lay, S, pfx, cpre, radius, Px, Py, Pz, rot_by_rotmat):
     """galaxycomponent.h:120-146: max over per-arm pow(1-v, arm*15) with the
     reference's std::max NaN ordering (a NaN candidate never wins; a NaN
-    FIRST arm poisons the max).
+    FIRST arm poisons the max — harmless downstream because emission is
+    where-masked on val*weight > 0.0005, which NaN fails like the
+    reference's `continue`).
 
-    Computed as ONE pow of a selected base instead of max of N pows:
-    pow(., e) is monotone in the base (increasing for e>=0, decreasing over
-    positive bases for e<0), so the winning arm is the max base (e>=0) or
-    the min non-negative base (e<0; negative bases give NaN, which the
-    reference ladder skips). pow(0, e<0)=inf matches the ladder keeping inf.
-    The poisoned-first-arm case returns 0 instead of NaN: both are
-    pixel-identical because emission is where-masked on val*weight > 0.0005,
-    which NaN and 0 both fail (mirrors the reference's `continue`)."""
+    Deliberately the LITERAL pow ladder, not max-of-bases-then-one-pow:
+    pow(negative base, integral exponent) is FINITE under both std::pow and
+    XLA (e.g. pow(-3, 30) = 2e14) and can legitimately win the max when
+    arm*15 lands on an integer and an over-wound arm drives v above 1, so
+    a base-selection rewrite diverges from the conformance path exactly
+    there (and it measured perf-neutral anyway)."""
     rx, _, rz = rot_by_rotmat(Px, Py, Pz)
     theta = pn.atan2_f32(rx, rz) + S(cpre + "delta")
     ww = _get_winding(radius, S(pfx + "winding_b"), S(pfx + "winding_n"))
     arm15 = S(cpre + "arm") * 15.0
-    pos_exp = arm15 >= 0  # scalar
-    base = None
-    first_base = None
+    val = None
     for a in range(inst.max_arms):
         v = jnp.abs(_find_difference(ww, -theta + S(pfx + "arms", a))) / PI
-        b = 1.0 - v
-        if base is None:
-            base = b
-            first_base = b
-        else:
-            # Mosaic cannot select between i1 vectors — combine the two
-            # direction predicates with bitwise logic instead
-            take = ((b > base) & pos_exp) | ((b >= 0) & (b < base) & ~pos_exp)
-            base = jnp.where(take, b, base)
-    res = jnp.power(base, arm15)
-    return jnp.where(first_base < 0, jnp.zeros_like(res), res)
+        arm_v = jnp.power(1.0 - v, arm15)
+        val = arm_v if val is None else jnp.where(arm_v > val, arm_v, val)
+    return val
 
 
 # ---------------------------------------------------------------------------
@@ -702,12 +706,13 @@ def _arm_value(static, inst, lay, S, pfx, cpre, radius, Px, Py, Pz, rot_by_rotma
 @functools.lru_cache(maxsize=32)
 def _compiled(static: SceneStatic, size: int):
     lay = _build_layout(static)
-    rows = -(-size // TILE_R) * TILE_R
+    tr = _tile_rows(size)
+    rows = -(-size // tr) * tr
     cols = -(-size // TILE_C) * TILE_C
-    kernel = _make_kernel(static, lay, size, rows, cols)
+    kernel = _make_kernel(static, lay, size, rows, cols, tr=tr)
 
-    grid = (rows // TILE_R, cols // TILE_C)
-    vmem = lambda: pltpu.VMEM((TILE_R, TILE_C), jnp.float32)
+    grid = (rows // tr, cols // TILE_C)
+    vmem = lambda: pltpu.VMEM((tr, TILE_C), jnp.float32)
 
     # interpret mode on non-TPU backends (tests run on the CPU mesh)
     interpret = jax.default_backend() != "tpu"
@@ -720,19 +725,19 @@ def _compiled(static: SceneStatic, size: int):
         in_specs=[
             pl.BlockSpec((1, lay.smem_rows, 128), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILE_R, 128), lambda i, j: (0, 0),
+            pl.BlockSpec((tr, 128), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_R, TILE_C), lambda i, j: (i, j),
+            pl.BlockSpec((tr, TILE_C), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
         ] * 3,
         scratch_shapes=[vmem() for _ in range(11)]
-        + [pltpu.VMEM((TILE_R, TILE_C), jnp.int32)],
+        + [pltpu.VMEM((tr, TILE_C), jnp.int32)],
     )
 
     perm_rows = jnp.asarray(
-        np.broadcast_to(PERM_PACKED32, (TILE_R, 128)).copy())
+        np.broadcast_to(PERM_PACKED32, (tr, 128)).copy())
 
     @jax.jit
     def run(sp):
@@ -759,12 +764,13 @@ def _compiled_batch(static: SceneStatic, size: int, nbatch: int):
     """Batched variant: grid (nbatch, rows/8, cols/128); one SMEM scalar row
     and one output frame per batch element."""
     lay = _build_layout(static)
-    rows = -(-size // TILE_R) * TILE_R
+    tr = _tile_rows(size)
+    rows = -(-size // tr) * tr
     cols = -(-size // TILE_C) * TILE_C
-    kernel = _make_kernel(static, lay, size, rows, cols, batched=True)
+    kernel = _make_kernel(static, lay, size, rows, cols, tr=tr, batched=True)
 
-    grid = (nbatch, rows // TILE_R, cols // TILE_C)
-    vmem = lambda: pltpu.VMEM((TILE_R, TILE_C), jnp.float32)
+    grid = (nbatch, rows // tr, cols // TILE_C)
+    vmem = lambda: pltpu.VMEM((tr, TILE_C), jnp.float32)
     interpret = jax.default_backend() != "tpu"
 
     call = pl.pallas_call(
@@ -775,19 +781,19 @@ def _compiled_batch(static: SceneStatic, size: int, nbatch: int):
         in_specs=[
             pl.BlockSpec((1, lay.smem_rows, 128), lambda b, i, j: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILE_R, 128), lambda b, i, j: (0, 0),
+            pl.BlockSpec((tr, 128), lambda b, i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, TILE_R, TILE_C), lambda b, i, j: (b, i, j),
+            pl.BlockSpec((1, tr, TILE_C), lambda b, i, j: (b, i, j),
                          memory_space=pltpu.VMEM)
         ] * 3,
         scratch_shapes=[vmem() for _ in range(11)]
-        + [pltpu.VMEM((TILE_R, TILE_C), jnp.int32)],
+        + [pltpu.VMEM((tr, TILE_C), jnp.int32)],
     )
 
     perm_rows = jnp.asarray(
-        np.broadcast_to(PERM_PACKED32, (TILE_R, 128)).copy())
+        np.broadcast_to(PERM_PACKED32, (tr, 128)).copy())
 
     @jax.jit
     def run(sp_rows):

@@ -21,10 +21,14 @@ import jax.numpy as jnp
 
 PI = 3.141592653589793
 
-# Profiling hook (scripts/perf_ab.py): >0 caps every octave loop at this
-# count to measure the kernel's noise-cost share. NEVER set in production —
-# it changes rendered values.
+# Profiling hooks (scripts/perf_ab.py). NEVER set in production — they
+# change rendered values.
+# >0 caps every octave loop at this count (measures noise-cost share):
 ABLATE_OCTAVES = 0
+# nonzero replaces the table gathers with arithmetic of similar register
+# shape (measures the gather share of a noise eval; trip counts and gating
+# are unaffected because noise feeds emission values, not the march):
+ABLATE_GATHERS = 0
 
 
 # ---------------------------------------------------------------------------
@@ -78,6 +82,8 @@ def _packed_word(perm_rows, idx):
     """
     lane = idx & 127
     hi = (idx >> 7) & 1
+    if ABLATE_GATHERS:
+        return lane * jnp.int32(1103515245) & jnp.int32(0x7FFFFFF), hi
     return jnp.take_along_axis(perm_rows, lane, axis=1), hi
 
 

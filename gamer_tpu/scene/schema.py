@@ -61,8 +61,9 @@ class GalaxyParams:
 
     Semantics (paraphrasing the reference's galaxy-tab help):
       winding_b/winding_n — the log-spiral winding law: arm angle
-        theta(r) = atan(exp(-0.25/(0.5 r)) / B) * 2N, so B sets how fast
-        arms wrap and N the total wind count.
+        theta(r) = atan(exp(-0.25/(0.5 (r+0.05))) / B) * 2N (the renderer
+        offsets the radius by 0.05, galaxycomponent.h:156-165), so B sets
+        how fast arms wrap and N the total wind count.
       no_arms — number of spiral arms; compared EXACTLY against 1/2/3,
         any other value (including 0 or non-integers) enables all 4.
       arm1..arm4 — per-arm starting phase in radians.

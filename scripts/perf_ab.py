@@ -35,7 +35,13 @@ def main() -> None:
             if not kv:
                 continue
             k, _, v = kv.partition(":")
-            attrs[k] = int(v) if v.lstrip("-").isdigit() else v
+            try:
+                attrs[k] = int(v)
+            except ValueError:
+                try:
+                    attrs[k] = float(v)
+                except ValueError:
+                    attrs[k] = v
         specs.append((name, attrs))
     if not specs:
         specs = [("base", {"UNROLL": 1}), ("unroll4", {"UNROLL": 4})]

@@ -123,12 +123,16 @@ def test_pallas_allsky_matches_xla(fixtures_dir):
     assert np.abs(m_p - m_x).max() / scale < 1e-3
 
 
-def test_pallas_nan_arm_bases_do_not_poison():
-    """Extreme winding makes some arm bases (1 - v) negative, so
-    pow(base, arm*15) is NaN on those lanes. The reference skips such
-    samples (val*weight > 0.0005 is false for NaN); the kernel must drop
-    them via where-masked emission — multiply-by-mask would turn NaN*0
-    into NaN and poison the accumulator."""
+@pytest.mark.parametrize("arm", [2.5, 2.0])
+def test_pallas_nan_arm_bases_do_not_poison(arm):
+    """Extreme winding makes some arm bases (1 - v) negative. For
+    non-integral arm*15 pow(base, arm*15) is NaN on those lanes and the
+    reference skips them (val*weight > 0.0005 is false for NaN), so the
+    kernel must drop them via where-masked emission — multiply-by-mask
+    would turn NaN*0 into NaN and poison the accumulator. For INTEGRAL
+    arm*15 (arm=2.0 -> exponent 30) pow(negative, integral) is FINITE and
+    can legitimately win the arm max, so the kernel must keep the literal
+    pow ladder rather than a max-of-bases rewrite."""
     from gamer_tpu.engine.pallas_render import render_scene_pallas
     from gamer_tpu.engine.render import render_scene
     from gamer_tpu.scene.schema import (
@@ -142,7 +146,7 @@ def test_pallas_nan_arm_bases_do_not_poison():
             ComponentParams(class_name="bulge", strength=10.0, r0=4.0,
                             spectrum="Yellow"),
             ComponentParams(class_name="disk", strength=600.0, r0=0.4,
-                            arm=2.5, noise_tilt=0.4, spectrum="Blue"),
+                            arm=arm, noise_tilt=0.4, spectrum="Blue"),
         ],
     )
     scene = gamer_tpu.Scene(
