@@ -48,7 +48,7 @@ from ..scene.schema import (
     Scene,
 )
 from ..ops.tables import PERM_PACKED32
-from .scene_prep import SceneStatic, flatten_scene
+from .scene_prep import COMP_FIELDS, SceneStatic, flatten_scene
 
 PI = 3.141592653589793
 # Tile height by frame size (interleaved A/B on v5e, scripts/perf_ab.py):
@@ -64,7 +64,13 @@ def _tile_rows(size: int) -> int:
     return TILE_R_LARGE if size >= 1024 else TILE_R
 
 
-MAX_ITERS = 8192  # hard safety cap; real trip counts are << this
+# Hard safety cap on march substeps — guards against a non-terminating
+# while loop if the exit test goes NaN (stop compares false forever), NOT a
+# tuning knob. Worst legitimate trips = chord/min_step; 2^17 covers chords
+# up to 131 units at the 0.001 min step (the unit-ellipsoid scenes need
+# ~2500). The XLA/oracle paths have no cap; a scene that truly exceeds this
+# would truncate its camera-near segment.
+MAX_ITERS = 131072
 # march substeps per while-loop iteration: amortizes the per-iteration
 # overhead (loop condition's cross-lane reduction, scalar carries, Mosaic
 # loop scheduling) over UNROLL straight-line steps. Finished tiles run at
@@ -74,8 +80,6 @@ MAX_ITERS = 8192  # hard safety cap; real trip counts are << this
 # default 1 (3x faster kernel compiles); the knob stays for perf_ab tuning
 UNROLL = 1
 RIDGED_OCTAVES = 9
-COMP_FIELDS = ("strength", "arm", "z0", "r0", "inner", "delta", "winding",
-               "scale", "noise_offset", "noise_tilt", "ks")
 
 
 class _Layout:
@@ -380,9 +384,13 @@ def _march_instance(static, inst, lay, S, pfx, perm_rows, ray_step, min_step,
         p2[:] = pz - mdz * step * af
         tacc[:] = tacc[:] + step * af
         steppr[:] = jnp.where(active, step, steppr[:])
+        # RasterPixel::Floor semantics via math3d.floor0: negatives AND NaN
+        # go to 0 (v >= 0 keeps, everything else zeroes) — `v < 0` would
+        # keep a NaN emission and poison the rest of the march
         for ref in (I0, I1, I2):
             v = ref[:]
-            ref[:] = jnp.where(active & (v < 0), jnp.zeros_like(v), v)
+            ref[:] = jnp.where(
+                active, jnp.where(v >= 0, v, jnp.zeros_like(v)), v)
         # the cross-lane reduction is only needed once per while iteration
         return jnp.sum(1 - d) if count_active else None
 
@@ -508,9 +516,12 @@ def _component_emit(static, inst, cs, lay, S, pfx, cpre, perm_rows,
                     px, py, pz, gates, weight, ray_step, iscale, strength,
                     z, intensity, radius, Px, Py, Pz, rot_by_rotmat,
                     spec_r, spec_g, spec_b, I0, I1, I2):
-    t_s = _qt_clamp((radius - 0.0) / jnp.maximum(S(cpre + "inner"), 1e-38), 0.0, 1.0)
-    # qt_smoothstep with inner==0 -> x/0 -> inf -> clamps to 1 like the
-    # reference's NaN-clamp path; maximum() guards the literal 0/0 only
+    # qt_smoothstep(0, inner, radius) with the RAW division, exactly like
+    # math3d.qt_smoothstep: inner==0 -> inf (or NaN at radius==0) -> the
+    # qt_clamp NaN path gives 1; inner<0 -> negative -> 0 (component cut).
+    # A jnp.maximum(inner, tiny) guard would instead emit at full strength
+    # for ALL inner <= 0 — wrong in both directions
+    t_s = _qt_clamp(radius / S(cpre + "inner"), 0.0, 1.0)
     scale_inner_base = t_s * t_s * (3.0 - 2.0 * t_s)
     scale_inner = (scale_inner_base * scale_inner_base) * (scale_inner_base * scale_inner_base)
 

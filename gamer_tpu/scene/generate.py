@@ -68,7 +68,7 @@ def generate_galaxy_variations(template: GalaxyData, n: int, seed: int = 0,
         g = copy.deepcopy(template)
         p = g.params
         p.winding_b = p.winding_b * np.exp(rng.next_double(-jitter, jitter))
-        p.winding_n = p.winding_n
+        p.winding_n = p.winding_n * np.exp(rng.next_double(-jitter, jitter))
         phase = rng.next_double(0, 2 * np.pi)
         p.arm1, p.arm2, p.arm3, p.arm4 = (
             p.arm1 + phase, p.arm2 + phase, p.arm3 + phase, p.arm4 + phase)

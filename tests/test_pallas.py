@@ -161,3 +161,65 @@ def test_pallas_nan_arm_bases_do_not_poison(arm):
     assert ours.sum() > 0, "render unexpectedly empty"
     d = np.abs(ours.astype(np.int16) - ref.astype(np.int16))
     assert d.max() <= 2, f"wound-arm scene pallas vs xla: {d.max()}"
+
+
+def _scene_of(components, winding_b=0.5, winding_n=4.0, size=16):
+    from gamer_tpu.scene.schema import (
+        CameraParams, GalaxyData, GalaxyParams,
+    )
+
+    g = GalaxyData(
+        display_name="t",
+        params=GalaxyParams(winding_b=winding_b, winding_n=winding_n),
+        components=components,
+    )
+    return gamer_tpu.Scene(
+        camera=CameraParams(camera=(0.5, 0, 0), target=(0, 0, 0),
+                            up=(0, 1, 0), fov=90.0),
+        instances=[gamer_tpu.GalaxyInstance(galaxy=g)],
+        config=gamer_tpu.RenderConfig(size=size, ray_step=0.025),
+    )
+
+
+def test_pallas_nan_emission_floored_like_xla():
+    """stars with star_extra (negative noise_offset) and fractional tilt
+    produce pow(negative, 0.5)=NaN on EMITTING lanes; the in-march floor
+    must zero NaN like RasterPixel::Floor / math3d.floor0 — a `v < 0`
+    floor keeps NaN and white-saturates pixels through post."""
+    from gamer_tpu.engine.pallas_render import render_scene_pallas
+    from gamer_tpu.engine.render import render_scene
+    from gamer_tpu.scene.schema import ComponentParams
+
+    scene = _scene_of([
+        ComponentParams(class_name="stars", strength=50.0, r0=0.6, z0=0.2,
+                        scale=2.0, noise_offset=-4.0, noise_tilt=0.5,
+                        spectrum="White"),
+    ])
+    ours = render_scene_pallas(scene)
+    ref = render_scene(scene)
+    assert np.isfinite(ours.astype(np.float64)).all()
+    d = np.abs(ours.astype(np.int16) - ref.astype(np.int16))
+    assert d.max() <= 2, f"NaN-emission scene pallas vs xla: {d.max()}"
+
+
+def test_pallas_negative_inner_cuts_component():
+    """qt_smoothstep(0, inner, radius) with inner < 0 clamps to 0 — the
+    component contributes NOTHING (and inner == 0 contributes fully via the
+    NaN/inf clamp path). The kernel must use the raw division, not a
+    maximum(inner, tiny) guard that emits at full strength for inner <= 0."""
+    from gamer_tpu.engine.pallas_render import render_scene_pallas
+    from gamer_tpu.engine.render import render_scene
+    from gamer_tpu.scene.schema import ComponentParams
+
+    for inner in (-0.1, 0.0, 0.3):
+        scene = _scene_of([
+            ComponentParams(class_name="disk", strength=600.0, r0=0.4,
+                            arm=0.3, noise_tilt=0.3, inner=inner,
+                            spectrum="Blue"),
+        ])
+        ours = render_scene_pallas(scene)
+        ref = render_scene(scene)
+        d = np.abs(ours.astype(np.int16) - ref.astype(np.int16))
+        assert d.max() <= 2, f"inner={inner}: pallas vs xla {d.max()}"
+        if inner == -0.1:
+            assert int(ref.sum()) == 0, "negative inner must cut the component"
