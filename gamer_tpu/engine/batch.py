@@ -53,12 +53,17 @@ def _scene_rows(scenes: Sequence[Scene], dtype=jnp.float32):
                 "structure (same classes/arm ladder/star-extra flags)"
             )
     lay = _build_layout(static0)
+    # all camera matrices in ONE device dispatch (a per-scene dispatch costs
+    # a full round trip each on tunneled backends — ~0.45 s of a 16-frame
+    # fly-through before this)
+    inv_vps = cam_ops.inv_view_projection_host_batch(
+        [s.camera.camera for s in scenes],
+        [s.camera.target for s in scenes],
+        [s.camera.up for s in scenes],
+        [s.camera.fov for s in scenes], dtype=dtype)
     rows = []
-    for scene, (st, params) in zip(scenes, statics_params):
+    for scene, (st, params), inv_vp in zip(scenes, statics_params, inv_vps):
         camera = np.asarray(scene.camera.camera, dtype)
-        inv_vp = cam_ops.inv_view_projection_host(
-            camera, scene.camera.target, scene.camera.up, scene.camera.fov,
-            dtype=dtype)
         cfg = scene.config
         rows.append(_pack_scalars(
             static0, lay, params, camera, inv_vp,

@@ -101,6 +101,31 @@ def test_camera_rays_match_qtmath():
     np.testing.assert_array_equal(grid.reshape(-1, 3), ours)  # [j,i] layout
 
 
+def test_inv_vp_host_batch_matches_scalar():
+    """The batched camera-matrix helper must return, for every pose, the
+    SAME matrix the scalar helper returns in-process (the batch==single
+    exact-equality contract of render_flythrough rides on this)."""
+    rng = np.random.default_rng(7)
+    cams = rng.normal(size=(6, 3)).astype(np.float32)
+    tgts = (rng.normal(size=(6, 3)) * 0.1).astype(np.float32)
+    ups = np.tile(np.array([0, 1, 0], np.float32), (6, 1))
+    fovs = rng.uniform(40.0, 110.0, size=(6,)).astype(np.float32)
+
+    # scalar path first for pose 0, batch path for all, scalar after for 1
+    first = cam_ops.inv_view_projection_host(cams[0], tgts[0], ups[0], fovs[0])
+    batch = cam_ops.inv_view_projection_host_batch(cams, tgts, ups, fovs)
+    np.testing.assert_array_equal(batch[0], first)
+    after = cam_ops.inv_view_projection_host(cams[1], tgts[1], ups[1], fovs[1])
+    np.testing.assert_array_equal(batch[1], after)
+    # duplicate poses map to identical rows
+    batch2 = cam_ops.inv_view_projection_host_batch(
+        cams[[2, 2]], tgts[[2, 2]], ups[[2, 2]], fovs[[2, 2]])
+    np.testing.assert_array_equal(batch2[0], batch2[1])
+    np.testing.assert_array_equal(batch2[0], batch[2])
+    # all are sane inverses of finite matrices
+    assert np.isfinite(batch).all()
+
+
 def test_qt_clamp_nan_semantics():
     v = jnp.array([jnp.nan, -5.0, 0.5, 5.0])
     out = np.asarray(qt_clamp(v, 0.0, 1.0))
