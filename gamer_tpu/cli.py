@@ -169,7 +169,7 @@ def cmd_renderhpx(argv) -> int:
         return 1
     import numpy as np
 
-    from .engine.render import post_process
+    from .engine.queue import _post_jitted
     from .io.fits import read_fits_image
     from .post.mollweide import mollweide_image
 
@@ -182,7 +182,7 @@ def cmd_renderhpx(argv) -> int:
         return 1
     size = int(argv[2])
     buf = mollweide_image(hpx, nside, size)
-    img = np.asarray(post_process(
+    img = np.asarray(_post_jitted()(
         jnp.asarray(buf), jnp.float32(float(argv[4])),
         jnp.float32(float(argv[5])), jnp.float32(float(argv[6]))))
     out = _save_png(img, argv[3])

@@ -22,7 +22,7 @@ from ..ops import camera as cam_ops  # noqa: F401  (kept for API symmetry)
 from ..post.healpix import npix, pix2vec_ring
 from ..post.mollweide import mollweide_image
 from ..scene.schema import Scene
-from .render import post_process, render_rays
+from .render import render_rays
 from .scene_prep import flatten_scene
 
 
@@ -59,7 +59,9 @@ def render_allsky_image(scene: Scene, nside: int, size: int,
     hpx = render_allsky_map(scene, nside, dtype)
     buf = mollweide_image(hpx, nside, size)
     cfg = scene.config
-    img = post_process(
+    from .queue import _post_jitted  # one dispatch, not ~10 eager ones
+
+    img = _post_jitted()(
         jnp.asarray(buf), jnp.asarray(cfg.exposure, dtype),
         jnp.asarray(cfg.gamma, dtype), jnp.asarray(cfg.saturation, dtype),
     )

@@ -12,6 +12,7 @@ reference FIFO; the pixels inside a job are where the parallelism is.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from dataclasses import dataclass
 from typing import Callable, List, Optional
@@ -107,15 +108,26 @@ def render_progressive(scene: Scene, chunks: int = 16,
     return _assemble(linear[:size], cfg, dtype)
 
 
+@functools.lru_cache(maxsize=1)
+def _post_jitted():
+    import jax
+
+    return jax.jit(post_process)
+
+
 def _assemble(linear: np.ndarray, cfg, dtype) -> np.ndarray:
-    """Radiance -> (+ star field) -> post chain (rasterizer.cpp:315-327)."""
+    """Radiance -> (+ star field) -> post chain (rasterizer.cpp:315-327).
+
+    The post chain runs as ONE jitted dispatch — eagerly it is ~10 device
+    dispatches, each a full round trip on tunneled backends, paid per
+    progress tick."""
     lin = linear
     if cfg.no_stars > 0:
         lin = lin + render_star_field(
             cfg.size, cfg.no_stars, cfg.star_size, cfg.star_size_spread,
             cfg.star_strength, cfg.star_seed,
         )
-    img = post_process(
+    img = _post_jitted()(
         jnp.asarray(lin, dtype), jnp.asarray(cfg.exposure, dtype),
         jnp.asarray(cfg.gamma, dtype), jnp.asarray(cfg.saturation, dtype),
     )
