@@ -183,6 +183,28 @@ def test_golden_render_vs_oracle(fixtures_dir, fixture):
     assert (d.max(-1) > 0).mean() < 0.05, f"{fixture}: mismatch fraction too high"
 
 
+@pytest.mark.parametrize("fixture", ["RedBar", "Irregular"])
+def test_golden_offaxis_knobs_vs_oracle(fixtures_dir, fixture):
+    """Conformance away from the canonical preset: off-axis camera, tilted
+    up vector, non-default fov and post knobs, coarser ray step."""
+    from gamer_tpu.engine.render import render_scene
+
+    g = gax.load(fixtures_dir / f"{fixture}.gax")
+    scene = gamer_tpu.Scene(
+        camera=gamer_tpu.CameraParams(camera=(0.9, 0.45, -0.6),
+                                      target=(0.05, -0.02, 0.1),
+                                      up=(0.15, 1.0, -0.1), fov=55.0),
+        instances=[gamer_tpu.GalaxyInstance(galaxy=g)],
+        config=gamer_tpu.RenderConfig(size=24, ray_step=0.04, exposure=1.7,
+                                      gamma=1.25, saturation=0.6),
+    )
+    ours = render_scene(scene)
+    ref, _ = render_oracle(scene)
+    d = np.abs(ours.astype(np.int16) - ref.astype(np.int16))
+    assert d.max() <= 2, f"{fixture}: max diff {d.max()}"
+    assert (d.max(-1) > 1).mean() < 0.02, f"{fixture}: mismatch fraction"
+
+
 def test_multi_instance_scene(fixtures_dir):
     """Two instances, far->near composited; matches the oracle."""
     from gamer_tpu.engine.render import render_scene
