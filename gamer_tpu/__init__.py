@@ -10,6 +10,25 @@ for multi-chip rendering.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: a fresh process re-rendering a known
+# (structure, size) pays ~0 compile time instead of 20 s-7 min (tunneled TPU
+# compiles are slow and high-variance). Opt out / redirect with the standard
+# JAX_COMPILATION_CACHE_DIR env var; failures (read-only fs, old jax) are
+# non-fatal because the cache is a pure optimization.
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.expanduser("~/.cache/gamer_tpu/jax_cache"),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover
+        pass
+
 from .scene import (  # noqa: F401
     CameraParams,
     ComponentParams,
