@@ -51,9 +51,11 @@ if kernel == "pallas":
 else:
     from gamer_tpu.engine.render import render_scene as render
 render(scene)  # compile + warm
-t0 = time.perf_counter()
-img = render(scene)
-dt = time.perf_counter() - t0
+dt = float("inf")
+for _ in range(3):  # best-of-3: the tunneled link adds +-50% noise per call
+    t0 = time.perf_counter()
+    img = render(scene)
+    dt = min(dt, time.perf_counter() - t0)
 print(json.dumps({"ok": True, "size": size, "dt": dt,
                   "checksum": int(img.astype("int64").sum())}))
 """
