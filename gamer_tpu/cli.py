@@ -19,6 +19,8 @@ Extensions beyond the reference (same spirit, scene-dict world):
                                       the linear radiance buffer)
   allsky <gaxfile> <nside> <size> <outfile>   HEALPix all-sky + Mollweide
   info <gaxfile>                      print a galaxy as a scene dict
+  flythrough <gaxfile> <frames> <size> <outprefix>   orbit path rendered as
+                                      ONE batched launch; PNG frames + GIF
 """
 
 from __future__ import annotations
@@ -48,6 +50,7 @@ Commands:
    allsky <gax file> <nside> <size> <outfile>
    render <scene.json> <outfile>
    info <gax file>
+   flythrough <gax file> <frames> <size> <outprefix>
 <method>: omp | thread | pallas (TPU kernel) | xla | oracle | sharded
 """
 
@@ -244,6 +247,40 @@ def cmd_info(argv) -> int:
     return 0
 
 
+def cmd_flythrough(argv) -> int:
+    """Orbit fly-through as ONE batched kernel launch (BASELINE config 4) —
+    the reference renders camera paths one queued frame at a time
+    (renderqueue.cpp:63-87); here the whole path is a single batch axis.
+    Writes <outprefix>_NNN.png per frame plus an animated <outprefix>.gif."""
+    if len(argv) != 5:
+        print(USAGE)
+        return 1
+    from PIL import Image
+
+    from .engine.batch import render_flythrough
+    from .scene.cameracontrols import orbit_path
+
+    frames = int(argv[2])
+    size = int(argv[3])
+    scene = Scene(
+        camera=CameraParams(camera=(0.5, 0, 0), target=(0, 0, 0), up=(0, 1, 0),
+                            fov=90.0),
+        instances=[GalaxyInstance(galaxy=gax.load(argv[1]))],
+        config=RenderConfig(size=size, ray_step=0.025),
+    )
+    cams = orbit_path(scene.camera, frames)
+    with ScopedTimer(f"{frames}-frame fly-through"):
+        imgs = render_flythrough(scene, cams)
+    prefix = argv[4]
+    for i, frame in enumerate(imgs):
+        Image.fromarray(frame).save(f"{prefix}_{i:03d}.png")
+    Image.fromarray(imgs[0]).save(
+        f"{prefix}.gif", save_all=True, duration=80, loop=0,
+        append_images=[Image.fromarray(f) for f in imgs[1:]])
+    print(f"Saved {frames} frames to {prefix}_NNN.png and {prefix}.gif")
+    return 0
+
+
 def _backend_desc(method: str) -> str:
     if method == "oracle":
         return "the spec-exact CPU oracle"
@@ -263,6 +300,7 @@ COMMANDS = {
     "allsky": cmd_allsky,
     "render": cmd_render,
     "info": cmd_info,
+    "flythrough": cmd_flythrough,
 }
 
 

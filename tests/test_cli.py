@@ -54,6 +54,19 @@ def test_galaxy_renders_png(tmp_path, fixtures_dir):
     assert d.max() <= 1
 
 
+def test_flythrough_writes_frames_and_gif(tmp_path, fixtures_dir):
+    prefix = tmp_path / "orbit"
+    argv = ["flythrough", str(fixtures_dir / "VortexCloud.gax"),
+            "3", "16", str(prefix)]
+    assert main(argv) == 0
+    frames = [np.asarray(Image.open(f"{prefix}_{i:03d}.png")) for i in range(3)]
+    assert all(f.shape == (16, 16, 3) for f in frames)
+    assert frames[0].sum() > 0
+    assert (frames[0] != frames[1]).any()  # the camera actually moved
+    gif = Image.open(f"{prefix}.gif")
+    assert getattr(gif, "n_frames", 1) == 3
+
+
 def test_info_prints_scene_dict(capsys, fixtures_dir):
     assert main(["info", str(fixtures_dir / "Spiral.gax")]) == 0
     out = capsys.readouterr().out
