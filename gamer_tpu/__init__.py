@@ -17,13 +17,37 @@ import os as _os
 # compiles are slow and high-variance). Opt out / redirect with the standard
 # JAX_COMPILATION_CACHE_DIR env var; failures (read-only fs, old jax) are
 # non-fatal because the cache is a pure optimization.
+#
+# The directory is partitioned by a host-CPU fingerprint: XLA:CPU AOT
+# artifacts bake in the compile machine's target features, and loading them
+# on a host with different features risks SIGILL (XLA only warns). A cache
+# dir that outlives one machine (home dir persisted across runners) must
+# therefore never be shared between CPUs.
+
+
+def _host_fingerprint() -> str:
+    import hashlib
+    import platform
+
+    parts = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    parts.append(line.strip())
+                    break
+    except OSError:  # pragma: no cover - non-Linux
+        parts.append(platform.processor())
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+
+
 if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
     try:
         import jax as _jax
 
         _jax.config.update(
             "jax_compilation_cache_dir",
-            _os.path.expanduser("~/.cache/gamer_tpu/jax_cache"),
+            _os.path.expanduser(f"~/.cache/gamer_tpu/jax_cache-{_host_fingerprint()}"),
         )
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover

@@ -51,6 +51,9 @@ Commands:
    render <scene.json> <outfile>
    info <gax file>
    flythrough <gax file> <frames> <size> <outprefix>
+   fit <camera x y z> <target x y z> <up x y z> <fov> <exposure> <gamma>
+       <saturation> <ray step> <gax file> <target image> <out gax>
+       [steps=100] [lr=0.02] [fields=strength,r0,z0]
 <method>: omp | thread | pallas (TPU kernel) | xla | oracle | sharded
 """
 
@@ -281,6 +284,58 @@ def cmd_flythrough(argv) -> int:
     return 0
 
 
+def cmd_fit(argv) -> int:
+    """Gradient-based galaxy fitting (inverse rendering; engine/fit.py).
+
+    Optimizes the named parameter fields of <gax file> so its render from
+    the given camera matches <target image>, then writes the fitted galaxy
+    to <out gax>. A capability with no reference equivalent — the reference
+    matches a look by hand in the Qt editor; here every editor knob is a
+    differentiable degree of freedom.
+    """
+    if not 18 <= len(argv) <= 21:
+        print(f"{len(argv)}\nIncorrect usage/parameters for fit. Usage:")
+        print(USAGE)
+        return 1
+    import numpy as np
+    from PIL import Image
+
+    from .engine.fit import DEFAULT_FIT_FIELDS, fit_scene
+
+    vals = [float(v) for v in argv[1:15]]
+    gax_file, target_file, out_file = argv[15], argv[16], argv[17]
+    steps = int(argv[18]) if len(argv) > 18 else 100
+    lr = float(argv[19]) if len(argv) > 19 else 2e-2
+    fields = tuple(argv[20].split(",")) if len(argv) > 20 else DEFAULT_FIT_FIELDS
+
+    target = np.asarray(Image.open(target_file).convert("RGB"))
+    if target.shape[0] != target.shape[1]:
+        print("fit: target image must be square")
+        return 1
+    scene = Scene(
+        camera=CameraParams(camera=tuple(vals[0:3]), target=tuple(vals[3:6]),
+                            up=tuple(vals[6:9]), fov=vals[9]),
+        instances=[GalaxyInstance(galaxy=gax.load(gax_file))],
+        config=RenderConfig(size=target.shape[0], ray_step=vals[13],
+                            exposure=vals[10], gamma=vals[11],
+                            saturation=vals[12], is_preview=True),
+    )
+    print(f"Fitting {','.join(fields)} of {gax_file} to {target_file} "
+          f"({steps} steps, lr {lr}) ...")
+    t0 = time.perf_counter()
+
+    def on_step(i, loss):
+        print(f"\r[ step {i + 1}/{steps} ]  loss {loss:.6f} ", end="", flush=True)
+
+    result = fit_scene(scene, target, fields, steps=steps, lr=lr,
+                       on_step=on_step)
+    print(f"\nloss {result.losses[0]:.6f} -> {result.losses[-1]:.6f} in "
+          f"{format_ms((time.perf_counter() - t0) * 1000.0)}")
+    gax.save(result.scene.instances[0].galaxy, out_file)
+    print(f"Saved fitted galaxy to {out_file}")
+    return 0
+
+
 def _backend_desc(method: str) -> str:
     if method == "oracle":
         return "the spec-exact CPU oracle"
@@ -301,6 +356,7 @@ COMMANDS = {
     "render": cmd_render,
     "info": cmd_info,
     "flythrough": cmd_flythrough,
+    "fit": cmd_fit,
 }
 
 

@@ -2,3 +2,18 @@
 
 from .render import post_process, render_rays, render_scene  # noqa: F401
 from .scene_prep import SceneStatic, flatten_scene  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy: the differentiable path + fitting pull in extra deps (optax)
+    # that plain rendering never needs.
+    if name in ("fit_scene", "apply_fit_to_scene", "FitResult"):
+        from . import fit
+
+        return getattr(fit, name)
+    if name in ("render_rays_diff", "render_frame_diff", "post_process_float",
+                "safe_pow", "conservative_step_bound", "step_bound_for_scene"):
+        from . import diff
+
+        return getattr(diff, name)
+    raise AttributeError(name)

@@ -1,0 +1,280 @@
+"""Gradient-based galaxy fitting — inverse rendering on top of engine/diff.
+
+Given a target image and an initial scene, optimize selected galaxy
+parameters so the rendered frame matches the target, by running Adam on
+gradients taken *through the whole render pipeline* (scan march + float
+post, engine/diff.py). Nothing comparable exists in the reference — its
+only workflow for matching a look is hand-tuning in the Qt editor
+(mainwindow.cpp parameter tabs); this module turns every one of those tab
+knobs into a differentiable degree of freedom.
+
+Design notes:
+  - The scene STRUCTURE stays fixed (same compiled render serves every
+    optimizer step — the architecture invariant from engine/scene_prep);
+    only numeric leaves move.
+  - Which leaves move is chosen by field name (``fit_fields``) over the
+    flattened params pytree: per-component knobs (strength, r0, z0, arm,
+    delta, winding, scale, noise_offset, noise_tilt, ks, inner, spec) and
+    instance/galaxy-level knobs (intensity_scale, position, axis,
+    winding_b, winding_n, arms). Derived rotation state (orientation,
+    rotmat, twirl_axis) and the structural arm-ladder count (no_arms) are
+    never fitted.
+  - Gradients are sanitized (nan_to_num) and masked, then a projection
+    step clamps fields with hard domain constraints (z0/r0/winding_b
+    appear in divisions).
+  - ``apply_fit_to_scene`` writes fitted leaves back into a deep copy of
+    the Scene (the exact inverse of scene_prep.flatten_scene's traversal),
+    so results round-trip to .gax / scene-dict form.
+"""
+
+from __future__ import annotations
+
+import copy
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..oracle import qtmath as qm
+from ..ops import camera as cam_ops
+from ..scene.schema import Scene
+from .diff import post_process_float, render_rays_diff, step_bound_for_scene
+from .scene_prep import COMP_FIELDS, flatten_scene
+
+# Component-level + instance/galaxy-level leaves that may be optimized.
+COMP_FITTABLE = COMP_FIELDS + ("spec",)
+INSTANCE_FITTABLE = (
+    "intensity_scale", "position", "axis", "winding_b", "winding_n", "arms",
+)
+FITTABLE_FIELDS = COMP_FITTABLE + INSTANCE_FITTABLE
+
+# Hard domain constraints, projected after each update: these leaves are
+# divided by (or exponentiate) in the shading math.
+_FIT_BOUNDS = {
+    "z0": 1e-4,
+    "r0": 1e-4,
+    "winding_b": 1e-3,
+    "scale": 0.0,
+    # inner == 0 puts a zero-width edge into qt_smoothstep (0/0 division):
+    # forward-harmless (NaN -> clamp -> 1, matching the oracle) but its
+    # gradient is identically NaN, so a fitted inner is kept off zero —
+    # smoothstep(0, 1e-4, r) is visually identical to inner = 0.
+    "inner": 1e-4,
+}
+
+DEFAULT_FIT_FIELDS = ("strength", "r0", "z0")
+
+
+@dataclass
+class FitResult:
+    """Outcome of fit_scene: fitted scene + optimization trace."""
+
+    scene: Scene                      # deep copy with fitted values written back
+    params: tuple                     # fitted flattened params pytree
+    losses: List[float] = field(default_factory=list)
+    fit_fields: Tuple[str, ...] = ()
+
+
+def _leaf_name(path) -> str:
+    """Last dict key on a tree path ('' for positional-only paths)."""
+    for entry in reversed(path):
+        key = getattr(entry, "key", None)
+        if isinstance(key, str):
+            return key
+    return ""
+
+
+def _fit_mask(params, fit_fields: Sequence[str]):
+    wanted = set(fit_fields)
+    unknown = wanted - set(FITTABLE_FIELDS)
+    if unknown:
+        raise ValueError(
+            f"unknown fit fields {sorted(unknown)}; fittable: {FITTABLE_FIELDS}"
+        )
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: jnp.float32(1.0 if _leaf_name(path) in wanted else 0.0),
+        params,
+    )
+
+
+def _project_bounds(params, fit_fields: Sequence[str]):
+    wanted = set(fit_fields) & set(_FIT_BOUNDS)
+    if not wanted:
+        return params
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: (
+            jnp.maximum(leaf, _FIT_BOUNDS[_leaf_name(path)])
+            if _leaf_name(path) in wanted else leaf
+        ),
+        params,
+    )
+
+
+def fit_scene(
+    scene: Scene,
+    target_image,
+    fit_fields: Sequence[str] = DEFAULT_FIT_FIELDS,
+    *,
+    steps: int = 100,
+    lr: float = 2e-2,
+    max_steps: Optional[int] = None,
+    optimizer=None,
+    on_step: Optional[Callable[[int, float], None]] = None,
+) -> FitResult:
+    """Fit ``fit_fields`` of ``scene`` so its render matches ``target_image``.
+
+    target_image: (size, size, 3) uint8 or float array in [0, 255] — the
+    post-processed image space (what the reference saves to PNG). The loss
+    is the mean squared error in [0, 1]-normalized image space.
+
+    Returns a FitResult whose ``scene`` is a deep copy with the fitted
+    values written back (round-trippable to .gax / scene dict).
+    """
+    import optax
+
+    target = jnp.asarray(np.asarray(target_image, np.float32) / 255.0)
+    size = target.shape[0]
+    if target.shape != (size, size, 3):
+        raise ValueError(f"target must be (N, N, 3), got {target.shape}")
+    if size != scene.config.size:
+        raise ValueError(
+            f"target size {size} != scene.config.size {scene.config.size}"
+        )
+
+    cfg = scene.config
+    static, params0 = flatten_scene(scene)
+    params = jax.tree_util.tree_map(jnp.asarray, params0)
+    camera = jnp.asarray(scene.camera.camera, jnp.float32)
+    inv_vp = jnp.asarray(cam_ops.inv_view_projection_host(
+        np.asarray(scene.camera.camera, np.float32),
+        scene.camera.target, scene.camera.up, scene.camera.fov,
+    ))
+    dirs = cam_ops.ray_grid(size, inv_vp)
+    trip_bound = max_steps if max_steps is not None else step_bound_for_scene(scene)
+    f = jnp.float32
+
+    def loss_fn(p):
+        linear = render_rays_diff(
+            static, p, dirs, camera, f(cfg.ray_step), f(cfg.min_ray_step),
+            trip_bound,
+        )
+        img = post_process_float(
+            linear, f(cfg.exposure), f(cfg.gamma), f(cfg.saturation)
+        ) / 255.0
+        return jnp.mean((img - target) ** 2)
+
+    mask = _fit_mask(params, fit_fields)
+    # Project the starting point too: a fitted field sitting exactly on a
+    # singular value (e.g. inner == 0) would never receive a usable gradient.
+    params = _project_bounds(params, fit_fields)
+    if optimizer is None:
+        opt = optax.adam(lr)
+        # Relative stepping: galaxy knobs span ~4 orders of magnitude
+        # (strength O(10^2..10^3), z0 O(10^-2)); Adam's unit-norm steps
+        # would take thousands of iterations to move a large strength, so
+        # scale each leaf's update by its initial magnitude — lr becomes a
+        # per-step relative change (0.02 = ~2%/step).
+        rel = jax.tree_util.tree_map(
+            lambda leaf: jnp.maximum(jnp.abs(jnp.asarray(leaf)), 0.1), params
+        )
+    else:
+        opt = optimizer
+        rel = jax.tree_util.tree_map(
+            lambda leaf: jnp.ones_like(jnp.asarray(leaf)), params
+        )
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step_fn(p, s):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        grads = jax.tree_util.tree_map(
+            lambda g, m: jnp.nan_to_num(g) * m, grads, mask
+        )
+        updates, s = opt.update(grads, s, p)
+        updates = jax.tree_util.tree_map(lambda u, r: u * r, updates, rel)
+        p = optax.apply_updates(p, updates)
+        return _project_bounds(p, fit_fields), s, loss
+
+    losses: List[float] = []
+    for i in range(steps):
+        params, opt_state, loss = step_fn(params, opt_state)
+        losses.append(float(loss))
+        if on_step is not None:
+            on_step(i, losses[-1])
+
+    fitted = jax.tree_util.tree_map(np.asarray, params)
+    return FitResult(
+        scene=apply_fit_to_scene(scene, fitted, fit_fields),
+        params=fitted,
+        losses=losses,
+        fit_fields=tuple(fit_fields),
+    )
+
+
+def apply_fit_to_scene(scene: Scene, params, fit_fields: Sequence[str]) -> Scene:
+    """Write fitted params back into a deep copy of ``scene``.
+
+    Inverts scene_prep.flatten_scene's traversal: instances are matched in
+    the same far->near sorted order, components through the same
+    active/known/deterministic filter. A fitted ``spec`` leaf becomes a new
+    named spectrum (``fit:<instance>:<component>``) registered in the
+    scene's spectra table, since spectra are by-name in the schema.
+    """
+    from ..scene.spectra import BUILTIN_SPECTRA
+
+    new_scene = copy.deepcopy(scene)
+    # Undo potential aliasing: instances sharing one GalaxyData must not
+    # receive each other's fitted values.
+    for gi in new_scene.instances:
+        gi.galaxy = copy.deepcopy(gi.galaxy)
+
+    wanted = set(fit_fields)
+    cam32 = np.asarray(scene.camera.camera, np.float32)
+    order = sorted(
+        range(len(new_scene.instances)),
+        key=lambda i: -float(qm.length32(
+            (np.asarray(new_scene.instances[i].position, np.float32) - cam32
+             ).astype(np.float32)
+        )),
+    )
+    if "spec" in wanted and new_scene.spectra is None:
+        new_scene.spectra = dict(BUILTIN_SPECTRA)
+
+    for k, inst_idx in enumerate(order):
+        pr = params[k]
+        gi = new_scene.instances[inst_idx]
+        gp = gi.galaxy.params
+        if "intensity_scale" in wanted:
+            gi.intensity_scale = float(pr["intensity_scale"])
+        if "position" in wanted:
+            gi.position = tuple(float(v) for v in pr["position"])
+        if "axis" in wanted:
+            gp.axis = tuple(float(v) for v in pr["axis"])
+        if "winding_b" in wanted:
+            gp.winding_b = float(pr["winding_b"])
+        if "winding_n" in wanted:
+            gp.winding_n = float(pr["winding_n"])
+        if "arms" in wanted:
+            gp.arm1, gp.arm2, gp.arm3, gp.arm4 = (
+                float(v) for v in pr["arms"]
+            )
+
+        fitted_comps = [
+            cp for cp in gi.galaxy.components
+            if cp.active == 1 and cp.cid >= 0
+            and not (cp.cid == 6 and scene.config.deterministic)
+        ]
+        assert len(fitted_comps) == len(pr["comps"]), (
+            "scene structure changed between flatten and write-back"
+        )
+        for j, (cp, cpp) in enumerate(zip(fitted_comps, pr["comps"])):
+            for fname in COMP_FIELDS:
+                if fname in wanted:
+                    setattr(cp, fname, float(cpp[fname]))
+            if "spec" in wanted:
+                name = f"fit:{inst_idx}:{j}"
+                new_scene.spectra[name] = tuple(float(v) for v in cpp["spec"])
+                cp.spectrum = name
+    return new_scene

@@ -81,7 +81,7 @@ def _perlin_cloud(p, t, octaves, ks, pers, orientation):
     )
 
 
-def _arm_value(st: InstanceStatic, pr, cp, radius, P):
+def _arm_value(st: InstanceStatic, pr, cp, radius, P, pow_fn=jnp.power):
     """galaxycomponent.h:120-146 — max over the arm equality-ladder count,
     with std::max NaN ordering (a NaN candidate never wins)."""
     rot = quat_rotate(pr["rotmat"], P)
@@ -90,7 +90,7 @@ def _arm_value(st: InstanceStatic, pr, cp, radius, P):
     val = None
     for a in range(st.max_arms):
         v = jnp.abs(_find_difference(ww, -theta + pr["arms"][a])) / PI
-        arm_v = jnp.power(1.0 - v, cp["arm"] * 15.0)
+        arm_v = pow_fn(1.0 - v, cp["arm"] * 15.0)
         val = arm_v if val is None else jnp.where(arm_v > val, arm_v, val)
     return val
 
@@ -106,12 +106,20 @@ def _apply_component(
     I,
     winding,
     ray_step,
+    pow_fn=jnp.power,
 ):
     """One component's contribution at the current sample points.
 
     Mirrors GalaxyComponent::calculateIntensity (galaxycomponent.cpp:45-88)
     + the componentIntensity kernels (galaxycomponents.cpp). Returns the
     updated (I, winding).
+
+    ``pow_fn`` is ``jnp.power`` on the conformance path; the differentiable
+    path (engine/diff.py) passes a gradient-safe pow whose primal is
+    identical but whose cotangents are zeroed where the true derivative is
+    non-finite (pow(x<=0, traced exponent) lanes, which the forward math
+    discards via NaN-ordering/where masks but which would otherwise poison
+    reverse-mode gradients).
     """
     orientation = pr["orientation"]
     twirl_axis = pr["twirl_axis"]
@@ -144,7 +152,7 @@ def _apply_component(
 
     scale_inner = jnp.power(qt_smoothstep(0.0, 1.0 * cp["inner"], radius), 4.0)
     if cs.arm_enabled:
-        arm_val = _arm_value(st, pr, cp, radius, P)
+        arm_val = _arm_value(st, pr, cp, radius, P, pow_fn)
         if cs.winding_enabled:
             new_wind = _get_winding(radius, pr["winding_b"], pr["winding_n"]) * cp["winding"]
         else:
@@ -162,14 +170,14 @@ def _apply_component(
     if cs.cid == CID_DISK:
         p2 = jnp.abs(_perlin_cloud(p, winding, 10, cp["scale"], cp["ks"], twirl_axis))
         p2 = jnp.maximum(p2, 0.01)
-        p2 = jnp.power(p2, cp["noise_tilt"])
+        p2 = pow_fn(p2, cp["noise_tilt"])
         p2 = p2 + cp["noise_offset"]
         add = spec * (ival * p2 * ray_step)[..., None]
         I = jnp.where((emit & (p2 >= 0))[..., None], I + add, I)
     elif cs.cid == CID_DUST:
         p2 = _perlin_cloud(p, winding, 9, cp["scale"], cp["ks"], twirl_axis)
         p2 = jnp.maximum(p2 - cp["noise_offset"], 0.0)
-        p2 = qt_clamp(jnp.power(5.0 * p2, cp["noise_tilt"]), -10.0, 10.0)
+        p2 = qt_clamp(pow_fn(5.0 * p2, cp["noise_tilt"]), -10.0, 10.0)
         att = jnp.exp(-p2[..., None] * ival[..., None] * spec * 0.01)
         I = jnp.where(emit[..., None], I * att, I)
     elif cs.cid in (CID_DUST2, CID_DUST_POSITIVE):
@@ -196,7 +204,7 @@ def _apply_component(
             add_n = add_n + 0.5 * cp["noise_offset"] * _perlin_cloud(
                 p, winding * 0.5, 4, 4.0, -2.0, twirl_axis
             )
-        v = jnp.abs(jnp.power(perlin + 1.0 + add_n, cp["noise_tilt"]))
+        v = jnp.abs(pow_fn(perlin + 1.0 + add_n, cp["noise_tilt"]))
         add = spec * (ival * v * ray_step)[..., None]
         I = jnp.where(emit[..., None], I + add, I)
     elif cs.cid == CID_STARS_SMALL:
@@ -205,7 +213,7 @@ def _apply_component(
         # nondeterministic, excluded from conformance (galaxy_repro.py:734).
         # Here: a position-hash draw — same statistics, reproducible.
         sel, dval = _sparkle_hash(p, cp["scale"])
-        v = jnp.power(dval, cp["noise_tilt"])
+        v = pow_fn(dval, cp["noise_tilt"])
         add = spec * (ival * v * ray_step)[..., None]
         I = jnp.where((emit & sel)[..., None], I + add, I)
 

@@ -39,7 +39,20 @@ def dot3(a, b):
 
 
 def norm3(v):
-    return jnp.sqrt(dot3(v, v))
+    """Euclidean norm over the trailing axis of size 3.
+
+    Gradient-safe at v == 0: sqrt is evaluated on a strictly positive
+    stand-in for zero-norm lanes and the true 0 reselected afterwards, so
+    the primal is bit-identical to sqrt(dot(v, v)) everywhere while
+    reverse-mode sees a finite (zeroed) derivative instead of
+    sqrt'(0) = inf — which would otherwise poison whole-gradient sums in
+    the differentiable path (engine/diff.py) for on-axis samples and
+    zero-chord rays, despite those lanes being masked in the forward math.
+    """
+    n2 = dot3(v, v)
+    nz = n2 > 0
+    n = jnp.sqrt(jnp.where(nz, n2, 1.0))
+    return jnp.where(nz, n, 0.0)
 
 
 def normalize3(v, eps=0.0):
@@ -148,7 +161,11 @@ def intersect_ellipsoid(origin, direction, axis):
     C = dot3(origin, ro) - 1.0
     S = B * B - 4.0 * A * C
     hit = S > 0.0
-    sq = jnp.sqrt(jnp.where(hit, S, 0.0))
+    # sqrt on a positive stand-in for miss rays: same primal after the
+    # reselect (sqrt(1) is discarded, 0 substituted as before), but the
+    # derivative stays finite so masked miss lanes cannot emit inf*0 = NaN
+    # cotangents in the differentiable path.
+    sq = jnp.where(hit, jnp.sqrt(jnp.where(hit, S, 1.0)), 0.0)
     t0 = (-B - sq) / (2.0 * A)
     t1 = (-B + sq) / (2.0 * A)
     isp1 = origin + direction * t0[..., None]

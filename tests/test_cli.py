@@ -93,3 +93,26 @@ def test_skybox_jobs_geometry(fixtures_dir):
         assert j.scene.camera.camera == (0.2, 0.1, 0.0)
         t = np.asarray(j.scene.camera.target) - np.asarray(j.scene.camera.camera)
         assert np.abs(t).sum() == 1.0  # unit axis offset
+
+
+def test_fit_command_roundtrip(tmp_path, fixtures_dir):
+    """fit: render a tiny target, fit 3 steps, fitted .gax loads back."""
+    from gamer_tpu.scene import gax
+
+    target = tmp_path / "target"
+    cam = ["0.5", "0", "0", "0", "0", "0", "0", "1", "0", "90", "1", "1",
+           "1.0", "0.025"]
+    spiral = str(fixtures_dir / "Spiral.gax")
+    assert main(["galaxy", "xla"] + cam + [spiral, "16", str(target)]) == 0
+
+    out_gax = tmp_path / "fitted.gax"
+    argv = (["fit"] + cam +
+            [spiral, str(target) + ".png", str(out_gax), "3", "0.02",
+             "strength,r0"])
+    assert main(argv) == 0
+    fitted = gax.load(out_gax)
+    assert len(fitted.components) == len(gax.load(spiral).components)
+
+
+def test_fit_command_wrong_arity(capsys):
+    assert main(["fit", "1", "2"]) == 1
