@@ -51,6 +51,7 @@ Commands:
    render <scene.json> <outfile>
    info <gax file>
    flythrough <gax file> <frames> <size> <outprefix>
+   morph <gax A> <gax B> <frames> <size> <outprefix>
    fit <camera x y z> <target x y z> <up x y z> <fov> <exposure> <gamma>
        <saturation> <ray step> <gax file> <target image> <out gax>
        [steps=100] [lr=0.02] [fields=strength,r0,z0]
@@ -284,6 +285,43 @@ def cmd_flythrough(argv) -> int:
     return 0
 
 
+def cmd_morph(argv) -> int:
+    """Morph one galaxy into another: every frame is a parameter-space
+    interpolation rendered in ONE batched kernel launch (scene/morph.py).
+    Writes <outprefix>_NNN.png per frame plus an animated <outprefix>.gif."""
+    if len(argv) != 6:
+        print(USAGE)
+        return 1
+    from PIL import Image
+
+    from .engine.batch import render_batch
+    from .scene.morph import morph_scenes
+
+    frames = int(argv[3])
+    size = int(argv[4])
+    scene = Scene(
+        camera=CameraParams(camera=(0.5, 0, 0), target=(0, 0, 0), up=(0, 1, 0),
+                            fov=90.0),
+        instances=[GalaxyInstance(galaxy=gax.load(argv[1]))],
+        config=RenderConfig(size=size, ray_step=0.025),
+    )
+    try:
+        scenes = morph_scenes(scene, gax.load(argv[2]), frames)
+    except ValueError as e:
+        print(f"morph: {e}")
+        return 1
+    with ScopedTimer(f"{frames}-frame morph"):
+        imgs = render_batch(scenes)
+    prefix = argv[5]
+    for i, frame in enumerate(imgs):
+        Image.fromarray(frame).save(f"{prefix}_{i:03d}.png")
+    Image.fromarray(imgs[0]).save(
+        f"{prefix}.gif", save_all=True, duration=120, loop=0,
+        append_images=[Image.fromarray(f) for f in imgs[1:]])
+    print(f"Saved {frames} frames to {prefix}_NNN.png and {prefix}.gif")
+    return 0
+
+
 def cmd_fit(argv) -> int:
     """Gradient-based galaxy fitting (inverse rendering; engine/fit.py).
 
@@ -356,6 +394,7 @@ COMMANDS = {
     "render": cmd_render,
     "info": cmd_info,
     "flythrough": cmd_flythrough,
+    "morph": cmd_morph,
     "fit": cmd_fit,
 }
 

@@ -134,7 +134,7 @@ def _build_layout(static: SceneStatic) -> _Layout:
                 lay.add(cp + f, 1)
             lay.add(cp + "spec", 3)
             if cs.cid in (CID_DUST2, CID_DUST_POSITIVE):
-                lay.add(cp + "ridged_w", RIDGED_OCTAVES)
+                lay.add(cp + "ridged_w", cs.oct(RIDGED_OCTAVES))
     return lay
 
 
@@ -179,18 +179,19 @@ def _pack_scalars(static: SceneStatic, lay: _Layout, params, camera, inv_vp,
                 put(cpre + f, cp[f])
             put(cpre + "spec", cp["spec"])
             if cs.cid in (CID_DUST2, CID_DUST_POSITIVE):
-                put(cpre + "ridged_w", _ridged_weights(float(cp["ks"])))
+                put(cpre + "ridged_w",
+                    _ridged_weights(float(cp["ks"]), cs.oct(RIDGED_OCTAVES)))
     return row.reshape(1, lay.smem_rows, 128)
 
 
 @functools.lru_cache(maxsize=256)
-def _ridged_weights(ks: float) -> "np.ndarray":
+def _ridged_weights(ks: float, octaves: int = RIDGED_OCTAVES) -> "np.ndarray":
     """Per-octave pow(freq, -0.05) for the ridged MF — scalar pow cannot run
     inside the kernel (noise.cpp:122). Computed ON DEVICE to match the XLA
     path's pow bit-for-bit, memoized per ks so batches/fly-throughs sharing
     a galaxy pay the device round trip once, not per frame."""
     lac = jnp.float32(2.5)
-    freqs = jnp.float32(ks) * lac ** jnp.arange(RIDGED_OCTAVES, dtype=jnp.float32)
+    freqs = jnp.float32(ks) * lac ** jnp.arange(octaves, dtype=jnp.float32)
     return np.asarray(jnp.power(freqs, jnp.float32(-0.05)))
 
 
@@ -582,13 +583,13 @@ def _component_noise(cs, S, cpre, perm_rows, px, py, pz, emit, ival,
         I2[:] = jnp.where(cond, I2[:] + spec_b * add, I2[:])
 
     if cs.cid == CID_DISK:
-        p2v = jnp.abs(cloud(10, winding, cscale, ks))
+        p2v = jnp.abs(cloud(cs.oct(10), winding, cscale, ks))
         p2v = jnp.maximum(p2v, 0.01)
         p2v = jnp.power(p2v, ntilt)
         p2v = p2v + noff
         accum_add(emit & (p2v >= 0), p2v)
     elif cs.cid == CID_DUST:
-        p2v = cloud(9, winding, cscale, ks)
+        p2v = cloud(cs.oct(9), winding, cscale, ks)
         p2v = jnp.maximum(p2v - noff, 0.0)
         p2v = _qt_clamp(jnp.power(5.0 * p2v, ntilt), -10.0, 10.0)
         e = -p2v * ival * 0.01
@@ -598,7 +599,7 @@ def _component_noise(cs, S, cpre, perm_rows, px, py, pz, emit, ival,
         I2[:] = I2[:] * jnp.where(emit, jnp.exp(e * spec_b), one)
     elif cs.cid in (CID_DUST2, CID_DUST_POSITIVE):
         tx, ty, tz = twirl3(winding)
-        sw = tuple(S(cpre + "ridged_w", k) for k in range(RIDGED_OCTAVES))
+        sw = tuple(S(cpre + "ridged_w", k) for k in range(cs.oct(RIDGED_OCTAVES)))
         p2v = pn.ridged_mf(perm_rows, tx * cscale, ty * cscale, tz * cscale,
                            sw, 2.5, noff, ntilt)
         p2v = jnp.maximum(p2v, 0.0)
@@ -612,11 +613,11 @@ def _component_noise(cs, S, cpre, perm_rows, px, py, pz, emit, ival,
             accum_add(emit, p2v)
     elif cs.cid == CID_STARS:
         freq = (0.01 * cscale) * 100.0
-        perlin = jnp.abs(pn.octave_noise_3d(perm_rows, 10, ks, freq, px, py, pz))
+        perlin = jnp.abs(pn.octave_noise_3d(perm_rows, cs.oct(10), ks, freq, px, py, pz))
         add_n = jnp.zeros_like(perlin)
         if cs.star_extra:
-            add_n = noff * cloud(4, winding, 2.0, -2.0)
-            add_n = add_n + 0.5 * noff * cloud(4, winding * 0.5, 4.0, -2.0)
+            add_n = noff * cloud(cs.oct(4), winding, 2.0, -2.0)
+            add_n = add_n + 0.5 * noff * cloud(cs.oct(4), winding * 0.5, 4.0, -2.0)
         v = jnp.abs(jnp.power(perlin + 1.0 + add_n, ntilt))
         accum_add(emit, v)
     elif cs.cid == CID_STARS_SMALL:

@@ -168,14 +168,14 @@ def _apply_component(
     spec = cp["spec"]
 
     if cs.cid == CID_DISK:
-        p2 = jnp.abs(_perlin_cloud(p, winding, 10, cp["scale"], cp["ks"], twirl_axis))
+        p2 = jnp.abs(_perlin_cloud(p, winding, cs.oct(10), cp["scale"], cp["ks"], twirl_axis))
         p2 = jnp.maximum(p2, 0.01)
         p2 = pow_fn(p2, cp["noise_tilt"])
         p2 = p2 + cp["noise_offset"]
         add = spec * (ival * p2 * ray_step)[..., None]
         I = jnp.where((emit & (p2 >= 0))[..., None], I + add, I)
     elif cs.cid == CID_DUST:
-        p2 = _perlin_cloud(p, winding, 9, cp["scale"], cp["ks"], twirl_axis)
+        p2 = _perlin_cloud(p, winding, cs.oct(9), cp["scale"], cp["ks"], twirl_axis)
         p2 = jnp.maximum(p2 - cp["noise_offset"], 0.0)
         p2 = qt_clamp(pow_fn(5.0 * p2, cp["noise_tilt"]), -10.0, 10.0)
         att = jnp.exp(-p2[..., None] * ival[..., None] * spec * 0.01)
@@ -184,7 +184,7 @@ def _apply_component(
         r = _twirl(p, winding, twirl_axis) * cp["scale"]
         p2 = jnoise.ridged_mf(
             r[..., 0], r[..., 1], r[..., 2],
-            cp["ks"], 9, 2.5, cp["noise_offset"], cp["noise_tilt"],
+            cp["ks"], cs.oct(9), 2.5, cp["noise_offset"], cp["noise_tilt"],
         )
         p2 = jnp.maximum(p2, 0.0)
         if cs.cid == CID_DUST2:
@@ -196,13 +196,13 @@ def _apply_component(
     elif cs.cid == CID_STARS:
         freq = (0.01 * cp["scale"]) * 100.0
         perlin = jnp.abs(
-            jnoise.octave_noise_3d(10, cp["ks"], freq, p[..., 0], p[..., 1], p[..., 2])
+            jnoise.octave_noise_3d(cs.oct(10), cp["ks"], freq, p[..., 0], p[..., 1], p[..., 2])
         )
         add_n = 0.0
         if cs.star_extra:
-            add_n = cp["noise_offset"] * _perlin_cloud(p, winding, 4, 2.0, -2.0, twirl_axis)
+            add_n = cp["noise_offset"] * _perlin_cloud(p, winding, cs.oct(4), 2.0, -2.0, twirl_axis)
             add_n = add_n + 0.5 * cp["noise_offset"] * _perlin_cloud(
-                p, winding * 0.5, 4, 4.0, -2.0, twirl_axis
+                p, winding * 0.5, cs.oct(4), 4.0, -2.0, twirl_axis
             )
         v = jnp.abs(pow_fn(perlin + 1.0 + add_n, cp["noise_tilt"]))
         add = spec * (ival * v * ray_step)[..., None]

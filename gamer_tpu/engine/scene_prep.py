@@ -32,6 +32,11 @@ class CompStatic:
     arm_enabled: bool        # comp.arm != 0 (galaxycomponent.cpp:66-72)
     winding_enabled: bool    # comp.winding != 0
     star_extra: bool         # stars: noise_offset != 0 adds 2 cloud octodes
+    octave_cap: int = 0      # noise LOD (RenderConfig.noise_octaves); 0 = exact
+
+    def oct(self, n: int) -> int:
+        """Reference octave count ``n`` under the LOD cap."""
+        return min(n, self.octave_cap) if self.octave_cap else n
 
 
 @dataclass(frozen=True)
@@ -95,6 +100,7 @@ def flatten_scene(scene: Scene, dtype=jnp.float32):
                     arm_enabled=cp.arm != 0,
                     winding_enabled=cp.winding != 0,
                     star_extra=(cp.cid == CID_STARS and cp.noise_offset != 0),
+                    octave_cap=int(scene.config.noise_octaves or 0),
                 )
             )
             # numpy, not jnp: params transfer to the device ONCE at the

@@ -197,6 +197,16 @@ class RenderConfig:
     star_seed: int = 0
     # deterministic mode excludes 'stars small' like the oracle (galaxy_repro.py:734-737)
     deterministic: bool = True
+    # Noise level-of-detail: None renders the reference-exact octave counts
+    # (disk/stars 10, dust/ridged 9, star clouds 4); an int N caps every
+    # fractal at N octaves — a preview/fitting speed dial (noise is ~half of
+    # kernel time, linear in octaves) with no reference analog. Emissive
+    # octave noise is amplitude-normalized so its brightness holds; the
+    # absorbing dust fields lose fine occlusion detail and the image
+    # brightens somewhat at low caps (same spirit as the reference preview's
+    # coarser rayStep, mainwindow.cpp:483-495). Caps >= 10 are bit-identical
+    # to None.
+    noise_octaves: Optional[int] = None
 
     @property
     def min_ray_step(self) -> float:
@@ -318,6 +328,8 @@ def scene_from_dict(d: dict) -> Scene:
             star_strength=float(cfg.get("star_strength", 1.0)),
             star_seed=int(cfg.get("star_seed", 0)),
             deterministic=bool(cfg.get("deterministic", True)),
+            noise_octaves=(int(cfg["noise_octaves"])
+                           if cfg.get("noise_octaves") is not None else None),
         ),
         spectra={k: _vec3(v) for k, v in spectra.items()} if spectra else None,
     )

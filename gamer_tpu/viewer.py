@@ -37,16 +37,19 @@ button{background:#222;color:#ccc;border:1px solid #555;margin:2px;padding:4px 1
 <button onclick="zoomBy(0.1)">zoom+</button>
 <button onclick="zoomBy(-0.1)">zoom-</button>
 <button onclick="cycle(1)">next galaxy</button>
+<button id=q onclick="cycleLod()">quality: fast</button>
 </div>
 <img id=v>
 <script>
-let h=0,v=20,zoom=0,gi=0,names=[];
+let h=0,v=20,zoom=0,gi=0,names=[],lods=[4,6,0],lodNames=['fast','med','exact'],li=0;
 async function load(){names=await (await fetch('/galaxies')).json();refresh();}
 function refresh(){
   const g=names[gi]||'';
   document.getElementById('t').textContent='gamer-tpu :: '+g+'  h='+h+' v='+v;
   document.getElementById('v').src='/render?galaxy='+encodeURIComponent(g)+
-    '&h='+h+'&v='+v+'&zoom='+zoom+'&_='+Date.now();}
+    '&h='+h+'&v='+v+'&zoom='+zoom+'&lod='+lods[li]+'&_='+Date.now();}
+function cycleLod(){li=(li+1)%lods.length;
+  document.getElementById('q').textContent='quality: '+lodNames[li];refresh();}
 function rot(dh,dv){h+=dh;v+=dv;refresh();}
 function zoomBy(d){zoom+=d;refresh();}
 function cycle(d){gi=(gi+d+names.length)%names.length;refresh();}
@@ -54,7 +57,7 @@ document.addEventListener('keydown',e=>{
   if(e.key=='a')rot(-15,0); if(e.key=='d')rot(15,0);
   if(e.key=='w')rot(0,-15); if(e.key=='s')rot(0,15);
   if(e.key=='q')zoomBy(0.1); if(e.key=='e')zoomBy(-0.1);
-  if(e.key=='n')cycle(1);});
+  if(e.key=='n')cycle(1); if(e.key=='f')cycleLod();});
 load();
 </script>"""
 
@@ -75,7 +78,7 @@ class _ViewerState:
             self.galaxies.setdefault(name, builder)
 
     def render_png(self, name: str, h_deg: float, v_deg: float,
-                   zoom: float) -> bytes:
+                   zoom: float, lod: int = 4) -> bytes:
         import numpy as np
         from PIL import Image
 
@@ -93,8 +96,11 @@ class _ViewerState:
         scene = gamer_tpu.Scene(
             camera=cam,
             instances=[gamer_tpu.GalaxyInstance(galaxy=builder())],
+            # interactive default: noise LOD 4 (~1.5x faster frames,
+            # preview-grade grain); lod=0 renders the exact octave counts
             config=gamer_tpu.RenderConfig(size=self.size, ray_step=0.025,
-                                          is_preview=True),
+                                          is_preview=True,
+                                          noise_octaves=lod or None),
         )
         with self.lock:  # one device render at a time
             from .engine.pallas_render import render_scene_pallas
@@ -130,7 +136,8 @@ def make_handler(state: _ViewerState):
                 name = q.get("galaxy", [""])[0]
                 try:
                     png = state.render_png(name, get("h", 0), get("v", 0),
-                                           get("zoom", 0))
+                                           get("zoom", 0),
+                                           int(get("lod", 4)))
                     self._send(200, "image/png", png)
                 except Exception as e:  # noqa: BLE001
                     self._send(500, "text/plain", str(e).encode())
