@@ -307,11 +307,11 @@ def cmd_morph(argv) -> int:
     )
     try:
         scenes = morph_scenes(scene, gax.load(argv[2]), frames)
+        with ScopedTimer(f"{frames}-frame morph"):
+            imgs = render_batch(scenes)
     except ValueError as e:
         print(f"morph: {e}")
         return 1
-    with ScopedTimer(f"{frames}-frame morph"):
-        imgs = render_batch(scenes)
     prefix = argv[5]
     for i, frame in enumerate(imgs):
         Image.fromarray(frame).save(f"{prefix}_{i:03d}.png")
@@ -345,18 +345,25 @@ def cmd_fit(argv) -> int:
     steps = int(argv[18]) if len(argv) > 18 else 100
     lr = float(argv[19]) if len(argv) > 19 else 2e-2
     fields = tuple(argv[20].split(",")) if len(argv) > 20 else DEFAULT_FIT_FIELDS
+    if steps < 1:
+        print("fit: steps must be >= 1")
+        return 1
 
     target = np.asarray(Image.open(target_file).convert("RGB"))
     if target.shape[0] != target.shape[1]:
         print("fit: target image must be square")
         return 1
+    # Full-render sampling (is_preview False), matching what the `galaxy`
+    # command produced the target with — a preview-mode fit against a
+    # full-render target would bake the coarser near-camera sampling into
+    # the fitted parameters as bias.
     scene = Scene(
         camera=CameraParams(camera=tuple(vals[0:3]), target=tuple(vals[3:6]),
                             up=tuple(vals[6:9]), fov=vals[9]),
         instances=[GalaxyInstance(galaxy=gax.load(gax_file))],
         config=RenderConfig(size=target.shape[0], ray_step=vals[13],
                             exposure=vals[10], gamma=vals[11],
-                            saturation=vals[12], is_preview=True),
+                            saturation=vals[12]),
     )
     print(f"Fitting {','.join(fields)} of {gax_file} to {target_file} "
           f"({steps} steps, lr {lr}) ...")

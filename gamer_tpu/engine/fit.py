@@ -62,6 +62,9 @@ _FIT_BOUNDS = {
     # gradient is identically NaN, so a fitted inner is kept off zero —
     # smoothstep(0, 1e-4, r) is visually identical to inner = 0.
     "inner": 1e-4,
+    # axis appears as 1/(axis*axis) in the intersector and /axis[0] in the
+    # radius; a nonpositive semi-axis is a NaN factory.
+    "axis": 1e-2,
 }
 
 DEFAULT_FIT_FIELDS = ("strength", "r0", "z0")
@@ -152,7 +155,23 @@ def fit_scene(
         scene.camera.target, scene.camera.up, scene.camera.fov,
     ))
     dirs = cam_ops.ray_grid(size, inv_vp)
-    trip_bound = max_steps if max_steps is not None else step_bound_for_scene(scene)
+    if max_steps is not None:
+        trip_bound = max_steps
+    else:
+        trip_bound = step_bound_for_scene(scene)
+        if "axis" in fit_fields:
+            # The trip bound is static but the chord scales with the fitted
+            # axis: reserve 2x headroom (growth beyond 2x the starting axis
+            # would silently truncate the march).
+            from .diff import conservative_step_bound
+
+            max_axis = max(
+                (max(gi.galaxy.params.axis) for gi in scene.instances),
+                default=1.0,
+            )
+            trip_bound = conservative_step_bound(
+                cfg.ray_step, cfg.min_ray_step, 2.0 * max_axis
+            )
     f = jnp.float32
 
     def loss_fn(p):

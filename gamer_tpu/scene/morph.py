@@ -18,8 +18,7 @@ from __future__ import annotations
 
 import copy
 import dataclasses
-import math
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 from .schema import GalaxyData, Scene
 from .spectra import find_spectrum
@@ -45,12 +44,16 @@ def _structure_error(a: GalaxyData, b: GalaxyData) -> Optional[str]:
     for i, (x, y) in enumerate(zip(ca, cb)):
         if x.cid != y.cid:
             return f"component {i} class differs ({x.class_name} vs {y.class_name})"
-        if (x.arm != 0) != (y.arm != 0):
-            return f"component {i} arm modulation on/off differs"
-        if (x.winding != 0) != (y.winding != 0):
-            return f"component {i} winding on/off differs"
-        if x.cid == 5 and (x.noise_offset != 0) != (y.noise_offset != 0):
-            return f"component {i} star extra-cloud on/off differs"
+        # On/off AND sign must agree: a sign change interpolates through
+        # exactly 0 mid-animation (e.g. 0.2 -> -0.2 at t=0.5), which would
+        # flip the compiled structure flag for that frame.
+        if (x.arm > 0) != (y.arm > 0) or (x.arm < 0) != (y.arm < 0):
+            return f"component {i} arm modulation on/off or sign differs"
+        if (x.winding > 0) != (y.winding > 0) or (x.winding < 0) != (y.winding < 0):
+            return f"component {i} winding on/off or sign differs"
+        if x.cid == 5 and ((x.noise_offset > 0) != (y.noise_offset > 0)
+                           or (x.noise_offset < 0) != (y.noise_offset < 0)):
+            return f"component {i} star extra-cloud on/off or sign differs"
     la = 1 if a.params.no_arms == 1 else 2 if a.params.no_arms == 2 else \
         3 if a.params.no_arms == 3 else 4
     lb = 1 if b.params.no_arms == 1 else 2 if b.params.no_arms == 2 else \
@@ -133,9 +136,3 @@ def morph_scenes(scene: Scene, target: GalaxyData, frames: int,
             spectra=spectra,
         ))
     return out
-
-
-def orbit_ts(frames: int) -> Sequence[float]:
-    """Cosine ping-pong schedule 0 -> 1 -> 0 for looping morph GIFs."""
-    return [0.5 - 0.5 * math.cos(2.0 * math.pi * k / frames)
-            for k in range(frames)]

@@ -208,6 +208,12 @@ class RenderConfig:
     # to None.
     noise_octaves: Optional[int] = None
 
+    def __post_init__(self):
+        if self.noise_octaves is not None and int(self.noise_octaves) < 1:
+            raise ValueError(
+                f"noise_octaves must be >= 1 or None, got {self.noise_octaves}"
+            )
+
     @property
     def min_ray_step(self) -> float:
         return 0.01 if self.is_preview else 0.001

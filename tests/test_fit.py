@@ -151,3 +151,13 @@ def test_fit_mask_rejects_unknown_fields():
     with pytest.raises(ValueError, match="unknown fit fields"):
         gfit.fit_scene(scene, np.zeros((16, 16, 3), np.uint8),
                        fit_fields=("orientation",), steps=1)
+
+
+def test_fit_axis_bound_and_headroom():
+    """Fitting 'axis' projects it above zero and reserves trip headroom."""
+    scene = _scene(default_galaxy(), 16)
+    target = np.zeros((16, 16, 3), np.uint8)
+    result = gfit.fit_scene(scene, target, fit_fields=("axis",), steps=2,
+                            lr=5e-2)
+    fitted_axis = result.scene.instances[0].galaxy.params.axis
+    assert all(a >= 1e-2 for a in fitted_axis)

@@ -66,3 +66,12 @@ def test_noise_octaves_roundtrips_scene_dict():
     assert scene_from_dict(scene_to_dict(s)).config.noise_octaves == 5
     s2 = _scene(gamer_tpu.default_galaxy())
     assert scene_from_dict(scene_to_dict(s2)).config.noise_octaves is None
+
+
+def test_invalid_noise_octaves_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="noise_octaves"):
+        gamer_tpu.RenderConfig(noise_octaves=-1)
+    with pytest.raises(ValueError, match="noise_octaves"):
+        gamer_tpu.RenderConfig(noise_octaves=0)

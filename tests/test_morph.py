@@ -84,3 +84,11 @@ def test_fixture_morph_compatibility_check(fixtures_dir):
         lerp_galaxy(spiral, sombrero, 0.5)
     except ValueError as e:
         assert "not morph-compatible" in str(e)
+
+
+def test_sign_crossing_rejected():
+    a = default_galaxy()
+    b = default_galaxy()
+    b.components[1].arm = -a.components[1].arm  # 0.2 -> -0.2 hits 0 mid-morph
+    with pytest.raises(ValueError, match="sign"):
+        lerp_galaxy(a, b, 0.5)
