@@ -52,6 +52,8 @@ Commands:
    info <gax file>
    flythrough <gax file> <frames> <size> <outprefix>
    morph <gax A> <gax B> <frames> <size> <outprefix>
+   scene <gax[,gax...]> <n> <box> <seed> <size> <outfile>
+   dataset <gax> <n> <seed> <size> <chunk> <out dir>
    fit <camera x y z> <target x y z> <up x y z> <fov> <exposure> <gamma>
        <saturation> <ray step> <gax file> <target image> <out gax>
        [steps=100] [lr=0.02] [fields=strength,r0,z0]
@@ -285,6 +287,67 @@ def cmd_flythrough(argv) -> int:
     return 0
 
 
+def cmd_scene(argv) -> int:
+    """GUI scene-mode parity (mainwindow.cpp:1137-1170): N random instances
+    of the given galaxies in a box, rendered in one frame."""
+    if len(argv) != 7:
+        print(USAGE)
+        return 1
+    from .engine.pallas_render import render_scene_pallas
+    from .scene.generate import generate_scene
+
+    pool = [gax.load(p) for p in argv[1].split(",")]
+    n, box = int(argv[2]), float(argv[3])
+    seed, size = int(argv[4]), int(argv[5])
+    base = Scene(
+        camera=CameraParams(camera=(2.5, 0.4, 0), target=(0, 0, 0),
+                            up=(0, 1, 0), fov=70.0),
+        config=RenderConfig(size=size, ray_step=0.025),
+    )
+    scene = generate_scene(pool, n, box, seed=seed, base_scene=base)
+    with ScopedTimer(f"{n}-instance scene"):
+        img = render_scene_pallas(scene)
+    out = _save_png(img, argv[6])
+    print(f"Image saved to file {out}")
+    return 0
+
+
+def cmd_dataset(argv) -> int:
+    """Resumable dataset generation (BASELINE config 5): n structure-
+    preserving variations of a galaxy rendered to .npy chunks with a
+    manifest (re-running the same out_dir resumes after interruption)."""
+    if len(argv) != 7:
+        print(USAGE)
+        return 1
+    import dataclasses
+
+    from .engine.jobs import DatasetJob
+    from .scene.generate import generate_galaxy_variations
+
+    template = gax.load(argv[1])
+    n, seed, size = int(argv[2]), int(argv[3]), int(argv[4])
+    chunk = int(argv[5])
+    base = Scene(
+        camera=CameraParams(camera=(0.5, 0, 0), target=(0, 0, 0), up=(0, 1, 0),
+                            fov=90.0),
+        config=RenderConfig(size=size, ray_step=0.025),
+    )
+    scenes = [
+        dataclasses.replace(base, instances=[GalaxyInstance(galaxy=g)])
+        for g in generate_galaxy_variations(template, n, seed=seed)
+    ]
+    job = DatasetJob(scenes, argv[6], chunk_size=chunk)
+    t0 = time.perf_counter()
+    rendered = job.run(on_chunk=lambda c, cdt: print(
+        f"chunk {c + 1}/{job.n_chunks} in {format_ms(cdt * 1000.0)}"))
+    dt = time.perf_counter() - t0
+    frames = min(n, rendered * chunk)
+    rate = frames / dt if dt > 0 and frames else 0.0
+    print(f"{rendered}/{job.n_chunks} chunks this run "
+          f"({frames} scenes, {rate:.1f} scenes/s) -> {argv[6]}")
+    return 0
+
+
 def cmd_morph(argv) -> int:
     """Morph one galaxy into another: every frame is a parameter-space
     interpolation rendered in ONE batched kernel launch (scene/morph.py).
@@ -403,6 +466,8 @@ COMMANDS = {
     "flythrough": cmd_flythrough,
     "morph": cmd_morph,
     "fit": cmd_fit,
+    "scene": cmd_scene,
+    "dataset": cmd_dataset,
 }
 
 

@@ -116,3 +116,25 @@ def test_fit_command_roundtrip(tmp_path, fixtures_dir):
 
 def test_fit_command_wrong_arity(capsys):
     assert main(["fit", "1", "2"]) == 1
+
+
+def test_scene_command(tmp_path, fixtures_dir):
+    out = tmp_path / "scene"
+    argv = ["scene", str(fixtures_dir / "Spiral.gax"), "3", "2.0", "7", "16",
+            str(out)]
+    assert main(argv) == 0
+    img = np.asarray(Image.open(str(out) + ".png"))
+    assert img.shape == (16, 16, 3)
+
+
+def test_dataset_command_resumes(tmp_path, fixtures_dir):
+    outdir = tmp_path / "ds"
+    argv = ["dataset", str(fixtures_dir / "Spiral.gax"), "4", "1", "16", "2",
+            str(outdir)]
+    assert main(argv) == 0
+    chunks = sorted(outdir.glob("chunk_*.npy"))
+    assert len(chunks) == 2
+    data = np.load(chunks[0])
+    assert data.shape == (2, 16, 16, 3) and data.sum() > 0
+    # re-run: everything already done, 0 new renders
+    assert main(argv) == 0
