@@ -83,6 +83,11 @@ def render_batch(scenes: Sequence[Scene], mesh: Optional[Mesh] = None) -> np.nda
     for s in scenes:
         if s.config.size != size:
             raise ValueError("all scenes in a batch must share the size")
+        if s.config.supersample != 1:
+            raise ValueError(
+                "supersample is not supported in batched rendering yet; "
+                "render frames individually or drop the AA"
+            )
     static, sp_rows = _scene_rows(scenes)
     B = sp_rows.shape[0]
 

@@ -716,7 +716,14 @@ def _arm_value(static, inst, lay, S, pfx, cpre, radius, Px, Py, Pz, rot_by_rotma
 
 
 @functools.lru_cache(maxsize=32)
-def _compiled(static: SceneStatic, size: int):
+def _compiled(static: SceneStatic, size: int, pool: int = 1):
+    """Compiled kernel for a (structure, render size) pair.
+
+    ``pool``: box-average factor applied to the linear radiance before it
+    leaves the fused dispatch — the supersampling path renders at
+    size = out_size * pool and pools back down IN LINEAR SPACE (averaging
+    radiance before the nonlinear post chain is the physically correct
+    anti-aliasing; RenderConfig.supersample)."""
     lay = _build_layout(static)
     tr = _tile_rows(size)
     rows = -(-size // tr) * tr
@@ -751,11 +758,16 @@ def _compiled(static: SceneStatic, size: int):
     perm_rows = jnp.asarray(
         np.broadcast_to(PERM_PACKED32, (tr, 128)).copy())
 
-    @jax.jit
-    def run(sp):
+    def _pooled_linear(sp):
         r, g, b = call(sp, perm_rows)
-        return jnp.stack([r[:size, :size], g[:size, :size], b[:size, :size]],
-                         axis=-1)
+        lin = jnp.stack([r[:size, :size], g[:size, :size], b[:size, :size]],
+                        axis=-1)
+        if pool > 1:
+            o = size // pool
+            lin = lin.reshape(o, pool, o, pool, 3).mean(axis=(1, 3))
+        return lin
+
+    run = jax.jit(_pooled_linear)
 
     # render + post chain fused into ONE dispatch (the no-star-overlay fast
     # path of render_scene_pallas; each dispatch pays a tunnel round trip)
@@ -763,10 +775,7 @@ def _compiled(static: SceneStatic, size: int):
     def run_post(sp, exposure, gamma, saturation):
         from .render import post_process
 
-        r, g, b = call(sp, perm_rows)
-        lin = jnp.stack([r[:size, :size], g[:size, :size], b[:size, :size]],
-                        axis=-1)
-        return post_process(lin, exposure, gamma, saturation)
+        return post_process(_pooled_linear(sp), exposure, gamma, saturation)
 
     return lay, run, run_post
 
@@ -890,7 +899,8 @@ def _prepared(scene: Scene):
     camera = np.asarray(scene.camera.camera, np.float32)
     inv_vp = cam_ops.inv_view_projection_host(
         camera, scene.camera.target, scene.camera.up, scene.camera.fov)
-    lay, run, run_post = _compiled(static, cfg.size)
+    ss = cfg.supersample
+    lay, run, run_post = _compiled(static, cfg.size * ss, pool=ss)
     sp = _pack_scalars(static, lay, params, camera, inv_vp,
                        np.float32(cfg.ray_step), np.float32(cfg.min_ray_step))
     return sp, run, run_post

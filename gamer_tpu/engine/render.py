@@ -332,6 +332,19 @@ def render_frame(static: SceneStatic, size: int, params, camera, inv_vp,
 _render_jit = functools.partial(jax.jit, static_argnums=(0, 1))(render_frame)
 
 
+def render_frame_ss(static: SceneStatic, size: int, ss: int, params, camera,
+                    inv_vp, ray_step, min_step, exposure, gamma, saturation):
+    """Supersampled frame: ss^2 rays per pixel, box-averaged in LINEAR
+    space before the nonlinear post chain (RenderConfig.supersample)."""
+    dirs = cam_ops.ray_grid(size * ss, inv_vp)
+    linear = render_rays(static, params, dirs, camera, ray_step, min_step)
+    linear = linear.reshape(size, ss, size, ss, 3).mean(axis=(1, 3))
+    return post_process(linear, exposure, gamma, saturation), linear
+
+
+_render_ss_jit = functools.partial(jax.jit, static_argnums=(0, 1, 2))(render_frame_ss)
+
+
 def render_scene(scene: Scene, dtype=jnp.float32, return_linear: bool = False):
     """Render a Scene with the XLA path. Returns a (size, size, 3) uint8
     numpy array (and optionally the linear radiance buffer)."""
@@ -341,12 +354,18 @@ def render_scene(scene: Scene, dtype=jnp.float32, return_linear: bool = False):
     inv_vp = cam_ops.inv_view_projection_host(
         camera, scene.camera.target, scene.camera.up, scene.camera.fov,
         dtype=dtype)
-    img, linear = _render_jit(
-        static, cfg.size, params, camera, inv_vp,
+    scalar_args = (
         jnp.asarray(cfg.ray_step, dtype), jnp.asarray(cfg.min_ray_step, dtype),
         jnp.asarray(cfg.exposure, dtype), jnp.asarray(cfg.gamma, dtype),
         jnp.asarray(cfg.saturation, dtype),
     )
+    if cfg.supersample > 1:
+        img, linear = _render_ss_jit(
+            static, cfg.size, cfg.supersample, params, camera, inv_vp,
+            *scalar_args)
+    else:
+        img, linear = _render_jit(
+            static, cfg.size, params, camera, inv_vp, *scalar_args)
 
     if cfg.no_stars > 0:
         # Star-field overlay added to the radiance buffer at assembly time

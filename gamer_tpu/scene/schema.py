@@ -207,11 +207,20 @@ class RenderConfig:
     # coarser rayStep, mainwindow.cpp:483-495). Caps >= 10 are bit-identical
     # to None.
     noise_octaves: Optional[int] = None
+    # Supersampled anti-aliasing: render at size*supersample and box-average
+    # the LINEAR radiance back down before the post chain (averaging before
+    # the nonlinear post is the physically correct AA). 1 = off (reference
+    # behavior: one ray per pixel, rasterizer.cpp:373-377).
+    supersample: int = 1
 
     def __post_init__(self):
         if self.noise_octaves is not None and int(self.noise_octaves) < 1:
             raise ValueError(
                 f"noise_octaves must be >= 1 or None, got {self.noise_octaves}"
+            )
+        if int(self.supersample) < 1:
+            raise ValueError(
+                f"supersample must be >= 1, got {self.supersample}"
             )
 
     @property
@@ -336,6 +345,7 @@ def scene_from_dict(d: dict) -> Scene:
             deterministic=bool(cfg.get("deterministic", True)),
             noise_octaves=(int(cfg["noise_octaves"])
                            if cfg.get("noise_octaves") is not None else None),
+            supersample=int(cfg.get("supersample", 1)),
         ),
         spectra={k: _vec3(v) for k, v in spectra.items()} if spectra else None,
     )

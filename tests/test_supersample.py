@@ -1,0 +1,76 @@
+"""Supersampled anti-aliasing (RenderConfig.supersample)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import gamer_tpu
+from gamer_tpu.scene import gax
+
+
+def _scene(galaxy, ss=1, size=16):
+    return gamer_tpu.Scene(
+        camera=gamer_tpu.CameraParams(camera=(0.5, 0, 0), target=(0, 0, 0),
+                                      up=(0, 1, 0), fov=90.0),
+        instances=[gamer_tpu.GalaxyInstance(galaxy=galaxy)],
+        config=gamer_tpu.RenderConfig(size=size, ray_step=0.025,
+                                      supersample=ss),
+    )
+
+
+def test_ss1_is_the_default_path(fixtures_dir):
+    from gamer_tpu.engine.render import render_scene
+
+    g = gax.load(fixtures_dir / "Spiral.gax")
+    np.testing.assert_array_equal(
+        render_scene(_scene(g, ss=1)), render_scene(_scene(g))
+    )
+
+
+def test_ss2_smooths_without_changing_the_image(fixtures_dir):
+    from gamer_tpu.engine.render import render_scene
+
+    g = gax.load(fixtures_dir / "Spiral.gax")
+    base = render_scene(_scene(g, ss=1)).astype(np.int16)
+    aa = render_scene(_scene(g, ss=2)).astype(np.int16)
+    assert aa.shape == base.shape
+    assert aa.sum() > 0
+    assert not np.array_equal(aa, base)
+    # same galaxy, same exposure: close in the mean, smoother locally
+    assert abs(float(aa.sum()) / float(base.sum()) - 1.0) < 0.2
+    def roughness(img):
+        return float(np.abs(np.diff(img.astype(np.float32), axis=0)).mean())
+    assert roughness(aa) < roughness(base)
+
+
+def test_pallas_matches_xla_supersampled(fixtures_dir):
+    from gamer_tpu.engine.pallas_render import render_scene_pallas
+    from gamer_tpu.engine.render import render_scene
+
+    g = gax.load(fixtures_dir / "VortexCloud.gax")
+    scene = _scene(g, ss=2)
+    ours = render_scene_pallas(scene)
+    ref = render_scene(scene)
+    d = np.abs(ours.astype(np.int16) - ref.astype(np.int16))
+    assert d.max() <= 2, f"pallas vs xla supersampled: {d.max()}"
+
+
+def test_invalid_supersample_rejected():
+    with pytest.raises(ValueError, match="supersample"):
+        gamer_tpu.RenderConfig(supersample=0)
+
+
+def test_batch_rejects_supersample():
+    from gamer_tpu.engine.batch import render_batch
+
+    s = _scene(gamer_tpu.default_galaxy(), ss=2)
+    with pytest.raises(ValueError, match="supersample"):
+        render_batch([s, s])
+
+
+def test_supersample_roundtrips_scene_dict():
+    from gamer_tpu.scene.schema import scene_from_dict, scene_to_dict
+
+    s = _scene(gamer_tpu.default_galaxy(), ss=4)
+    assert scene_from_dict(scene_to_dict(s)).config.supersample == 4
