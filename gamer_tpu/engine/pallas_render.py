@@ -318,10 +318,30 @@ def _march_instance(static, inst, lay, S, pfx, perm_rows, ray_step, min_step,
     # in f32 rounding (conformance-gated like the other knowing deviations)
     dist0 = -t0
 
-    p0[:] = o1x
-    p1[:] = o1y
-    p2[:] = o1z
-    tacc[:] = jnp.zeros_like(o1x)
+    if static.dither:
+        # Per-ray march-start jitter (RenderConfig.dither): offset the far
+        # start point toward the camera by h01 in [0,1) of the first step,
+        # decorrelating coarse-rayStep banding (the shadertoy fork's
+        # treatment, galaxy_shadertoy.glsl:564-589). tacc starts at the
+        # offset so the incremental camera distance and the chord-length
+        # exit test stay exact. Same hash as engine.render._dither01.
+        bx = jax.lax.bitcast_convert_type(dx, jnp.int32)
+        by = jax.lax.bitcast_convert_type(dy, jnp.int32)
+        bz = jax.lax.bitcast_convert_type(dz, jnp.int32)
+        hsh = (bx * jnp.int32(-1640531527) ^ by * jnp.int32(97)
+               ^ bz * jnp.int32(1013904223))
+        hsh = hsh ^ (hsh >> 13)
+        h01 = (jnp.abs(hsh) % 8192).astype(jnp.float32) * (1.0 / 8192.0)
+        delta = _qt_clamp(dist0 * ray_step, min_step, 0.01) * h01
+        p0[:] = o1x - mdx * delta
+        p1[:] = o1y - mdy * delta
+        p2[:] = o1z - mdz * delta
+        tacc[:] = delta
+    else:
+        p0[:] = o1x
+        p1[:] = o1y
+        p2[:] = o1z
+        tacc[:] = jnp.zeros_like(o1x)
     steppr[:] = jnp.zeros_like(o1x) + ray_step
     done[:] = jnp.where(alive, jnp.zeros_like(length, jnp.int32),
                         jnp.ones_like(length, jnp.int32))

@@ -234,7 +234,20 @@ def _sparkle_hash(p, scale):
     return sel, dval
 
 
-def _march_instance(st: InstanceStatic, pr, dirs, camera, I, winding, ray_step, min_step):
+def _dither01(dirs):
+    """Deterministic per-ray offset in [0, 1): hash of the ray direction
+    bits (the sparkle-hash family). Used by RenderConfig.dither to jitter
+    each ray's march start within its first step — the shadertoy fork's
+    banding treatment (galaxy_shadertoy.glsl:564-589)."""
+    bits = jax.lax.bitcast_convert_type(dirs, jnp.int32)
+    h = (bits[..., 0] * jnp.int32(-1640531527)
+         ^ bits[..., 1] * jnp.int32(97) ^ bits[..., 2] * jnp.int32(1013904223))
+    h = h ^ (h >> 13)
+    return (jnp.abs(h) % 8192).astype(dirs.dtype) * (1.0 / 8192.0)
+
+
+def _march_instance(st: InstanceStatic, pr, dirs, camera, I, winding, ray_step,
+                    min_step, dither: bool = False):
     """March all rays through one galaxy instance, back-to-front
     (rasterizer.cpp:379-483). dirs: (N, 3); I: (N, 3); winding: (N,)."""
     o = camera - pr["position"]  # ray origin, galaxy frame
@@ -245,6 +258,16 @@ def _march_instance(st: InstanceStatic, pr, dirs, camera, I, winding, ray_step, 
     alive = hit & ~((t0 > 0) & (t1 > 0))
 
     origin = isp1
+    if dither:
+        step0 = qt_clamp(norm3(origin - o) * ray_step, min_step, 0.01)
+        diff0 = origin - isp2
+        len0 = norm3(diff0)
+        safe0 = jnp.where(len0 == 0, 1.0, len0)
+        # jitter the start point toward the camera by a sub-step fraction;
+        # the done-condition bookkeeping below uses the jittered origin so
+        # the chord length is unchanged.
+        origin = origin - (diff0 / safe0[..., None]) * (
+            step0 * _dither01(dirs))[..., None]
     diff = origin - isp2
     length = norm3(diff)
     safe = jnp.where(length == 0, 1.0, length)
@@ -303,7 +326,9 @@ def render_rays(static: SceneStatic, params, dirs, camera, ray_step, min_step):
     I = jnp.zeros((n, 3), dirs.dtype)
     winding = jnp.zeros((n,), dirs.dtype)
     for st, pr in zip(static.instances, params):
-        I, winding = _march_instance(st, pr, dirs_f, camera, I, winding, ray_step, min_step)
+        I, winding = _march_instance(st, pr, dirs_f, camera, I, winding,
+                                     ray_step, min_step,
+                                     dither=static.dither)
     # Final scale (rasterizer.cpp:409).
     I = I * (0.01 / ray_step)
     return I.reshape(*shape, 3)

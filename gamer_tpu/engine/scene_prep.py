@@ -48,6 +48,7 @@ class InstanceStatic:
 @dataclass(frozen=True)
 class SceneStatic:
     instances: Tuple[InstanceStatic, ...]
+    dither: bool = False  # per-ray march-start dithering (RenderConfig.dither)
 
 
 COMP_FIELDS = (
@@ -142,4 +143,8 @@ def flatten_scene(scene: Scene, dtype=jnp.float32):
             }
         )
 
-    return SceneStatic(instances=tuple(inst_statics)), tuple(inst_params)
+    return (
+        SceneStatic(instances=tuple(inst_statics),
+                    dither=bool(scene.config.dither)),
+        tuple(inst_params),
+    )

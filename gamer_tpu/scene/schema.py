@@ -212,6 +212,12 @@ class RenderConfig:
     # the nonlinear post is the physically correct AA). 1 = off (reference
     # behavior: one ray per pixel, rasterizer.cpp:373-377).
     supersample: int = 1
+    # Per-ray sample dithering: offset each ray's march start by a
+    # deterministic hash in [0, 1) of its first step, decorrelating the
+    # banding that coarse ray steps produce (the technique of the
+    # reference's shadertoy fork, galaxy_shadertoy.glsl:564-589 — absent
+    # from its main renderer). Off by default (reference-exact sampling).
+    dither: bool = False
 
     def __post_init__(self):
         if self.noise_octaves is not None and int(self.noise_octaves) < 1:
@@ -346,6 +352,7 @@ def scene_from_dict(d: dict) -> Scene:
             noise_octaves=(int(cfg["noise_octaves"])
                            if cfg.get("noise_octaves") is not None else None),
             supersample=int(cfg.get("supersample", 1)),
+            dither=bool(cfg.get("dither", False)),
         ),
         spectra={k: _vec3(v) for k, v in spectra.items()} if spectra else None,
     )

@@ -58,6 +58,16 @@ document.addEventListener('keydown',e=>{
   if(e.key=='w')rot(0,-15); if(e.key=='s')rot(0,15);
   if(e.key=='q')zoomBy(0.1); if(e.key=='e')zoomBy(-0.1);
   if(e.key=='n')cycle(1); if(e.key=='f')cycleLod();});
+// mouse orbit (drag) + wheel zoom, like the reference viewer's GL widget
+let drag=null;
+const img=document.getElementById('v');
+img.addEventListener('pointerdown',e=>{drag=[e.clientX,e.clientY];e.preventDefault();});
+window.addEventListener('pointerup',e=>{
+  if(!drag)return;
+  const dx=e.clientX-drag[0],dy=e.clientY-drag[1];drag=null;
+  if(Math.abs(dx)+Math.abs(dy)>3)rot(Math.round(dx/3),Math.round(dy/3));});
+img.addEventListener('wheel',e=>{e.preventDefault();zoomBy(e.deltaY<0?0.1:-0.1);},
+  {passive:false});
 load();
 </script>"""
 
