@@ -337,14 +337,18 @@ def cmd_dataset(argv) -> int:
         for g in generate_galaxy_variations(template, n, seed=seed)
     ]
     job = DatasetJob(scenes, argv[6], chunk_size=chunk)
+    done = {"frames": 0}
+
+    def on_chunk(c, cdt):
+        done["frames"] += min(chunk, n - c * chunk)  # last chunk may be short
+        print(f"chunk {c + 1}/{job.n_chunks} in {format_ms(cdt * 1000.0)}")
+
     t0 = time.perf_counter()
-    rendered = job.run(on_chunk=lambda c, cdt: print(
-        f"chunk {c + 1}/{job.n_chunks} in {format_ms(cdt * 1000.0)}"))
+    rendered = job.run(on_chunk=on_chunk)
     dt = time.perf_counter() - t0
-    frames = min(n, rendered * chunk)
-    rate = frames / dt if dt > 0 and frames else 0.0
+    rate = done["frames"] / dt if dt > 0 and done["frames"] else 0.0
     print(f"{rendered}/{job.n_chunks} chunks this run "
-          f"({frames} scenes, {rate:.1f} scenes/s) -> {argv[6]}")
+          f"({done['frames']} scenes, {rate:.1f} scenes/s) -> {argv[6]}")
     return 0
 
 

@@ -104,7 +104,8 @@ def step_bound_for_scene(scene) -> int:
 
 
 def _march_instance_scan(st: InstanceStatic, pr, dirs, camera, I, winding,
-                         ray_step, min_step, max_steps: int, remat: bool = True):
+                         ray_step, min_step, max_steps: int,
+                         remat: bool = True, dither: bool = False):
     """_march_instance with the while_loop unrolled into a fixed-trip scan.
 
     Same state, same body math (the component dispatch is shared via
@@ -117,6 +118,17 @@ def _march_instance_scan(st: InstanceStatic, pr, dirs, camera, I, winding,
     alive = hit & ~((t0 > 0) & (t1 > 0))
 
     origin = isp1
+    if dither:
+        # Mirror render._march_instance's dithered start exactly so the
+        # scan==while bit-exactness contract holds for dithered scenes too.
+        from .render import _dither01
+
+        step0 = qt_clamp(norm3(origin - o) * ray_step, min_step, 0.01)
+        diff0 = origin - isp2
+        len0 = norm3(diff0)
+        safe0 = jnp.where(len0 == 0, 1.0, len0)
+        delta = jnp.minimum(step0 * _dither01(dirs), len0)
+        origin = origin - (diff0 / safe0[..., None]) * delta[..., None]
     diff = origin - isp2
     length = norm3(diff)
     safe = jnp.where(length == 0, 1.0, length)
@@ -175,7 +187,7 @@ def render_rays_diff(static: SceneStatic, params, dirs, camera, ray_step,
     for st, pr in zip(static.instances, params):
         I, winding = _march_instance_scan(
             st, pr, dirs_f, camera, I, winding, ray_step, min_step,
-            max_steps, remat,
+            max_steps, remat, dither=static.dither,
         )
     I = I * (0.01 / ray_step)
     return I.reshape(*shape, 3)

@@ -325,14 +325,15 @@ def _march_instance(static, inst, lay, S, pfx, perm_rows, ray_step, min_step,
         # treatment, galaxy_shadertoy.glsl:564-589). tacc starts at the
         # offset so the incremental camera distance and the chord-length
         # exit test stay exact. Same hash as engine.render._dither01.
-        bx = jax.lax.bitcast_convert_type(dx, jnp.int32)
-        by = jax.lax.bitcast_convert_type(dy, jnp.int32)
-        bz = jax.lax.bitcast_convert_type(dz, jnp.int32)
-        hsh = (bx * jnp.int32(-1640531527) ^ by * jnp.int32(97)
-               ^ bz * jnp.int32(1013904223))
-        hsh = hsh ^ (hsh >> 13)
+        from .render import hash3_i32
+
+        hsh = hash3_i32(jax.lax.bitcast_convert_type(dx, jnp.int32),
+                        jax.lax.bitcast_convert_type(dy, jnp.int32),
+                        jax.lax.bitcast_convert_type(dz, jnp.int32))
         h01 = (jnp.abs(hsh) % 8192).astype(jnp.float32) * (1.0 / 8192.0)
-        delta = _qt_clamp(dist0 * ray_step, min_step, 0.01) * h01
+        # clamp to the chord: grazing rays must not overshoot the near point
+        delta = jnp.minimum(
+            _qt_clamp(dist0 * ray_step, min_step, 0.01) * h01, length)
         p0[:] = o1x - mdx * delta
         p1[:] = o1y - mdy * delta
         p2[:] = o1z - mdz * delta
@@ -645,10 +646,9 @@ def _component_noise(cs, S, cpre, perm_rows, px, py, pz, emit, ival,
         bx = jax.lax.bitcast_convert_type(px, jnp.int32)
         by = jax.lax.bitcast_convert_type(py, jnp.int32)
         bz = jax.lax.bitcast_convert_type(pz, jnp.int32)
-        hsh = (bx * jnp.int32(-1640531527) ^ by * jnp.int32(97)
-               ^ bz * jnp.int32(1013904223))
-        hsh = hsh ^ (hsh >> 13)
-        hu = jnp.abs(hsh)
+        from .render import hash3_i32
+
+        hu = jnp.abs(hash3_i32(bx, by, bz))
         scale_i = jnp.maximum(cscale.astype(jnp.int32), 1)
         sel = (hu % scale_i) == 0
         dval = ((hu >> 8) % 10).astype(jnp.float32)
@@ -920,7 +920,7 @@ def _prepared(scene: Scene):
     inv_vp = cam_ops.inv_view_projection_host(
         camera, scene.camera.target, scene.camera.up, scene.camera.fov)
     ss = cfg.supersample
-    lay, run, run_post = _compiled(static, cfg.size * ss, pool=ss)
+    lay, run, run_post = _compiled(static, cfg.size * ss, ss)
     sp = _pack_scalars(static, lay, params, camera, inv_vp,
                        np.float32(cfg.ray_step), np.float32(cfg.min_ray_step))
     return sp, run, run_post

@@ -75,6 +75,10 @@ def render_progressive(scene: Scene, chunks: int = 16,
     """
     cfg = scene.config
     size = cfg.size
+    if cfg.supersample != 1:
+        raise ValueError(
+            "supersample is not supported in progressive rendering yet"
+        )
     static, params = flatten_scene(scene, dtype)
     camera = np.asarray(scene.camera.camera, dtype)
     inv_vp = cam_ops.inv_view_projection_host(

@@ -220,13 +220,23 @@ def _apply_component(
     return I, winding
 
 
+def hash3_i32(bx, by, bz):
+    """The engine's shared 3-component integer hash (sparkle + dither).
+
+    The XLA/Pallas statistical-agreement contract for dithering depends on
+    both engines using THIS exact constant-for-constant mix — do not fork
+    copies of it.
+    """
+    h = (bx * jnp.int32(-1640531527)
+         ^ by * jnp.int32(97) ^ bz * jnp.int32(1013904223))
+    return h ^ (h >> 13)
+
+
 def _sparkle_hash(p, scale):
     """Deterministic stand-in for the rand() sparkle: hash the sample
     position to (emit?, digit) with P(emit) = 1/scale and digit in [0, 10)."""
     bits = jax.lax.bitcast_convert_type(p, jnp.int32)
-    h = (bits[..., 0] * jnp.int32(-1640531527)
-         ^ bits[..., 1] * jnp.int32(97) ^ bits[..., 2] * jnp.int32(1013904223))
-    h = h ^ (h >> 13)
+    h = hash3_i32(bits[..., 0], bits[..., 1], bits[..., 2])
     hu = jnp.abs(h)
     scale_i = jnp.maximum(scale.astype(jnp.int32), 1)
     sel = (hu % scale_i) == 0
@@ -240,9 +250,7 @@ def _dither01(dirs):
     each ray's march start within its first step — the shadertoy fork's
     banding treatment (galaxy_shadertoy.glsl:564-589)."""
     bits = jax.lax.bitcast_convert_type(dirs, jnp.int32)
-    h = (bits[..., 0] * jnp.int32(-1640531527)
-         ^ bits[..., 1] * jnp.int32(97) ^ bits[..., 2] * jnp.int32(1013904223))
-    h = h ^ (h >> 13)
+    h = hash3_i32(bits[..., 0], bits[..., 1], bits[..., 2])
     return (jnp.abs(h) % 8192).astype(dirs.dtype) * (1.0 / 8192.0)
 
 
@@ -263,11 +271,12 @@ def _march_instance(st: InstanceStatic, pr, dirs, camera, I, winding, ray_step,
         diff0 = origin - isp2
         len0 = norm3(diff0)
         safe0 = jnp.where(len0 == 0, 1.0, len0)
-        # jitter the start point toward the camera by a sub-step fraction;
-        # the done-condition bookkeeping below uses the jittered origin so
-        # the chord length is unchanged.
-        origin = origin - (diff0 / safe0[..., None]) * (
-            step0 * _dither01(dirs))[..., None]
+        # jitter the start point toward the camera by a sub-step fraction
+        # (clamped to the chord so grazing rays cannot overshoot isp2 and
+        # flip the march direction); the done-condition bookkeeping below
+        # uses the jittered origin so the chord length stays consistent.
+        delta = jnp.minimum(step0 * _dither01(dirs), len0)
+        origin = origin - (diff0 / safe0[..., None]) * delta[..., None]
     diff = origin - isp2
     length = norm3(diff)
     safe = jnp.where(length == 0, 1.0, length)

@@ -69,6 +69,11 @@ def render_scene_sharded(scene: Scene, mesh: Optional[Mesh] = None,
     """
     mesh = mesh if mesh is not None else make_pixel_mesh()
     cfg = scene.config
+    if cfg.supersample != 1:
+        raise ValueError(
+            "supersample is not supported in sharded rendering yet; "
+            "render at supersample=1 or use the single-device paths"
+        )
     n_dev = mesh.devices.size
     if cfg.size % n_dev != 0:
         raise ValueError(

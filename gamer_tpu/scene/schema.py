@@ -220,14 +220,19 @@ class RenderConfig:
     dither: bool = False
 
     def __post_init__(self):
-        if self.noise_octaves is not None and int(self.noise_octaves) < 1:
+        if self.noise_octaves is not None:
+            if self.noise_octaves != int(self.noise_octaves) \
+                    or int(self.noise_octaves) < 1:
+                raise ValueError(
+                    f"noise_octaves must be an int >= 1 or None, "
+                    f"got {self.noise_octaves!r}"
+                )
+            self.noise_octaves = int(self.noise_octaves)
+        if self.supersample != int(self.supersample) or int(self.supersample) < 1:
             raise ValueError(
-                f"noise_octaves must be >= 1 or None, got {self.noise_octaves}"
+                f"supersample must be an int >= 1, got {self.supersample!r}"
             )
-        if int(self.supersample) < 1:
-            raise ValueError(
-                f"supersample must be >= 1, got {self.supersample}"
-            )
+        self.supersample = int(self.supersample)
 
     @property
     def min_ray_step(self) -> float:

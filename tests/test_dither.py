@@ -24,13 +24,15 @@ def _scene(galaxy, dither=False, size=16):
     )
 
 
-def test_dither_off_is_reference_exact(fixtures_dir):
-    from gamer_tpu.engine.render import render_scene
+def test_dither_defaults_off_in_the_static(fixtures_dir):
+    """dither defaults to False and only flips the compiled structure when
+    asked (the default path's reference-exactness itself is gated by the
+    oracle golden tests in test_engine.py)."""
+    from gamer_tpu.engine.scene_prep import flatten_scene
 
     g = gax.load(fixtures_dir / "Spiral.gax")
-    np.testing.assert_array_equal(
-        render_scene(_scene(g)), render_scene(_scene(g, dither=False))
-    )
+    assert flatten_scene(_scene(g))[0].dither is False
+    assert flatten_scene(_scene(g, dither=True))[0].dither is True
 
 
 def test_dither_jitters_but_preserves_the_image(fixtures_dir):
@@ -66,3 +68,29 @@ def test_dither_roundtrips_scene_dict():
 
     s = _scene(gamer_tpu.default_galaxy(), dither=True)
     assert scene_from_dict(scene_to_dict(s)).config.dither is True
+
+
+def test_diff_scan_matches_while_under_dither(fixtures_dir):
+    """The differentiable scan march honors static.dither bit-exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from gamer_tpu.engine import diff as gdiff
+    from gamer_tpu.engine.render import render_frame
+    from gamer_tpu.engine.scene_prep import flatten_scene
+    from gamer_tpu.ops import camera as cam_ops
+
+    scene = _scene(gax.load(fixtures_dir / "Spiral.gax"), dither=True)
+    static, params = flatten_scene(scene)
+    assert static.dither
+    camera = jnp.asarray(scene.camera.camera, jnp.float32)
+    inv_vp = jnp.asarray(cam_ops.inv_view_projection_host(
+        np.asarray(scene.camera.camera, np.float32),
+        scene.camera.target, scene.camera.up, scene.camera.fov))
+    f = jnp.float32
+    args = (params, camera, inv_vp, f(0.025), f(scene.config.min_ray_step),
+            f(1.0), f(1.0), f(1.0))
+    _, lin_ref = jax.jit(render_frame, static_argnums=(0, 1))(static, 16, *args)
+    bound = gdiff.step_bound_for_scene(scene)
+    _, lin_d = gdiff.render_frame_diff_jit(static, 16, bound, *args)
+    np.testing.assert_array_equal(np.asarray(lin_d), np.asarray(lin_ref))

@@ -19,13 +19,19 @@ def _scene(galaxy, ss=1, size=16):
     )
 
 
-def test_ss1_is_the_default_path(fixtures_dir):
+def test_ss1_default_and_pooling_identity(fixtures_dir):
+    """supersample defaults to 1, and rendering at ss=2 then pooling equals
+    pooling an ss=1 render of double size (the pooled path IS the plain
+    path plus a linear box filter; default-path reference-exactness is
+    gated by the oracle golden tests in test_engine.py)."""
     from gamer_tpu.engine.render import render_scene
 
+    assert gamer_tpu.RenderConfig().supersample == 1
     g = gax.load(fixtures_dir / "Spiral.gax")
-    np.testing.assert_array_equal(
-        render_scene(_scene(g, ss=1)), render_scene(_scene(g))
-    )
+    _, lin32 = render_scene(_scene(g, ss=1, size=32), return_linear=True)
+    _, lin_aa = render_scene(_scene(g, ss=2, size=16), return_linear=True)
+    manual = lin32.reshape(16, 2, 16, 2, 3).mean(axis=(1, 3))
+    np.testing.assert_allclose(lin_aa, manual, rtol=1e-6, atol=1e-6)
 
 
 def test_ss2_smooths_without_changing_the_image(fixtures_dir):
@@ -74,3 +80,21 @@ def test_supersample_roundtrips_scene_dict():
 
     s = _scene(gamer_tpu.default_galaxy(), ss=4)
     assert scene_from_dict(scene_to_dict(s)).config.supersample == 4
+
+
+def test_non_integer_supersample_rejected():
+    with pytest.raises(ValueError, match="supersample"):
+        gamer_tpu.RenderConfig(supersample=2.5)
+    with pytest.raises(ValueError, match="noise_octaves"):
+        gamer_tpu.RenderConfig(noise_octaves=3.7)
+
+
+def test_sharded_and_progressive_reject_supersample():
+    from gamer_tpu.engine.queue import render_progressive
+    from gamer_tpu.parallel.sharding import render_scene_sharded
+
+    s = _scene(gamer_tpu.default_galaxy(), ss=2)
+    with pytest.raises(ValueError, match="supersample"):
+        render_scene_sharded(s)
+    with pytest.raises(ValueError, match="supersample"):
+        render_progressive(s)
