@@ -80,25 +80,23 @@ def render_batch(scenes: Sequence[Scene], mesh: Optional[Mesh] = None) -> np.nda
     divide the mesh size).
     """
     size = scenes[0].config.size
+    ss = scenes[0].config.supersample
     for s in scenes:
         if s.config.size != size:
             raise ValueError("all scenes in a batch must share the size")
-        if s.config.supersample != 1:
-            raise ValueError(
-                "supersample is not supported in batched rendering yet; "
-                "render frames individually or drop the AA"
-            )
+        if s.config.supersample != ss:
+            raise ValueError("all scenes in a batch must share the supersample")
     static, sp_rows = _scene_rows(scenes)
     B = sp_rows.shape[0]
 
     if mesh is None:
-        _, run = _compiled_batch(static, size, B)
+        _, run = _compiled_batch(static, size * ss, B, ss)
         linear = run(sp_rows)
     else:
         n_dev = mesh.devices.size
         if B % n_dev != 0:
             raise ValueError(f"batch {B} not divisible by mesh size {n_dev}")
-        _, run_local = _compiled_batch(static, size, B // n_dev)
+        _, run_local = _compiled_batch(static, size * ss, B // n_dev, ss)
 
         @jax.jit
         def run_sharded(rows):

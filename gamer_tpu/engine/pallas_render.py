@@ -801,9 +801,11 @@ def _compiled(static: SceneStatic, size: int, pool: int = 1):
 
 
 @functools.lru_cache(maxsize=32)
-def _compiled_batch(static: SceneStatic, size: int, nbatch: int):
+def _compiled_batch(static: SceneStatic, size: int, nbatch: int,
+                    pool: int = 1):
     """Batched variant: grid (nbatch, rows/8, cols/128); one SMEM scalar row
-    and one output frame per batch element."""
+    and one output frame per batch element. ``pool`` box-averages the linear
+    radiance per frame before it leaves the dispatch (supersampling)."""
     lay = _build_layout(static)
     tr = _tile_rows(size)
     rows = -(-size // tr) * tr
@@ -839,9 +841,13 @@ def _compiled_batch(static: SceneStatic, size: int, nbatch: int):
     @jax.jit
     def run(sp_rows):
         r, g, b = call(sp_rows, perm_rows)
-        return jnp.stack(
+        lin = jnp.stack(
             [r[:, :size, :size], g[:, :size, :size], b[:, :size, :size]],
             axis=-1)
+        if pool > 1:
+            o = size // pool
+            lin = lin.reshape(-1, o, pool, o, pool, 3).mean(axis=(2, 4))
+        return lin
 
     return lay, run
 

@@ -67,12 +67,20 @@ def test_invalid_supersample_rejected():
         gamer_tpu.RenderConfig(supersample=0)
 
 
-def test_batch_rejects_supersample():
+def test_batch_supersamples(fixtures_dir):
+    """Batched frames pool per element; batch element 0 == single render."""
     from gamer_tpu.engine.batch import render_batch
+    from gamer_tpu.engine.pallas_render import render_scene_pallas
 
-    s = _scene(gamer_tpu.default_galaxy(), ss=2)
+    g = gax.load(fixtures_dir / "Spiral.gax")
+    s = _scene(g, ss=2)
+    imgs = render_batch([s, s])
+    assert imgs.shape == (2, 16, 16, 3)
+    np.testing.assert_array_equal(imgs[0], render_scene_pallas(s))
+
+    mixed = [_scene(g, ss=2), _scene(g, ss=1)]
     with pytest.raises(ValueError, match="supersample"):
-        render_batch([s, s])
+        render_batch(mixed)
 
 
 def test_supersample_roundtrips_scene_dict():
