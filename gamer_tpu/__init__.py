@@ -41,7 +41,12 @@ def _host_fingerprint() -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
 
 
-if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR") \
+        and not _os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # CPU-forced processes (tests, the driver's multichip dry run) skip the
+    # cache entirely: XLA:CPU AOT reloads always warn about its synthetic
+    # prefer-no-scatter/gather "machine features", and CPU compiles are
+    # cheap. The cache's value is the 20 s-7 min tunneled TPU compiles.
     try:
         import jax as _jax
 
