@@ -43,18 +43,27 @@ def make_pixel_mesh(devices=None, axis_name: str = PIXEL_AXIS) -> Mesh:
 
 
 @functools.lru_cache(maxsize=64)
-def sharded_render_fn(static: SceneStatic, size: int, mesh: Mesh):
+def sharded_render_fn(static: SceneStatic, size: int, mesh: Mesh,
+                      supersample: int = 1):
     """Jitted render under `mesh` with the image's row axis sharded across
     devices. Scene params are replicated (tiny); the ray grid/image rows are
-    partitioned, which is where all the work is. Cached per
-    (structure, size, mesh) so repeated calls reuse the executable."""
-    from ..engine.render import render_frame
+    partitioned, which is where all the work is. With supersampling the
+    ss*size ray rows stay aligned to the pooled output rows, so XLA
+    propagates the same row sharding through the box filter. Cached per
+    (structure, size, mesh, ss) so repeated calls reuse the executable."""
+    from ..engine.render import render_frame, render_frame_ss
 
     row_sharding = NamedSharding(mesh, P(PIXEL_AXIS, None, None))
 
     def frame(params, camera, inv_vp, ray_step, min_step, exposure, gamma, saturation):
-        img, _ = render_frame(static, size, params, camera, inv_vp,
-                              ray_step, min_step, exposure, gamma, saturation)
+        if supersample > 1:
+            img, _ = render_frame_ss(static, size, supersample, params,
+                                     camera, inv_vp, ray_step, min_step,
+                                     exposure, gamma, saturation)
+        else:
+            img, _ = render_frame(static, size, params, camera, inv_vp,
+                                  ray_step, min_step, exposure, gamma,
+                                  saturation)
         return img
 
     return jax.jit(frame, out_shardings=row_sharding)
@@ -69,11 +78,6 @@ def render_scene_sharded(scene: Scene, mesh: Optional[Mesh] = None,
     """
     mesh = mesh if mesh is not None else make_pixel_mesh()
     cfg = scene.config
-    if cfg.supersample != 1:
-        raise ValueError(
-            "supersample is not supported in sharded rendering yet; "
-            "render at supersample=1 or use the single-device paths"
-        )
     n_dev = mesh.devices.size
     if cfg.size % n_dev != 0:
         raise ValueError(
@@ -86,7 +90,7 @@ def render_scene_sharded(scene: Scene, mesh: Optional[Mesh] = None,
         camera, scene.camera.target, scene.camera.up, scene.camera.fov,
         dtype=dtype)
     f = lambda v: jnp.asarray(v, dtype)
-    call = sharded_render_fn(static, cfg.size, mesh)
+    call = sharded_render_fn(static, cfg.size, mesh, cfg.supersample)
     img = call(params, camera, inv_vp, f(cfg.ray_step), f(cfg.min_ray_step),
                f(cfg.exposure), f(cfg.gamma), f(cfg.saturation))
     return np.asarray(img)

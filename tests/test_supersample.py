@@ -97,12 +97,18 @@ def test_non_integer_supersample_rejected():
         gamer_tpu.RenderConfig(noise_octaves=3.7)
 
 
-def test_sharded_and_progressive_reject_supersample():
-    from gamer_tpu.engine.queue import render_progressive
+def test_sharded_supersample_matches_single_device(fixtures_dir):
+    from gamer_tpu.engine.render import render_scene
     from gamer_tpu.parallel.sharding import render_scene_sharded
 
+    g = gax.load(fixtures_dir / "Spiral.gax")
+    s = _scene(g, ss=2, size=16)
+    np.testing.assert_array_equal(render_scene_sharded(s), render_scene(s))
+
+
+def test_progressive_rejects_supersample():
+    from gamer_tpu.engine.queue import render_progressive
+
     s = _scene(gamer_tpu.default_galaxy(), ss=2)
-    with pytest.raises(ValueError, match="supersample"):
-        render_scene_sharded(s)
     with pytest.raises(ValueError, match="supersample"):
         render_progressive(s)
