@@ -75,10 +75,7 @@ def render_progressive(scene: Scene, chunks: int = 16,
     """
     cfg = scene.config
     size = cfg.size
-    if cfg.supersample != 1:
-        raise ValueError(
-            "supersample is not supported in progressive rendering yet"
-        )
+    ss = cfg.supersample
     static, params = flatten_scene(scene, dtype)
     camera = np.asarray(scene.camera.camera, dtype)
     inv_vp = cam_ops.inv_view_projection_host(
@@ -93,11 +90,17 @@ def render_progressive(scene: Scene, chunks: int = 16,
 
     @jax.jit
     def chunk_linear(row0):
-        ii = jnp.arange(size, dtype=dtype)
-        jj = row0 + jnp.arange(rows_per, dtype=dtype)
+        # supersampled grid rows pool back down per chunk (row0 is an
+        # OUTPUT row index; the ray grid runs at size*ss)
+        n = size * ss
+        ii = jnp.arange(n, dtype=dtype)
+        jj = row0 * ss + jnp.arange(rows_per * ss, dtype=dtype)
         i_g, j_g = jnp.meshgrid(ii, jj, indexing="xy")
-        dirs = cam_ops.coord2ray(i_g, j_g, size, inv_vp)
-        return render_rays(static, params, dirs, camera, ray_step, min_step)
+        dirs = cam_ops.coord2ray(i_g, j_g, n, inv_vp)
+        lin = render_rays(static, params, dirs, camera, ray_step, min_step)
+        if ss > 1:
+            lin = lin.reshape(rows_per, ss, size, ss, 3).mean(axis=(1, 3))
+        return lin
 
     linear = np.zeros((chunks * rows_per, size, 3), np.float32)
     for c in range(chunks):

@@ -183,6 +183,21 @@ def test_golden_render_vs_oracle(fixtures_dir, fixture):
     assert (d.max(-1) > 0).mean() < 0.05, f"{fixture}: mismatch fraction too high"
 
 
+def test_golden_render_vs_oracle_large(fixtures_dir):
+    """Conformance at a larger frame (96^2) on the heaviest fixture: per-ray
+    error does not accumulate with resolution (pixels are independent), so
+    the 1-LSB gate must hold with 9x the pixels of the 32^2 gates."""
+    from gamer_tpu.engine.render import render_scene
+
+    g = gax.load(fixtures_dir / "VortexCloud.gax")
+    scene = _scene(g, size=96)
+    ours = render_scene(scene)
+    ref, _ = render_oracle(scene)
+    d = np.abs(ours.astype(np.int16) - ref.astype(np.int16))
+    assert d.max() <= 1, f"max diff {d.max()}"
+    assert (d.max(-1) > 0).mean() < 0.05, "mismatch fraction too high"
+
+
 @pytest.mark.parametrize("fixture", ["RedBar", "Irregular"])
 def test_golden_offaxis_knobs_vs_oracle(fixtures_dir, fixture):
     """Conformance away from the canonical preset: off-axis camera, tilted

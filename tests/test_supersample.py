@@ -106,9 +106,12 @@ def test_sharded_supersample_matches_single_device(fixtures_dir):
     np.testing.assert_array_equal(render_scene_sharded(s), render_scene(s))
 
 
-def test_progressive_rejects_supersample():
+def test_progressive_supersample_matches_direct(fixtures_dir):
     from gamer_tpu.engine.queue import render_progressive
+    from gamer_tpu.engine.render import render_scene
 
-    s = _scene(gamer_tpu.default_galaxy(), ss=2)
-    with pytest.raises(ValueError, match="supersample"):
-        render_progressive(s)
+    g = gax.load(fixtures_dir / "Spiral.gax")
+    s = _scene(g, ss=2, size=16)
+    np.testing.assert_array_equal(
+        render_progressive(s, chunks=4), render_scene(s)
+    )
