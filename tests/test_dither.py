@@ -94,3 +94,15 @@ def test_diff_scan_matches_while_under_dither(fixtures_dir):
     bound = gdiff.step_bound_for_scene(scene)
     _, lin_d = gdiff.render_frame_diff_jit(static, 16, bound, *args)
     np.testing.assert_array_equal(np.asarray(lin_d), np.asarray(lin_ref))
+
+
+def test_dither_flows_through_batch(fixtures_dir):
+    """dither lives in SceneStatic, so batched rendering honors it."""
+    from gamer_tpu.engine.batch import render_batch
+
+    g = gax.load(fixtures_dir / "Spiral.gax")
+    base = render_batch([_scene(g), _scene(g)])
+    dit = render_batch([_scene(g, dither=True), _scene(g, dither=True)])
+    assert dit.shape == base.shape
+    assert not np.array_equal(dit, base)
+    np.testing.assert_array_equal(dit[0], dit[1])
