@@ -41,15 +41,17 @@ button{background:#222;color:#ccc;border:1px solid #555;margin:2px;padding:4px 1
 </div>
 <img id=v>
 <script>
-let h=0,v=20,zoom=0,gi=0,names=[],lods=[4,6,0],lodNames=['fast','med','exact'],li=0;
+let h=0,v=20,zoom=0,gi=0,names=[],quals=[[4,1],[6,1],[0,1],[0,2]],
+  qualNames=['fast','med','exact','exact+AA'],li=0;
 async function load(){names=await (await fetch('/galaxies')).json();refresh();}
 function refresh(){
   const g=names[gi]||'';
   document.getElementById('t').textContent='gamer-tpu :: '+g+'  h='+h+' v='+v;
   document.getElementById('v').src='/render?galaxy='+encodeURIComponent(g)+
-    '&h='+h+'&v='+v+'&zoom='+zoom+'&lod='+lods[li]+'&_='+Date.now();}
-function cycleLod(){li=(li+1)%lods.length;
-  document.getElementById('q').textContent='quality: '+lodNames[li];refresh();}
+    '&h='+h+'&v='+v+'&zoom='+zoom+'&lod='+quals[li][0]+'&ss='+quals[li][1]+
+    '&_='+Date.now();}
+function cycleLod(){li=(li+1)%quals.length;
+  document.getElementById('q').textContent='quality: '+qualNames[li];refresh();}
 function rot(dh,dv){h+=dh;v+=dv;refresh();}
 function zoomBy(d){zoom+=d;refresh();}
 function cycle(d){gi=(gi+d+names.length)%names.length;refresh();}
@@ -88,7 +90,7 @@ class _ViewerState:
             self.galaxies.setdefault(name, builder)
 
     def render_png(self, name: str, h_deg: float, v_deg: float,
-                   zoom: float, lod: int = 4) -> bytes:
+                   zoom: float, lod: int = 4, ss: int = 1) -> bytes:
         import numpy as np
         from PIL import Image
 
@@ -110,7 +112,8 @@ class _ViewerState:
             # preview-grade grain); lod=0 renders the exact octave counts
             config=gamer_tpu.RenderConfig(size=self.size, ray_step=0.025,
                                           is_preview=True,
-                                          noise_octaves=lod or None),
+                                          noise_octaves=lod or None,
+                                          supersample=max(1, ss)),
         )
         with self.lock:  # one device render at a time
             from .engine.pallas_render import render_scene_pallas
@@ -147,7 +150,8 @@ def make_handler(state: _ViewerState):
                 try:
                     png = state.render_png(name, get("h", 0), get("v", 0),
                                            get("zoom", 0),
-                                           int(get("lod", 4)))
+                                           int(get("lod", 4)),
+                                           int(get("ss", 1)))
                     self._send(200, "image/png", png)
                 except Exception as e:  # noqa: BLE001
                     self._send(500, "text/plain", str(e).encode())
