@@ -232,6 +232,120 @@ def fit_scene(
     )
 
 
+POSE_FITTABLE = ("camera", "target", "fov")
+
+
+def fit_pose(
+    scene: Scene,
+    target_image,
+    fit_fields: Sequence[str] = ("camera", "target"),
+    *,
+    steps: int = 100,
+    lr: float = 2e-2,
+    max_steps: Optional[int] = None,
+    optimizer=None,
+    on_step: Optional[Callable[[int, float], None]] = None,
+) -> FitResult:
+    """Refine the camera pose toward the one that produced ``target_image``.
+
+    The whole camera chain is in-graph (ops/camera.inv_view_projection is
+    plain jnp), so gradients flow target pixels -> post -> march -> ray
+    grid -> view matrix -> camera/target/fov. The up vector stays fixed
+    (it gauges roll together with target). Galaxy parameters are held
+    constant. Returns a FitResult whose scene carries the fitted
+    CameraParams; ``params`` is the fitted pose dict.
+
+    This is LOCAL refinement, and the loss landscape demands two cautions:
+
+    - Full-octave noise decorrelates under millimeter camera moves, so the
+      image-space gradient is noise-dominated. Fit with a LOD cap
+      (``scene.config.noise_octaves`` of 2-4) so the volume is smooth at
+      the displacement scale, then re-render at full quality. Measured:
+      position error 0.073 -> 0.043 in 80 steps at LOD 3, vs a random
+      walk at full octaves.
+    - fov and camera distance are near-ambiguous (dolly-zoom): fitting
+      both lets the optimizer trade one against the other. Fit
+      ("camera",) alone when fov is known.
+    """
+    import optax
+
+    wanted = set(fit_fields)
+    unknown = wanted - set(POSE_FITTABLE)
+    if unknown:
+        raise ValueError(
+            f"unknown pose fields {sorted(unknown)}; fittable: {POSE_FITTABLE}"
+        )
+
+    target = jnp.asarray(np.asarray(target_image, np.float32) / 255.0)
+    size = target.shape[0]
+    if target.shape != (size, size, 3) or size != scene.config.size:
+        raise ValueError(
+            f"target must be ({scene.config.size}, {scene.config.size}, 3), "
+            f"got {target.shape}"
+        )
+
+    cfg = scene.config
+    static, gal_params = flatten_scene(scene)
+    gal_params = jax.tree_util.tree_map(jnp.asarray, gal_params)
+    up = jnp.asarray(scene.camera.up, jnp.float32)
+    pose = {
+        "camera": jnp.asarray(scene.camera.camera, jnp.float32),
+        "target": jnp.asarray(scene.camera.target, jnp.float32),
+        "fov": jnp.asarray(scene.camera.fov, jnp.float32),
+    }
+    trip_bound = max_steps if max_steps is not None else step_bound_for_scene(scene)
+    f = jnp.float32
+
+    def loss_fn(p):
+        inv_vp = cam_ops.inv_view_projection(p["camera"], p["target"], up,
+                                             p["fov"])
+        dirs = cam_ops.ray_grid(size, inv_vp)
+        from .diff import post_process_float, render_rays_diff
+
+        linear = render_rays_diff(
+            static, gal_params, dirs, p["camera"], f(cfg.ray_step),
+            f(cfg.min_ray_step), trip_bound,
+        )
+        img = post_process_float(
+            linear, f(cfg.exposure), f(cfg.gamma), f(cfg.saturation)
+        ) / 255.0
+        return jnp.mean((img - target) ** 2)
+
+    mask = {k: jnp.float32(1.0 if k in wanted else 0.0) for k in pose}
+    opt = optimizer if optimizer is not None else optax.adam(lr)
+    rel = jax.tree_util.tree_map(
+        lambda leaf: jnp.maximum(jnp.abs(leaf), 0.1), pose
+    ) if optimizer is None else jax.tree_util.tree_map(jnp.ones_like, pose)
+    opt_state = opt.init(pose)
+
+    @jax.jit
+    def step_fn(p, s):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        grads = jax.tree_util.tree_map(
+            lambda g, m: jnp.nan_to_num(g) * m, grads, mask
+        )
+        updates, s = opt.update(grads, s, p)
+        updates = jax.tree_util.tree_map(lambda u, r: u * r, updates, rel)
+        p = optax.apply_updates(p, updates)
+        p["fov"] = jnp.clip(p["fov"], 5.0, 170.0)
+        return p, s, loss
+
+    losses: List[float] = []
+    for i in range(steps):
+        pose, opt_state, loss = step_fn(pose, opt_state)
+        losses.append(float(loss))
+        if on_step is not None:
+            on_step(i, losses[-1])
+
+    fitted_pose = jax.tree_util.tree_map(np.asarray, pose)
+    new_scene = copy.deepcopy(scene)
+    new_scene.camera.camera = tuple(float(v) for v in fitted_pose["camera"])
+    new_scene.camera.target = tuple(float(v) for v in fitted_pose["target"])
+    new_scene.camera.fov = float(fitted_pose["fov"])
+    return FitResult(scene=new_scene, params=fitted_pose, losses=losses,
+                     fit_fields=tuple(fit_fields))
+
+
 def apply_fit_to_scene(scene: Scene, params, fit_fields: Sequence[str]) -> Scene:
     """Write fitted params back into a deep copy of ``scene``.
 

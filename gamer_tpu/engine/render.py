@@ -141,7 +141,11 @@ def _apply_component(
     P = p - orientation * dott[..., None]
     radius = norm3(P) / pr["axis"][0]
     h = jnp.abs(dott / cp["z0"])
-    sech = 1.0 / ((jnp.exp(h) + jnp.exp(-h)) / 2.0)
+    # sech evaluated on min(h, 3): bit-identical for every lane the h > 2
+    # cutoff keeps, while capping exp(h) so overflowing discarded lanes
+    # (inf -> 0*inf = NaN) cannot poison reverse-mode gradients.
+    hs = jnp.minimum(h, 3.0)
+    sech = 1.0 / ((jnp.exp(hs) + jnp.exp(-hs)) / 2.0)
     z = jnp.where(h > 2.0, 0.0, sech * sech)
 
     # Gating pipeline (galaxycomponent.cpp:45-88).
@@ -249,7 +253,10 @@ def _dither01(dirs):
     bits (the sparkle-hash family). Used by RenderConfig.dither to jitter
     each ray's march start within its first step — the shadertoy fork's
     banding treatment (galaxy_shadertoy.glsl:564-589)."""
-    bits = jax.lax.bitcast_convert_type(dirs, jnp.int32)
+    # stop_gradient: the hash is piecewise-constant (zero derivative a.e.)
+    # and bitcast has no differentiation rule — pose fitting sends
+    # gradients through dirs.
+    bits = jax.lax.bitcast_convert_type(jax.lax.stop_gradient(dirs), jnp.int32)
     h = hash3_i32(bits[..., 0], bits[..., 1], bits[..., 2])
     return (jnp.abs(h) % 8192).astype(dirs.dtype) * (1.0 / 8192.0)
 

@@ -23,8 +23,21 @@ def qt_clamp(val, lo, hi):
 
 
 def qt_smoothstep(edge0, edge1, x):
-    """Util::smoothstep; 0/0 -> NaN -> clamp -> 1 (matches the oracle)."""
-    t = qt_clamp((x - edge0) / (edge1 - edge0), 0.0, 1.0)
+    """Util::smoothstep; 0/0 -> NaN -> clamp -> 1 (matches the oracle).
+
+    Gradient-safe at edge1 == edge0: the zero-width-edge division is kept
+    for the primal (its inf/NaN-then-clamp semantics are the oracle's) but
+    wrapped in stop_gradient, with the well-defined branch dividing by a
+    guarded denominator — otherwise inner == 0 components poison every
+    gradient that flows through radius (engine/diff.py pose/shape fitting).
+    """
+    import jax
+
+    d = edge1 - edge0
+    nz = d != 0
+    t_safe = qt_clamp((x - edge0) / jnp.where(nz, d, 1.0), 0.0, 1.0)
+    t_exact = qt_clamp((x - edge0) / d, 0.0, 1.0)
+    t = jnp.where(nz, t_safe, jax.lax.stop_gradient(t_exact))
     return t * t * (3.0 - 2.0 * t)
 
 
