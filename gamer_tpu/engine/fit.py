@@ -216,14 +216,22 @@ def fit_scene(
         p = optax.apply_updates(p, updates)
         return _project_bounds(p, fit_fields), s, loss
 
+    # step_fn returns the loss of the PRE-update params, so params after
+    # step i pair with a loss we only see at step i+1 — track the best
+    # (loss, params) pair and return that iterate, not the last one (the
+    # loss is noisy near convergence and the final step can overshoot).
     losses: List[float] = []
+    best_loss, best_params = np.inf, params
     for i in range(steps):
-        params, opt_state, loss = step_fn(params, opt_state)
+        new_params, opt_state, loss = step_fn(params, opt_state)
         losses.append(float(loss))
+        if losses[-1] < best_loss:
+            best_loss, best_params = losses[-1], params
+        params = new_params
         if on_step is not None:
             on_step(i, losses[-1])
 
-    fitted = jax.tree_util.tree_map(np.asarray, params)
+    fitted = jax.tree_util.tree_map(np.asarray, best_params)
     return FitResult(
         scene=apply_fit_to_scene(scene, fitted, fit_fields),
         params=fitted,
@@ -331,13 +339,17 @@ def fit_pose(
         return p, s, loss
 
     losses: List[float] = []
+    best_loss, best_pose = np.inf, pose
     for i in range(steps):
-        pose, opt_state, loss = step_fn(pose, opt_state)
+        new_pose, opt_state, loss = step_fn(pose, opt_state)
         losses.append(float(loss))
+        if losses[-1] < best_loss:
+            best_loss, best_pose = losses[-1], pose
+        pose = new_pose
         if on_step is not None:
             on_step(i, losses[-1])
 
-    fitted_pose = jax.tree_util.tree_map(np.asarray, pose)
+    fitted_pose = jax.tree_util.tree_map(np.asarray, best_pose)
     new_scene = copy.deepcopy(scene)
     new_scene.camera.camera = tuple(float(v) for v in fitted_pose["camera"])
     new_scene.camera.target = tuple(float(v) for v in fitted_pose["target"])

@@ -7,6 +7,8 @@ from .presets import (  # noqa: F401
     elliptical,
     fixture,
     fixture_names,
+    flocculent,
     irregular,
+    ring,
     spiral,
 )

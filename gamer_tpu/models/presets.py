@@ -140,10 +140,60 @@ def dusty_disk(name: str = "DustyDisk") -> GalaxyData:
     return GalaxyData(display_name=name, params=params, components=comps)
 
 
+def ring(name: str = "Ring") -> GalaxyData:
+    """Collisional ring galaxy (Hoag-type): a compact core inside a
+    detached luminous ring — the ring is carved by the ``inner`` cutoff
+    (intensity ramps in as smoothstep(0, inner, r)^4), which no other
+    preset exercises."""
+    params = GalaxyParams(name=name, winding_b=0.7, winding_n=1.0, no_arms=1.0)
+    comps = [
+        ComponentParams(class_name="bulge", spectrum="Yellow", name="core",
+                        strength=35.0, r0=7.0),
+        ComponentParams(class_name="disk", spectrum="Blue", name="ring",
+                        strength=1200.0, r0=1.4, z0=0.03, arm=0.0,
+                        inner=0.55, scale=1.2, ks=0.55, noise_tilt=0.35),
+        ComponentParams(class_name="dust2", spectrum="Blue", name="ring dust",
+                        strength=180.0, r0=1.2, z0=0.03, arm=0.0,
+                        inner=0.5, scale=2.0, ks=1.0, noise_offset=1.0,
+                        noise_tilt=1.0),
+        ComponentParams(class_name="stars", spectrum="White", name="knots",
+                        strength=150.0, r0=1.2, z0=0.05, arm=0.0,
+                        inner=0.55, scale=1.8, ks=0.7, noise_tilt=3.0),
+    ]
+    return GalaxyData(display_name=name, params=params, components=comps)
+
+
+def flocculent(name: str = "Flocculent") -> GalaxyData:
+    """Flocculent spiral: four loosely-wound fleecy arm fragments instead
+    of a grand design — low arm concentration, high winding count, strong
+    noise modulation."""
+    params = GalaxyParams(
+        name=name, winding_b=0.35, winding_n=5.0, no_arms=4.0,
+        arm1=0.4, arm2=1.9, arm3=3.5, arm4=5.1,
+    )
+    comps = [
+        ComponentParams(class_name="bulge", spectrum="Yellow", name="bulge",
+                        strength=18.0, r0=6.0),
+        ComponentParams(class_name="disk", spectrum="Cyan", name="fleece",
+                        strength=950.0, r0=0.45, z0=0.025, arm=0.15,
+                        winding=0.8, scale=1.8, ks=0.7, noise_tilt=0.22),
+        ComponentParams(class_name="dust", spectrum="Cyan", name="haze",
+                        strength=120.0, r0=0.5, z0=0.03, arm=0.1,
+                        winding=0.6, scale=1.5, ks=0.9, noise_offset=0.3,
+                        noise_tilt=1.1),
+        ComponentParams(class_name="stars", spectrum="Blue", name="associations",
+                        strength=110.0, r0=0.45, z0=0.06, arm=0.08,
+                        winding=0.5, scale=1.5, ks=0.65, noise_tilt=2.6),
+    ]
+    return GalaxyData(display_name=name, params=params, components=comps)
+
+
 GALLERY = {
     "spiral": spiral,
     "barred_spiral": barred_spiral,
     "elliptical": elliptical,
     "irregular": irregular,
     "dusty_disk": dusty_disk,
+    "ring": ring,
+    "flocculent": flocculent,
 }
