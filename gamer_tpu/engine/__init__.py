@@ -7,7 +7,7 @@ from .scene_prep import SceneStatic, flatten_scene  # noqa: F401
 def __getattr__(name):
     # Lazy: the differentiable path + fitting pull in extra deps (optax)
     # that plain rendering never needs.
-    if name in ("fit_scene", "apply_fit_to_scene", "FitResult"):
+    if name in ("fit_scene", "fit_pose", "apply_fit_to_scene", "FitResult"):
         from . import fit
 
         return getattr(fit, name)

@@ -70,12 +70,74 @@ _FIT_BOUNDS = {
 DEFAULT_FIT_FIELDS = ("strength", "r0", "z0")
 
 
+def _optimize(loss_fn, params, mask, *, steps, lr, optimizer, on_step,
+              project_fn=None):
+    """The shared masked-Adam loop of fit_scene and fit_pose.
+
+    - Gradients are nan_to_num-sanitized and masked to the fitted leaves.
+    - With the default optimizer, updates are scaled by each leaf's initial
+      magnitude (relative stepping: galaxy knobs span ~4 orders of
+      magnitude, so lr becomes a per-step relative change).
+    - ``project_fn(params)`` re-applies domain constraints after each step.
+    - Returns (best_params, losses): each step's loss belongs to the
+      PRE-update params, and the final iterate's loss is evaluated once at
+      the end (appended to losses), so the best (loss, params) pair is
+      chosen over every iterate including the last — the loss is noisy
+      near convergence and a final step can overshoot.
+    """
+    import optax
+
+    if optimizer is None:
+        opt = optax.adam(lr)
+        rel = jax.tree_util.tree_map(
+            lambda leaf: jnp.maximum(jnp.abs(jnp.asarray(leaf)), 0.1), params
+        )
+    else:
+        opt = optimizer
+        rel = jax.tree_util.tree_map(
+            lambda leaf: jnp.ones_like(jnp.asarray(leaf)), params
+        )
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step_fn(p, s):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        grads = jax.tree_util.tree_map(
+            lambda g, m: jnp.nan_to_num(g) * m, grads, mask
+        )
+        updates, s = opt.update(grads, s, p)
+        updates = jax.tree_util.tree_map(lambda u, r: u * r, updates, rel)
+        p = optax.apply_updates(p, updates)
+        if project_fn is not None:
+            p = project_fn(p)
+        return p, s, loss
+
+    losses: List[float] = []
+    best_loss, best_params = np.inf, params
+    for i in range(steps):
+        new_params, opt_state, loss = step_fn(params, opt_state)
+        losses.append(float(loss))
+        if losses[-1] < best_loss:
+            best_loss, best_params = losses[-1], params
+        params = new_params
+        if on_step is not None:
+            on_step(i, losses[-1])
+    # the final iterate's loss was never seen by the loop above
+    final_loss = float(jax.jit(loss_fn)(params))
+    losses.append(final_loss)
+    if final_loss < best_loss:
+        best_params = params
+    return best_params, losses
+
+
 @dataclass
 class FitResult:
     """Outcome of fit_scene: fitted scene + optimization trace."""
 
-    scene: Scene                      # deep copy with fitted values written back
-    params: tuple                     # fitted flattened params pytree
+    scene: Scene   # deep copy with fitted values written back
+    # fitted parameter pytree: flatten_scene's tuple-of-dicts for
+    # fit_scene, the {camera, target, fov} pose dict for fit_pose
+    params: object
     losses: List[float] = field(default_factory=list)
     fit_fields: Tuple[str, ...] = ()
 
@@ -135,8 +197,6 @@ def fit_scene(
     Returns a FitResult whose ``scene`` is a deep copy with the fitted
     values written back (round-trippable to .gax / scene dict).
     """
-    import optax
-
     target = jnp.asarray(np.asarray(target_image, np.float32) / 255.0)
     size = target.shape[0]
     if target.shape != (size, size, 3):
@@ -188,48 +248,11 @@ def fit_scene(
     # Project the starting point too: a fitted field sitting exactly on a
     # singular value (e.g. inner == 0) would never receive a usable gradient.
     params = _project_bounds(params, fit_fields)
-    if optimizer is None:
-        opt = optax.adam(lr)
-        # Relative stepping: galaxy knobs span ~4 orders of magnitude
-        # (strength O(10^2..10^3), z0 O(10^-2)); Adam's unit-norm steps
-        # would take thousands of iterations to move a large strength, so
-        # scale each leaf's update by its initial magnitude — lr becomes a
-        # per-step relative change (0.02 = ~2%/step).
-        rel = jax.tree_util.tree_map(
-            lambda leaf: jnp.maximum(jnp.abs(jnp.asarray(leaf)), 0.1), params
-        )
-    else:
-        opt = optimizer
-        rel = jax.tree_util.tree_map(
-            lambda leaf: jnp.ones_like(jnp.asarray(leaf)), params
-        )
-    opt_state = opt.init(params)
-
-    @jax.jit
-    def step_fn(p, s):
-        loss, grads = jax.value_and_grad(loss_fn)(p)
-        grads = jax.tree_util.tree_map(
-            lambda g, m: jnp.nan_to_num(g) * m, grads, mask
-        )
-        updates, s = opt.update(grads, s, p)
-        updates = jax.tree_util.tree_map(lambda u, r: u * r, updates, rel)
-        p = optax.apply_updates(p, updates)
-        return _project_bounds(p, fit_fields), s, loss
-
-    # step_fn returns the loss of the PRE-update params, so params after
-    # step i pair with a loss we only see at step i+1 — track the best
-    # (loss, params) pair and return that iterate, not the last one (the
-    # loss is noisy near convergence and the final step can overshoot).
-    losses: List[float] = []
-    best_loss, best_params = np.inf, params
-    for i in range(steps):
-        new_params, opt_state, loss = step_fn(params, opt_state)
-        losses.append(float(loss))
-        if losses[-1] < best_loss:
-            best_loss, best_params = losses[-1], params
-        params = new_params
-        if on_step is not None:
-            on_step(i, losses[-1])
+    best_params, losses = _optimize(
+        loss_fn, params, mask, steps=steps, lr=lr, optimizer=optimizer,
+        on_step=on_step,
+        project_fn=lambda p: _project_bounds(p, fit_fields),
+    )
 
     fitted = jax.tree_util.tree_map(np.asarray, best_params)
     return FitResult(
@@ -275,8 +298,6 @@ def fit_pose(
       both lets the optimizer trade one against the other. Fit
       ("camera",) alone when fov is known.
     """
-    import optax
-
     wanted = set(fit_fields)
     unknown = wanted - set(POSE_FITTABLE)
     if unknown:
@@ -308,8 +329,6 @@ def fit_pose(
         inv_vp = cam_ops.inv_view_projection(p["camera"], p["target"], up,
                                              p["fov"])
         dirs = cam_ops.ray_grid(size, inv_vp)
-        from .diff import post_process_float, render_rays_diff
-
         linear = render_rays_diff(
             static, gal_params, dirs, p["camera"], f(cfg.ray_step),
             f(cfg.min_ray_step), trip_bound,
@@ -320,34 +339,18 @@ def fit_pose(
         return jnp.mean((img - target) ** 2)
 
     mask = {k: jnp.float32(1.0 if k in wanted else 0.0) for k in pose}
-    opt = optimizer if optimizer is not None else optax.adam(lr)
-    rel = jax.tree_util.tree_map(
-        lambda leaf: jnp.maximum(jnp.abs(leaf), 0.1), pose
-    ) if optimizer is None else jax.tree_util.tree_map(jnp.ones_like, pose)
-    opt_state = opt.init(pose)
 
-    @jax.jit
-    def step_fn(p, s):
-        loss, grads = jax.value_and_grad(loss_fn)(p)
-        grads = jax.tree_util.tree_map(
-            lambda g, m: jnp.nan_to_num(g) * m, grads, mask
-        )
-        updates, s = opt.update(grads, s, p)
-        updates = jax.tree_util.tree_map(lambda u, r: u * r, updates, rel)
-        p = optax.apply_updates(p, updates)
-        p["fov"] = jnp.clip(p["fov"], 5.0, 170.0)
-        return p, s, loss
+    def project(p):
+        # domain-constrain ONLY fitted fields: clipping an unfitted fov
+        # would silently mutate a parameter the caller asked us to freeze
+        if "fov" in wanted:
+            p = dict(p, fov=jnp.clip(p["fov"], 5.0, 170.0))
+        return p
 
-    losses: List[float] = []
-    best_loss, best_pose = np.inf, pose
-    for i in range(steps):
-        new_pose, opt_state, loss = step_fn(pose, opt_state)
-        losses.append(float(loss))
-        if losses[-1] < best_loss:
-            best_loss, best_pose = losses[-1], pose
-        pose = new_pose
-        if on_step is not None:
-            on_step(i, losses[-1])
+    best_pose, losses = _optimize(
+        loss_fn, pose, mask, steps=steps, lr=lr, optimizer=optimizer,
+        on_step=on_step, project_fn=project,
+    )
 
     fitted_pose = jax.tree_util.tree_map(np.asarray, best_pose)
     new_scene = copy.deepcopy(scene)

@@ -253,9 +253,10 @@ def _dither01(dirs):
     bits (the sparkle-hash family). Used by RenderConfig.dither to jitter
     each ray's march start within its first step — the shadertoy fork's
     banding treatment (galaxy_shadertoy.glsl:564-589)."""
-    # stop_gradient: the hash is piecewise-constant (zero derivative a.e.)
-    # and bitcast has no differentiation rule — pose fitting sends
-    # gradients through dirs.
+    # stop_gradient: belt-and-braces — the hash is piecewise-constant
+    # (zero derivative a.e.), so when pose fitting sends gradients through
+    # dirs the correct contribution is exactly zero; cutting the edge here
+    # states that and keeps the backward graph smaller.
     bits = jax.lax.bitcast_convert_type(jax.lax.stop_gradient(dirs), jnp.int32)
     h = hash3_i32(bits[..., 0], bits[..., 1], bits[..., 2])
     return (jnp.abs(h) % 8192).astype(dirs.dtype) * (1.0 / 8192.0)

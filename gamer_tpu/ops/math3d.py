@@ -13,6 +13,7 @@ Everything here is traceable (jit/vmap/pallas-safe except where noted).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -31,8 +32,6 @@ def qt_smoothstep(edge0, edge1, x):
     guarded denominator — otherwise inner == 0 components poison every
     gradient that flows through radius (engine/diff.py pose/shape fitting).
     """
-    import jax
-
     d = edge1 - edge0
     nz = d != 0
     t_safe = qt_clamp((x - edge0) / jnp.where(nz, d, 1.0), 0.0, 1.0)
