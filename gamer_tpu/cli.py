@@ -57,6 +57,9 @@ Commands:
    fit <camera x y z> <target x y z> <up x y z> <fov> <exposure> <gamma>
        <saturation> <ray step> <gax file> <target image> <out gax>
        [steps=100] [lr=0.02] [fields=strength,r0,z0]
+   fitpose <camera x y z> <target x y z> <up x y z> <fov> <exposure> <gamma>
+       <saturation> <ray step> <gax file> <target image> <out scene.json>
+       [steps=80] [lr=0.01] [noise LOD=3]
 <method>: omp | thread | pallas (TPU kernel) | xla | oracle | sharded
 """
 
@@ -448,6 +451,65 @@ def cmd_fit(argv) -> int:
     return 0
 
 
+def cmd_fitpose(argv) -> int:
+    """Camera-pose refinement (engine/fit.fit_pose): refine the given
+    initial camera toward the pose that produced <target image>, holding
+    the galaxy fixed. Writes the fitted scene dict to <out scene.json>.
+    Fits at the given noise LOD (see the fit_pose docstring: full-octave
+    noise drowns the pose gradient)."""
+    if not 18 <= len(argv) <= 21:
+        print(f"{len(argv)}\nIncorrect usage/parameters for fitpose. Usage:")
+        print(USAGE)
+        return 1
+    import numpy as np
+    from PIL import Image
+
+    from .engine.fit import fit_pose
+    from .scene.schema import scene_to_dict
+
+    vals = [float(v) for v in argv[1:15]]
+    gax_file, target_file, out_file = argv[15], argv[16], argv[17]
+    steps = int(argv[18]) if len(argv) > 18 else 80
+    lr = float(argv[19]) if len(argv) > 19 else 1e-2
+    lod = int(argv[20]) if len(argv) > 20 else 3
+    if steps < 1:
+        print("fitpose: steps must be >= 1")
+        return 1
+
+    target = np.asarray(Image.open(target_file).convert("RGB"))
+    if target.shape[0] != target.shape[1]:
+        print("fitpose: target image must be square")
+        return 1
+    scene = Scene(
+        camera=CameraParams(camera=tuple(vals[0:3]), target=tuple(vals[3:6]),
+                            up=tuple(vals[6:9]), fov=vals[9]),
+        instances=[GalaxyInstance(galaxy=gax.load(gax_file))],
+        config=RenderConfig(size=target.shape[0], ray_step=vals[13],
+                            exposure=vals[10], gamma=vals[11],
+                            saturation=vals[12], is_preview=True,
+                            noise_octaves=lod),
+    )
+    print(f"Refining camera pose toward {target_file} "
+          f"({steps} steps, lr {lr}, noise LOD {lod}) ...")
+    t0 = time.perf_counter()
+
+    def on_step(i, loss):
+        print(f"\r[ step {i + 1}/{steps} ]  loss {loss:.6f} ", end="", flush=True)
+
+    result = fit_pose(scene, target, ("camera",), steps=steps, lr=lr,
+                      on_step=on_step)
+    cam = result.scene.camera
+    print(f"\nloss {result.losses[0]:.6f} -> {min(result.losses):.6f} in "
+          f"{format_ms((time.perf_counter() - t0) * 1000.0)}")
+    print(f"fitted camera: ({cam.camera[0]:.4f}, {cam.camera[1]:.4f}, "
+          f"{cam.camera[2]:.4f})")
+    out = out_file if out_file.endswith(".json") else out_file + ".json"
+    with open(out, "w") as fh:
+        json.dump(scene_to_dict(result.scene), fh, indent=2)
+    print(f"Saved fitted scene to {out}")
+    return 0
+
+
 def _backend_desc(method: str) -> str:
     if method == "oracle":
         return "the spec-exact CPU oracle"
@@ -470,6 +532,7 @@ COMMANDS = {
     "flythrough": cmd_flythrough,
     "morph": cmd_morph,
     "fit": cmd_fit,
+    "fitpose": cmd_fitpose,
     "scene": cmd_scene,
     "dataset": cmd_dataset,
 }

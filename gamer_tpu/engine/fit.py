@@ -276,6 +276,8 @@ def fit_pose(
     max_steps: Optional[int] = None,
     optimizer=None,
     on_step: Optional[Callable[[int, float], None]] = None,
+    normalize: bool = True,
+    pool: int = 1,
 ) -> FitResult:
     """Refine the camera pose toward the one that produced ``target_image``.
 
@@ -291,12 +293,19 @@ def fit_pose(
     - Full-octave noise decorrelates under millimeter camera moves, so the
       image-space gradient is noise-dominated. Fit with a LOD cap
       (``scene.config.noise_octaves`` of 2-4) so the volume is smooth at
-      the displacement scale, then re-render at full quality. Measured:
-      position error 0.073 -> 0.043 in 80 steps at LOD 3, vs a random
-      walk at full octaves.
+      the displacement scale, then re-render at full quality. Measured
+      (full-quality 16^2 target, LOD-3 normalized fit): position error
+      0.049 -> 0.011 in 40 steps, vs a random walk at full octaves.
     - fov and camera distance are near-ambiguous (dolly-zoom): fitting
       both lets the optimizer trade one against the other. Fit
       ("camera",) alone when fov is known.
+
+    ``normalize`` (default on) compares mean-normalized images: fitting at
+    an LOD against a full-quality target shifts global brightness (capped
+    dust absorbs less), and an un-normalized MSE chases that gain with
+    pose instead of aligning structure. ``pool`` box-averages both images
+    by the given factor first (must divide size), low-passing the fine
+    grain the LOD render does not model.
     """
     wanted = set(fit_fields)
     unknown = wanted - set(POSE_FITTABLE)
@@ -312,6 +321,18 @@ def fit_pose(
             f"target must be ({scene.config.size}, {scene.config.size}, 3), "
             f"got {target.shape}"
         )
+    if pool < 1 or size % pool != 0:
+        raise ValueError(f"pool {pool} must divide the size {size}")
+
+    def _prep(img):
+        if pool > 1:
+            o = size // pool
+            img = img.reshape(o, pool, o, pool, 3).mean(axis=(1, 3))
+        if normalize:
+            img = img / (jnp.mean(img) + 1e-6)
+        return img
+
+    target_prepped = _prep(target)
 
     cfg = scene.config
     static, gal_params = flatten_scene(scene)
@@ -336,7 +357,7 @@ def fit_pose(
         img = post_process_float(
             linear, f(cfg.exposure), f(cfg.gamma), f(cfg.saturation)
         ) / 255.0
-        return jnp.mean((img - target) ** 2)
+        return jnp.mean((_prep(img) - target_prepped) ** 2)
 
     mask = {k: jnp.float32(1.0 if k in wanted else 0.0) for k in pose}
 

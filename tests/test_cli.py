@@ -138,3 +138,22 @@ def test_dataset_command_resumes(tmp_path, fixtures_dir):
     assert data.shape == (2, 16, 16, 3) and data.sum() > 0
     # re-run: everything already done, 0 new renders
     assert main(argv) == 0
+
+
+def test_fitpose_command(tmp_path, fixtures_dir):
+    """fitpose refines toward a target pose and writes a scene JSON."""
+    import json
+
+    cam = ["0.5", "0", "0", "0", "0", "0", "0", "1", "0", "90", "1", "1",
+           "1.0", "0.025"]
+    spiral = str(fixtures_dir / "Spiral.gax")
+    target = tmp_path / "pose_target"
+    assert main(["galaxy", "xla"] + cam + [spiral, "16", str(target)]) == 0
+
+    start = ["0.53", "0.01", "-0.01"] + cam[3:]
+    out = tmp_path / "fitted_scene.json"
+    argv = (["fitpose"] + start +
+            [spiral, str(target) + ".png", str(out), "4", "0.01", "3"])
+    assert main(argv) == 0
+    fitted = json.loads(out.read_text())
+    assert "camera" in fitted and len(fitted["camera"]["camera"]) == 3

@@ -164,29 +164,30 @@ def test_fit_axis_bound_and_headroom():
 
 
 def test_pose_refinement_reduces_position_error(fixtures_dir):
-    """fit_pose at a noise LOD: camera-position error shrinks materially
-    (full-octave noise would drown the gradient — see the docstring)."""
+    """fit_pose, realistic workflow: a FULL-quality target, pose refined
+    with an LOD-3 forward model + mean-normalized loss (the default).
+    Full-octave fitting would drown the gradient — see the docstring."""
     g = gax.load(fixtures_dir / "Spiral.gax")
 
-    def pose_scene(cam):
-        s = _scene(g, 24)
+    def pose_scene(cam, lod):
+        s = _scene(g, 16)
         s.camera = gamer_tpu.CameraParams(camera=cam, target=(0, 0, 0),
                                           up=(0, 1, 0), fov=90.0)
-        s.config = gamer_tpu.RenderConfig(size=24, ray_step=0.025,
-                                          is_preview=True, noise_octaves=3)
+        s.config = gamer_tpu.RenderConfig(size=16, ray_step=0.025,
+                                          is_preview=True, noise_octaves=lod)
         return s
 
     from gamer_tpu.engine.render import render_scene
 
-    target = render_scene(pose_scene((0.5, 0, 0)))
-    start_cam = (0.56, 0.03, -0.03)
-    res = gfit.fit_pose(pose_scene(start_cam), target, ("camera",),
-                        steps=80, lr=1e-2)
+    target = render_scene(pose_scene((0.5, 0, 0), lod=None))  # exact octaves
+    start_cam = (0.54, 0.02, -0.02)
+    res = gfit.fit_pose(pose_scene(start_cam, lod=3), target, ("camera",),
+                        steps=40, lr=1e-2)
     truth = np.array((0.5, 0.0, 0.0))
     err0 = float(np.linalg.norm(np.array(start_cam) - truth))
     err1 = float(np.linalg.norm(np.array(res.scene.camera.camera) - truth))
-    assert err1 < 0.75 * err0, f"position error {err0:.4f} -> {err1:.4f}"
-    assert res.losses[-1] < res.losses[0]
+    assert err1 < 0.6 * err0, f"position error {err0:.4f} -> {err1:.4f}"
+    assert min(res.losses) < res.losses[0]
 
 
 def test_pose_fit_rejects_unknown_fields():
