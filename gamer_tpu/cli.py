@@ -59,9 +59,25 @@ Commands:
        [steps=100] [lr=0.02] [fields=strength,r0,z0]
    fitpose <camera x y z> <target x y z> <up x y z> <fov> <exposure> <gamma>
        <saturation> <ray step> <gax file> <target image> <out scene.json>
-       [steps=80] [lr=0.01] [noise LOD=3]
+       [steps=80] [lr=0.01] [noise LOD=3 | multiscale]
 <method>: omp | thread | pallas (TPU kernel) | xla | oracle | sharded
 """
+
+
+def _xla_unsafe(size: int, backend: str = None) -> bool:
+    """True when the lockstep XLA march should not run: its whole-image
+    gathers inside the while loop crash the TPU worker at >=256^2 frames
+    (docs/ARCHITECTURE.md) and poison the client process. The CLI fails
+    over to the Pallas kernel instead of letting a documented invocation
+    take the process down."""
+    if backend is None:
+        try:
+            import jax
+
+            backend = jax.default_backend()
+        except Exception:  # noqa: BLE001 - no backend -> nothing to protect
+            return False
+    return backend == "tpu" and size >= 256
 
 
 def _progress_printer(t0: float):
@@ -109,6 +125,12 @@ def cmd_galaxy(argv) -> int:
         ),
     )
     outfile = argv[18]
+    if method == "xla" and _xla_unsafe(scene.config.size):
+        print("WARNING: the lockstep XLA path is known to crash the TPU "
+              "runtime at >=256^2 frames (large in-loop gathers); falling "
+              "back to the Pallas kernel. Use a size < 256 for XLA "
+              "conformance runs.")
+        method = "pallas"
     print(f"Starting rendering on {_backend_desc(method)}.")
     t0 = time.perf_counter()
     with ScopedTimer("Rendering"):
@@ -127,10 +149,14 @@ def cmd_galaxy(argv) -> int:
                                      on_progress=_progress_printer(t0))
             print()
         else:
-            # 'omp'/'thread' (reference names) and 'pallas' -> the TPU kernel
-            from .engine.pallas_render import render_scene_pallas
+            # 'omp'/'thread' (reference names) and 'pallas' -> the TPU
+            # kernel, rendered in row bands so the reference's %/ETA ticker
+            # (consolerenderer.cpp:80-93) runs on the production path too
+            from .engine.pallas_render import render_progressive_pallas
 
-            img = render_scene_pallas(scene)
+            img = render_progressive_pallas(
+                scene, bands=16, on_progress=_progress_printer(t0))
+            print()
     out = _save_png(img, outfile)
     print(f"Image saved to file {out}")
     return 0
@@ -154,6 +180,11 @@ def cmd_skybox(argv) -> int:
         config=rp.to_render_config(size=size),
         spectra=rp.spectra or None,
     )
+    if method == "xla" and _xla_unsafe(scene.config.size):
+        print("WARNING: the lockstep XLA path is known to crash the TPU "
+              "runtime at >=256^2 frames; falling back to the batched "
+              "Pallas kernel for the skybox faces.")
+        method = "pallas"
     print(f"Starting rendering on {_backend_desc(method)}.")
     t0 = time.perf_counter()
     with ScopedTimer("Rendering"):
@@ -471,7 +502,9 @@ def cmd_fitpose(argv) -> int:
     gax_file, target_file, out_file = argv[15], argv[16], argv[17]
     steps = int(argv[18]) if len(argv) > 18 else 80
     lr = float(argv[19]) if len(argv) > 19 else 1e-2
-    lod = int(argv[20]) if len(argv) > 20 else 3
+    lod_arg = argv[20] if len(argv) > 20 else "3"
+    multiscale = lod_arg.lower() == "multiscale"
+    lod = 3 if multiscale else int(lod_arg)
     if steps < 1:
         print("fitpose: steps must be >= 1")
         return 1
@@ -487,17 +520,34 @@ def cmd_fitpose(argv) -> int:
         config=RenderConfig(size=target.shape[0], ray_step=vals[13],
                             exposure=vals[10], gamma=vals[11],
                             saturation=vals[12], is_preview=True,
-                            noise_octaves=lod),
+                            noise_octaves=0 if multiscale else lod),
     )
-    print(f"Refining camera pose toward {target_file} "
-          f"({steps} steps, lr {lr}, noise LOD {lod}) ...")
-    t0 = time.perf_counter()
+    if multiscale:
+        from .engine.fit import DEFAULT_POSE_SCHEDULE, fit_pose_multiscale
 
-    def on_step(i, loss):
-        print(f"\r[ step {i + 1}/{steps} ]  loss {loss:.6f} ", end="", flush=True)
+        total = steps * len(DEFAULT_POSE_SCHEDULE)
+        print(f"Refining camera pose toward {target_file} "
+              f"({steps} steps/rung over LOD schedule "
+              f"{[s[0] or 'exact' for s in DEFAULT_POSE_SCHEDULE]}, lr {lr}) ...")
+        t0 = time.perf_counter()
 
-    result = fit_pose(scene, target, ("camera",), steps=steps, lr=lr,
-                      on_step=on_step)
+        def on_step(i, loss):
+            print(f"\r[ step {i + 1}/{total} ]  loss {loss:.6f} ",
+                  end="", flush=True)
+
+        result = fit_pose_multiscale(scene, target, ("camera",), steps=steps,
+                                     lr=lr, on_step=on_step)
+    else:
+        print(f"Refining camera pose toward {target_file} "
+              f"({steps} steps, lr {lr}, noise LOD {lod}) ...")
+        t0 = time.perf_counter()
+
+        def on_step(i, loss):
+            print(f"\r[ step {i + 1}/{steps} ]  loss {loss:.6f} ",
+                  end="", flush=True)
+
+        result = fit_pose(scene, target, ("camera",), steps=steps, lr=lr,
+                          on_step=on_step)
     cam = result.scene.camera
     print(f"\nloss {result.losses[0]:.6f} -> {min(result.losses):.6f} in "
           f"{format_ms((time.perf_counter() - t0) * 1000.0)}")

@@ -92,6 +92,18 @@ def render_batch(scenes: Sequence[Scene], mesh: Optional[Mesh] = None) -> np.nda
     if mesh is None:
         _, run = _compiled_batch(static, size * ss, B, ss)
         linear = run(sp_rows)
+    elif len(mesh.axis_names) == 2:
+        # 2-D decomposition: frames over 'batch' (DCN), each frame's row
+        # slabs over 'rows' (ICI) — parallel.pixel_tile_mesh_2d
+        from .pallas_render import _compiled_batch_rowshard
+
+        n_b = mesh.shape["batch"]
+        if B % n_b != 0:
+            raise ValueError(
+                f"batch {B} not divisible by mesh batch axis {n_b}")
+        _, run2d = _compiled_batch_rowshard(static, size * ss, B // n_b,
+                                            mesh, ss)
+        linear = run2d(sp_rows)
     else:
         n_dev = mesh.devices.size
         if B % n_dev != 0:

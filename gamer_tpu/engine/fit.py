@@ -70,6 +70,19 @@ _FIT_BOUNDS = {
 DEFAULT_FIT_FIELDS = ("strength", "r0", "z0")
 
 
+def _reject_supersample(scene: Scene, who: str) -> None:
+    """The differentiable forward model renders 1 ray/pixel; silently
+    fitting a supersampled scene (or against an AA target) would bake the
+    sampling mismatch into the fitted parameters as bias."""
+    if scene.config.supersample > 1:
+        raise ValueError(
+            f"{who} does not support supersample="
+            f"{scene.config.supersample}: the differentiable forward model "
+            "renders 1 ray/pixel. Fit with supersample=1 (render the final "
+            "result with AA afterwards)."
+        )
+
+
 def _optimize(loss_fn, params, mask, *, steps, lr, optimizer, on_step,
               project_fn=None):
     """The shared masked-Adam loop of fit_scene and fit_pose.
@@ -205,6 +218,7 @@ def fit_scene(
         raise ValueError(
             f"target size {size} != scene.config.size {scene.config.size}"
         )
+    _reject_supersample(scene, "fit_scene")
 
     cfg = scene.config
     static, params0 = flatten_scene(scene)
@@ -323,6 +337,7 @@ def fit_pose(
         )
     if pool < 1 or size % pool != 0:
         raise ValueError(f"pool {pool} must divide the size {size}")
+    _reject_supersample(scene, "fit_pose")
 
     def _prep(img):
         if pool > 1:
@@ -380,6 +395,78 @@ def fit_pose(
     new_scene.camera.fov = float(fitted_pose["fov"])
     return FitResult(scene=new_scene, params=fitted_pose, losses=losses,
                      fit_fields=tuple(fit_fields))
+
+
+# (noise LOD, loss pool) rungs of the default pose ladder: coarse-noise +
+# pooled loss first (wide, smooth basin for large displacements), then
+# sharper rungs; LOD 0 = exact full-octave noise for the final polish.
+DEFAULT_POSE_SCHEDULE = ((3, 4), (5, 2), (0, 1))
+
+
+def fit_pose_multiscale(
+    scene: Scene,
+    target_image,
+    fit_fields: Sequence[str] = ("camera",),
+    *,
+    steps: int = 40,
+    lr: float = 1e-2,
+    schedule: Sequence[Tuple[int, int]] = DEFAULT_POSE_SCHEDULE,
+    max_steps: Optional[int] = None,
+    optimizer=None,
+    on_step: Optional[Callable[[int, float], None]] = None,
+    normalize: bool = True,
+) -> FitResult:
+    """The LOD -> exact multiscale pose ladder as ONE call.
+
+    fit_pose works only inside a basin where the rendered structure varies
+    smoothly with the pose; full-octave noise decorrelates under mm-scale
+    camera moves, so a single-LOD fit either needs a hand-picked LOD (too
+    coarse: biased optimum; too fine: noise gradient). This runs the
+    schedule of (noise LOD, loss pool) rungs, each rung starting from the
+    previous rung's fitted pose: coarse+pooled rungs align gross structure
+    across large displacements, the exact rung (LOD 0) removes the LOD
+    bias. ``steps`` applies per rung; ``on_step`` sees a global step index.
+    The returned scene keeps the CALLER's noise_octaves (the LOD caps are
+    internal to the fit).
+
+    Reproduces the PARITY.md round-1 workflow (manual LOD-3 fit then exact
+    refine, position error 0.049 -> 0.011) in one invocation; the CLI
+    exposes it as ``fitpose ... multiscale``.
+    """
+    import dataclasses
+
+    if not schedule:
+        raise ValueError("schedule must have at least one (lod, pool) rung")
+    size = int(scene.config.size)
+    current = scene
+    all_losses: List[float] = []
+    result: Optional[FitResult] = None
+    base = 0
+    for lod, pool in schedule:
+        pool = int(pool)
+        while pool > 1 and size % pool:
+            pool -= 1  # pooling must divide the frame; degrade gracefully
+        rung_scene = dataclasses.replace(
+            current,
+            config=dataclasses.replace(current.config,
+                                       noise_octaves=int(lod)))
+        rung_cb = None
+        if on_step is not None:
+            rung_cb = (lambda i, loss, b=base: on_step(b + i, loss))
+        result = fit_pose(
+            rung_scene, target_image, fit_fields, steps=steps, lr=lr,
+            max_steps=max_steps, optimizer=optimizer, on_step=rung_cb,
+            normalize=normalize, pool=pool,
+        )
+        current = result.scene
+        all_losses.extend(result.losses)
+        base += steps
+    final_scene = dataclasses.replace(
+        result.scene,
+        config=dataclasses.replace(result.scene.config,
+                                   noise_octaves=scene.config.noise_octaves))
+    return FitResult(scene=final_scene, params=result.params,
+                     losses=all_losses, fit_fields=tuple(fit_fields))
 
 
 def apply_fit_to_scene(scene: Scene, params, fit_fields: Sequence[str]) -> Scene:

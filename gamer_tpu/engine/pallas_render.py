@@ -116,6 +116,13 @@ def _build_layout(static: SceneStatic) -> _Layout:
     lay.add("camera", 3)
     lay.add("ray_step", 1)
     lay.add("min_step", 1)
+    # global row offset of this program's slab (0 for whole-frame renders).
+    # The row-sharded path (shard_map over a 'rows' mesh axis) and the
+    # progressive band path both reuse ONE compiled kernel by overriding
+    # this slot per device / per dispatch — the analog of the reference's
+    # contiguous pixel-chunk decomposition (rasterthread.cpp:6-25), with
+    # exact tiling instead of the dropped remainder.
+    lay.add("row0", 1)
     for gi, inst in enumerate(static.instances):
         p = f"i{gi}."
         lay.add(p + "pos", 3)
@@ -160,6 +167,7 @@ def _pack_scalars(static: SceneStatic, lay: _Layout, params, camera, inv_vp,
     put("camera", camera)
     put("ray_step", ray_step)
     put("min_step", min_step)
+    put("row0", 0.0)  # overridden on device by the sharded/band wrappers
     for gi, (inst, pr) in enumerate(zip(static.instances, params)):
         p = f"i{gi}."
         axis = np.asarray(pr["axis"], np.float32)
@@ -225,18 +233,29 @@ def _make_kernel(static: SceneStatic, lay: _Layout, size: int,
         perm_rows = perm_ref[:]
 
         if rays_input:
-            # arbitrary ray directions (HEALPix all-sky mode)
+            # arbitrary ray directions (HEALPix all-sky mode); padding rays
+            # are zero vectors, which never intersect (Sdisc NaN -> not hit)
             rd0[:] = dx_ref[...].reshape(tr, TILE_C)
             rd1[:] = dy_ref[...].reshape(tr, TILE_C)
             rd2[:] = dz_ref[...].reshape(tr, TILE_C)
+            valid = None
         else:
             # --- rays from the inverse view-projection (gamercamera.cpp:210-217)
             pid_r = pl.program_id(1 if batched else 0)
             pid_c = pl.program_id(2 if batched else 1)
-            jrow = (pid_r * tr + jax.lax.broadcasted_iota(
+            # row0 is an exact small integer in f32, so row0 + local-row
+            # is bit-identical to the global row index an unsharded render
+            # computes (both exact ints < 2^24) — sharded rays match
+            # whole-frame rays bit-for-bit.
+            jrow = S("row0") + (pid_r * tr + jax.lax.broadcasted_iota(
                 jnp.int32, (tr, TILE_C), 0)).astype(jnp.float32)
             icol = (pid_c * TILE_C + jax.lax.broadcasted_iota(
                 jnp.int32, (tr, TILE_C), 1)).astype(jnp.float32)
+            # frame mask: tile rows/cols pad to (tr, 128) multiples, and a
+            # sharded slab may lie entirely past the last frame row — padded
+            # lanes are born done, so fully-padded tiles skip the march
+            fsize = jnp.float32(float(size))
+            valid = (jrow < fsize) & (icol < fsize)
             half = float(size) * 0.5
             xx = icol / half - 1.0
             yy = jrow / half - 1.0
@@ -260,6 +279,7 @@ def _make_kernel(static: SceneStatic, lay: _Layout, size: int,
             _march_instance(
                 static, inst, lay, S, pfx, perm_rows, ray_step, min_step,
                 rd0, rd1, rd2, I0, I1, I2, p0, p1, p2, tacc, steppr, done,
+                valid=valid,
             )
 
         # final scale (rasterizer.cpp:409); batched blocks are (1, 8, 128)
@@ -272,7 +292,8 @@ def _make_kernel(static: SceneStatic, lay: _Layout, size: int,
 
 
 def _march_instance(static, inst, lay, S, pfx, perm_rows, ray_step, min_step,
-                    rd0, rd1, rd2, I0, I1, I2, p0, p1, p2, tacc, steppr, done):
+                    rd0, rd1, rd2, I0, I1, I2, p0, p1, p2, tacc, steppr, done,
+                    valid=None):
     """Intersect + march one galaxy instance (rasterizer.cpp:379-483)."""
     cx = S("camera", 0) - S(pfx + "pos", 0)
     cy = S("camera", 1) - S(pfx + "pos", 1)
@@ -293,6 +314,8 @@ def _march_instance(static, inst, lay, S, pfx, perm_rows, ray_step, min_step,
     # behind-camera rules (rasterizer.cpp:396-403)
     near_t = jnp.where(t1 > 0, jnp.zeros_like(t1), t1)
     alive = hit & ~((t0 > 0) & (t1 > 0))
+    if valid is not None:
+        alive = alive & valid
 
     o1x = cx + dx * t0
     o1y = cy + dy * t0
@@ -735,6 +758,13 @@ def _arm_value(static, inst, lay, S, pfx, cpre, radius, Px, Py, Pz, rot_by_rotma
 # ---------------------------------------------------------------------------
 
 
+def _set_row0(lay: _Layout, sp, row0_f):
+    """Override the packed page's global-row-offset slot on device (row0 is
+    a traced value, so band/shard offsets never recompile)."""
+    off = lay.offsets["row0"]
+    return sp.at[..., off // 128, off % 128].set(row0_f)
+
+
 @functools.lru_cache(maxsize=32)
 def _compiled(static: SceneStatic, size: int, pool: int = 1):
     """Compiled kernel for a (structure, render size) pair.
@@ -798,6 +828,250 @@ def _compiled(static: SceneStatic, size: int, pool: int = 1):
         return post_process(_pooled_linear(sp), exposure, gamma, saturation)
 
     return lay, run, run_post
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_rowshard(static: SceneStatic, size: int, mesh, pool: int = 1):
+    """Row-slab-sharded kernel: ONE frame partitioned across the devices of
+    a 1-D mesh — the production multi-chip path for single frames.
+
+    This is the reference's one real parallelism axis (the OMP pixel loop,
+    rasterizer.cpp:294, and RasterThread's contiguous chunks,
+    rasterthread.cpp:6-25) carried to the device mesh: each device runs the
+    SAME compiled tile kernel over its contiguous slab of padded rows,
+    shifted by a per-device row offset written into the scalar page
+    on-device. Sharded rays are bit-identical to whole-frame rays (the
+    offset+local-row sum is exact in f32), and the sharded frame is gated
+    bit-identical to a single-device render decomposed into the same row
+    bands (_compiled_band, tests/test_sharding.py). Against the single
+    fused launch, the tile program is identical, but on CPU interpret
+    backends XLA:CPU recompiles the kernel body per grid shape with
+    different fp contraction, so fused-vs-banded agreement there is ~1
+    uint8 LSB rather than exact; on TPU the Mosaic tile program does not
+    depend on the grid, making the decomposition exact. The only collective
+    is the output gather XLA inserts at assembly — Rasterizer::AssembleImage
+    (rasterizer.cpp:315-327).
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if len(mesh.axis_names) != 1:
+        raise ValueError(f"need a 1-D mesh, got axes {mesh.axis_names}")
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    lay = _build_layout(static)
+    tr = _tile_rows(size)
+    # every device gets the same whole-tile slab height; slabs past the
+    # frame's last row are born done (frame mask) and cost ~nothing
+    rows_local = -(-size // (n_dev * tr)) * tr
+    rows = rows_local * n_dev
+    cols = -(-size // TILE_C) * TILE_C
+    kernel = _make_kernel(static, lay, size, rows, cols, tr=tr)
+
+    grid = (rows_local // tr, cols // TILE_C)
+    vmem = lambda: pltpu.VMEM((tr, TILE_C), jnp.float32)
+    interpret = jax.default_backend() != "tpu"
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        out_shape=[jax.ShapeDtypeStruct((rows_local, cols), jnp.float32)] * 3,
+        in_specs=[
+            pl.BlockSpec((1, lay.smem_rows, 128), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tr, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tr, TILE_C), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+        ] * 3,
+        scratch_shapes=[vmem() for _ in range(11)]
+        + [pltpu.VMEM((tr, TILE_C), jnp.int32)],
+    )
+
+    perm_rows = jnp.asarray(np.broadcast_to(PERM_PACKED32, (tr, 128)).copy())
+
+    def _local(sp):
+        row0 = (jax.lax.axis_index(axis) * rows_local).astype(jnp.float32)
+        return call(_set_row0(lay, sp, row0), perm_rows)
+
+    sharded = shard_map(
+        _local, mesh=mesh, in_specs=P(),
+        out_specs=P(axis, None),
+        check_vma=False,  # pallas_call out_shapes carry no vma info
+    )
+
+    def _pooled_linear(sp):
+        r, g, b = sharded(sp)
+        lin = jnp.stack([r[:size, :size], g[:size, :size], b[:size, :size]],
+                        axis=-1)
+        if pool > 1:
+            o = size // pool
+            lin = lin.reshape(o, pool, o, pool, 3).mean(axis=(1, 3))
+        return lin
+
+    run = jax.jit(_pooled_linear)
+
+    @jax.jit
+    def run_post(sp, exposure, gamma, saturation):
+        from .render import post_process
+
+        return post_process(_pooled_linear(sp), exposure, gamma, saturation)
+
+    return lay, run, run_post
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_batch_rowshard(static: SceneStatic, size: int,
+                             nbatch_local: int, mesh, pool: int = 1):
+    """2-D decomposition: batch elements over the mesh's 'batch' axis (DCN
+    across hosts) AND each frame's row slabs over its 'rows' axis (ICI
+    within a slice) — SURVEY §2.6's two-level decomposition, live. Each
+    device renders `nbatch_local` frames' worth of its row slab; the row
+    offset rides the scalar page exactly as in _compiled_rowshard."""
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if set(mesh.axis_names) != {"batch", "rows"}:
+        raise ValueError(
+            f"need a ('batch', 'rows') mesh, got axes {mesh.axis_names}")
+    n_rows_dev = mesh.shape["rows"]
+    lay = _build_layout(static)
+    tr = _tile_rows(size)
+    rows_local = -(-size // (n_rows_dev * tr)) * tr
+    rows = rows_local * n_rows_dev
+    cols = -(-size // TILE_C) * TILE_C
+    kernel = _make_kernel(static, lay, size, rows, cols, tr=tr, batched=True)
+
+    grid = (nbatch_local, rows_local // tr, cols // TILE_C)
+    vmem = lambda: pltpu.VMEM((tr, TILE_C), jnp.float32)
+    interpret = jax.default_backend() != "tpu"
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        out_shape=[jax.ShapeDtypeStruct((nbatch_local, rows_local, cols),
+                                        jnp.float32)] * 3,
+        in_specs=[
+            pl.BlockSpec((1, lay.smem_rows, 128), lambda b, i, j: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tr, 128), lambda b, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tr, TILE_C), lambda b, i, j: (b, i, j),
+                         memory_space=pltpu.VMEM)
+        ] * 3,
+        scratch_shapes=[vmem() for _ in range(11)]
+        + [pltpu.VMEM((tr, TILE_C), jnp.int32)],
+    )
+
+    perm_rows = jnp.asarray(np.broadcast_to(PERM_PACKED32, (tr, 128)).copy())
+
+    def _local(sp_rows):
+        row0 = (jax.lax.axis_index("rows") * rows_local).astype(jnp.float32)
+        return call(_set_row0(lay, sp_rows, row0), perm_rows)
+
+    sharded = shard_map(
+        _local, mesh=mesh, in_specs=P("batch", None, None),
+        out_specs=P("batch", "rows", None),
+        check_vma=False,  # pallas_call out_shapes carry no vma info
+    )
+
+    @jax.jit
+    def run(sp_rows):
+        r, g, b = sharded(sp_rows)
+        lin = jnp.stack(
+            [r[:, :size, :size], g[:, :size, :size], b[:, :size, :size]],
+            axis=-1)
+        if pool > 1:
+            o = size // pool
+            lin = lin.reshape(-1, o, pool, o, pool, 3).mean(axis=(2, 4))
+        return lin
+
+    return lay, run
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_band(static: SceneStatic, size: int, band_rows: int,
+                   pool: int = 1):
+    """One row band of a frame as a single dispatch, with the band's global
+    row offset a TRACED argument — every band of a progressive render (and
+    any frame size sharing the band shape) reuses one executable.
+
+    Returns (lay, run_linear, run_post, run_post_overlay); the post chain
+    (buffer2d.cpp:106-126) is per-pixel, so each band leaves the device as
+    finished uint8 — the progressive contract (rasterizer.cpp:283-313
+    percentDone + partial back buffer) without ever downloading f32 frames.
+    """
+    lay = _build_layout(static)
+    tr = _tile_rows(size)
+    if band_rows % tr or (pool > 1 and band_rows % pool):
+        raise ValueError(
+            f"band_rows {band_rows} must be a multiple of the tile height "
+            f"{tr} and the pool factor {pool}")
+    cols = -(-size // TILE_C) * TILE_C
+    kernel = _make_kernel(static, lay, size, band_rows, cols, tr=tr)
+
+    grid = (band_rows // tr, cols // TILE_C)
+    vmem = lambda: pltpu.VMEM((tr, TILE_C), jnp.float32)
+    interpret = jax.default_backend() != "tpu"
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        out_shape=[jax.ShapeDtypeStruct((band_rows, cols), jnp.float32)] * 3,
+        in_specs=[
+            pl.BlockSpec((1, lay.smem_rows, 128), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tr, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tr, TILE_C), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+        ] * 3,
+        scratch_shapes=[vmem() for _ in range(11)]
+        + [pltpu.VMEM((tr, TILE_C), jnp.int32)],
+    )
+
+    perm_rows = jnp.asarray(np.broadcast_to(PERM_PACKED32, (tr, 128)).copy())
+
+    def _band_linear(sp, row0):
+        r, g, b = call(_set_row0(lay, sp, row0), perm_rows)
+        lin = jnp.stack([r[:, :size], g[:, :size], b[:, :size]], axis=-1)
+        if pool > 1:
+            lin = lin.reshape(band_rows // pool, pool, size // pool, pool,
+                              3).mean(axis=(1, 3))
+        return lin
+
+    run_linear = jax.jit(_band_linear)
+
+    @jax.jit
+    def run_post(sp, row0, exposure, gamma, saturation):
+        from .render import post_process
+
+        return post_process(_band_linear(sp, row0), exposure, gamma,
+                            saturation)
+
+    @jax.jit
+    def run_post_overlay(sp, row0, overlay, exposure, gamma, saturation):
+        from .render import post_process
+
+        return post_process(_band_linear(sp, row0) + overlay, exposure,
+                            gamma, saturation)
+
+    return lay, run_linear, run_post, run_post_overlay
 
 
 @functools.lru_cache(maxsize=32)
@@ -919,22 +1193,26 @@ def render_dirs_pallas(scene: Scene, dirs) -> np.ndarray:
     return np.asarray(run(sp, dx, dy, dz))
 
 
-def _prepared(scene: Scene):
+def _prepared(scene: Scene, mesh=None):
     cfg = scene.config
     static, params = flatten_scene(scene, jnp.float32)
     camera = np.asarray(scene.camera.camera, np.float32)
     inv_vp = cam_ops.inv_view_projection_host(
         camera, scene.camera.target, scene.camera.up, scene.camera.fov)
     ss = cfg.supersample
-    lay, run, run_post = _compiled(static, cfg.size * ss, ss)
+    if mesh is not None:
+        lay, run, run_post = _compiled_rowshard(static, cfg.size * ss, mesh, ss)
+    else:
+        lay, run, run_post = _compiled(static, cfg.size * ss, ss)
     sp = _pack_scalars(static, lay, params, camera, inv_vp,
                        np.float32(cfg.ray_step), np.float32(cfg.min_ray_step))
     return sp, run, run_post
 
 
-def render_linear_pallas(scene: Scene):
-    """Linear radiance buffer (size, size, 3) float32 via the Pallas kernel."""
-    sp, run, _ = _prepared(scene)
+def render_linear_pallas(scene: Scene, mesh=None):
+    """Linear radiance buffer (size, size, 3) float32 via the Pallas kernel.
+    With ``mesh`` (1-D), the frame's rows are sharded across its devices."""
+    sp, run, _ = _prepared(scene, mesh)
     return run(sp)
 
 
@@ -945,9 +1223,13 @@ def _post_jit():
     return jax.jit(post_process)
 
 
-def render_scene_pallas(scene: Scene):
+def render_scene_pallas(scene: Scene, mesh=None):
     """Full frame via the Pallas kernel -> uint8 image (+ star overlay/post
     identical to engine.render.render_scene).
+
+    With ``mesh`` (a 1-D device mesh), the frame's row slabs are sharded
+    across its devices — the multi-chip production path for single frames
+    (see _compiled_rowshard for the exactness contract).
 
     The linear buffer STAYS ON DEVICE through the post chain — only the
     final uint8 image is transferred, in ONE dispatch when there is no star
@@ -957,7 +1239,7 @@ def render_scene_pallas(scene: Scene):
     frame-sized array and splits render/post into two dispatches.
     """
     cfg = scene.config
-    sp, run, run_post = _prepared(scene)
+    sp, run, run_post = _prepared(scene, mesh)
     exposure = np.float32(cfg.exposure)
     gamma = np.float32(cfg.gamma)
     saturation = np.float32(cfg.saturation)
@@ -972,3 +1254,74 @@ def render_scene_pallas(scene: Scene):
     else:
         img = run_post(sp, exposure, gamma, saturation)
     return np.asarray(img)
+
+
+def render_progressive_pallas(scene: Scene, bands: int = 16,
+                              on_progress=None) -> np.ndarray:
+    """Progressive Pallas render: the frame in row-band dispatches, with
+    percent-done callbacks and cooperative abort BETWEEN bands — the
+    reference's progress/ETA + abort contract (rasterizer.cpp:283-313,
+    consolerenderer.cpp:80-93, Rasterizer::Abort rasterizer.h:91-98) on the
+    production kernel, which a single fused launch cannot provide.
+
+    ``on_progress(frac, partial_uint8) -> False`` aborts; the partially
+    filled frame (un-rendered rows black) is returned, like the reference's
+    aborted back buffer. Bands run the same tile program as the fused
+    single-launch frame (same ray math, per-pixel post) — on TPU that makes
+    progressive mode bit-identical to the fused frame; on CPU interpret
+    backends XLA recompiles per grid shape and agreement is ~1 uint8 LSB
+    (see _compiled_rowshard). Either way it is a latency/observability
+    knob, not a quality knob.
+    """
+    import math
+
+    cfg = scene.config
+    static, params = flatten_scene(scene, jnp.float32)
+    camera = np.asarray(scene.camera.camera, np.float32)
+    inv_vp = cam_ops.inv_view_projection_host(
+        camera, scene.camera.target, scene.camera.up, scene.camera.fov)
+    ss = cfg.supersample
+    S = cfg.size * ss
+    tr = _tile_rows(S)
+    granule = tr * ss // math.gcd(tr, ss)  # band height quantum
+    rows = -(-S // granule) * granule
+    n_bands = max(1, min(bands, rows // granule))
+    band_rows = -(-(rows // granule) // n_bands) * granule
+    n_bands = -(-S // band_rows)  # bands that actually cover frame rows
+
+    lay, _run_lin, run_post, run_post_ov = _compiled_band(
+        static, S, band_rows, ss)
+    sp = _pack_scalars(static, lay, params, camera, inv_vp,
+                       np.float32(cfg.ray_step), np.float32(cfg.min_ray_step))
+    exposure = np.float32(cfg.exposure)
+    gamma = np.float32(cfg.gamma)
+    saturation = np.float32(cfg.saturation)
+
+    overlay = None
+    if cfg.no_stars > 0:
+        from ..post.stars import render_star_field
+
+        overlay = render_star_field(
+            cfg.size, cfg.no_stars, cfg.star_size, cfg.star_size_spread,
+            cfg.star_strength, cfg.star_seed)
+
+    band_out = band_rows // ss
+    out = np.zeros((n_bands * band_out, cfg.size, 3), np.uint8)
+    for b in range(n_bands):
+        row0 = np.float32(b * band_rows)
+        if overlay is not None:
+            ob = np.zeros((band_out, cfg.size, 3), np.float32)
+            lo = b * band_out
+            hi = min(cfg.size, lo + band_out)
+            if hi > lo:
+                ob[: hi - lo] = overlay[lo:hi]
+            band = run_post_ov(sp, row0, jnp.asarray(ob), exposure, gamma,
+                               saturation)
+        else:
+            band = run_post(sp, row0, exposure, gamma, saturation)
+        out[b * band_out : (b + 1) * band_out] = np.asarray(band)
+        if on_progress is not None:
+            partial = out[: cfg.size].copy()
+            if on_progress((b + 1) / n_bands, partial) is False:
+                return partial
+    return out[: cfg.size]

@@ -145,11 +145,16 @@ def inv_view_projection_host_batch(cameras, targets, ups, fov_degs,
     keys = [_pose_key(cameras[i], targets[i], ups[i], fov_degs[i], dtype)
             for i in range(B)]
     missing = sorted({k for k in keys if k not in _POSE_CACHE})
-    if len(missing) == 1:
-        # single miss: use the scalar path so the cached value is identical
-        # to what a scalar call would have produced
-        k = missing[0]
-        inv_view_projection_host(k[0], k[1], k[2], k[3], dtype)
+    if missing and (len(missing) == 1 or jax.default_backend() != "tpu"):
+        # Scalar path per pose when it is cheap (single miss, or an
+        # untunneled CPU/GPU backend where a dispatch costs microseconds):
+        # on CPU the vmapped matrices can differ from scalar ones in the
+        # last ulp, and caching them would make a pose's render depend on
+        # whether a batch warmed the cache first (order-dependent goldens).
+        # On TPU vmapped == scalar and each dispatch pays a tunnel round
+        # trip, so the one-dispatch batched fill below is the right call.
+        for k in missing:
+            inv_view_projection_host(k[0], k[1], k[2], k[3], dtype)
     elif missing:
         mc = np.asarray([k[0] for k in missing], dtype)
         mt = np.asarray([k[1] for k in missing], dtype)

@@ -70,14 +70,27 @@ def sharded_render_fn(static: SceneStatic, size: int, mesh: Mesh,
 
 
 def render_scene_sharded(scene: Scene, mesh: Optional[Mesh] = None,
-                         dtype=jnp.float32) -> np.ndarray:
-    """Render a Scene with the image sharded over a device mesh.
+                         dtype=jnp.float32,
+                         method: str = "pallas") -> np.ndarray:
+    """Render a Scene with the image's rows sharded over a device mesh.
 
-    The size must tile evenly over the mesh (pad the scene size or pass a
-    matching mesh otherwise).
+    ``method="pallas"`` (default, the production path) shards the tile
+    kernel's row slabs — any size works on any mesh (slabs pad to whole
+    tiles; padded rows are masked); the sharded frame is bit-identical to a
+    single-device render over the same row bands (exact on TPU vs the
+    fused launch too — see pallas_render._compiled_rowshard).
+    ``method="xla"`` shards the lockstep XLA conformance path (size must
+    divide the mesh; known to stress the TPU runtime at >=256^2 — use for
+    small-frame conformance only).
     """
     mesh = mesh if mesh is not None else make_pixel_mesh()
     cfg = scene.config
+    if method == "pallas":
+        from ..engine.pallas_render import render_scene_pallas
+
+        return render_scene_pallas(scene, mesh=mesh)
+    if method != "xla":
+        raise ValueError(f"unknown sharded method {method!r}")
     n_dev = mesh.devices.size
     if cfg.size % n_dev != 0:
         raise ValueError(

@@ -20,7 +20,7 @@ import copy
 import dataclasses
 from typing import List, Optional
 
-from .schema import GalaxyData, Scene
+from .schema import CID_STARS_SMALL, GalaxyData, Scene
 from .spectra import find_spectrum
 
 # ComponentParams / GalaxyParams numeric fields that interpolate. `active`
@@ -31,14 +31,26 @@ _GAL_LERP = ("winding_b", "winding_n", "arm1", "arm2", "arm3", "arm4",
              "bulge_dust", "inner_twirl", "warp_amplitude", "warp_scale")
 
 
-def _structure_error(a: GalaxyData, b: GalaxyData) -> Optional[str]:
+def _morph_comps(g: GalaxyData, deterministic: bool = False):
+    """The components scene_prep.flatten_scene would compile: active, known
+    class, and — in deterministic mode — no 'stars small' (which
+    flatten_scene drops, so it cannot block morph compatibility there)."""
+    return [
+        c for c in g.components
+        if c.active == 1 and c.cid >= 0
+        and not (deterministic and c.cid == CID_STARS_SMALL)
+    ]
+
+
+def _structure_error(a: GalaxyData, b: GalaxyData,
+                     deterministic: bool = False) -> Optional[str]:
     """Why a and b cannot share one compiled kernel (None if they can).
 
     Mirrors the static fields of scene_prep.CompStatic/_arm_ladder_count:
     anything that changes the compiled component dispatch must agree.
     """
-    ca = [c for c in a.components if c.active == 1 and c.cid >= 0]
-    cb = [c for c in b.components if c.active == 1 and c.cid >= 0]
+    ca = _morph_comps(a, deterministic)
+    cb = _morph_comps(b, deterministic)
     if len(ca) != len(cb):
         return f"component counts differ ({len(ca)} vs {len(cb)})"
     for i, (x, y) in enumerate(zip(ca, cb)):
@@ -63,13 +75,16 @@ def _structure_error(a: GalaxyData, b: GalaxyData) -> Optional[str]:
     return None
 
 
-def lerp_galaxy(a: GalaxyData, b: GalaxyData, t: float) -> GalaxyData:
+def lerp_galaxy(a: GalaxyData, b: GalaxyData, t: float,
+                deterministic: bool = False) -> GalaxyData:
     """Interpolate every numeric knob of two structure-compatible galaxies.
 
     t=0 returns a's values exactly, t=1 b's. Spectrum names are kept from
-    ``a`` (use morph_scenes for RGB-interpolated colors).
+    ``a`` (use morph_scenes for RGB-interpolated colors). With
+    ``deterministic``, 'stars small' components are ignored for
+    compatibility and interpolation, matching flatten_scene's exclusion.
     """
-    err = _structure_error(a, b)
+    err = _structure_error(a, b, deterministic)
     if err is not None:
         raise ValueError(f"galaxies are not morph-compatible: {err}")
     out = copy.deepcopy(a)
@@ -83,9 +98,9 @@ def lerp_galaxy(a: GalaxyData, b: GalaxyData, t: float) -> GalaxyData:
     out.params.axis = tuple(
         lerp(x, y) for x, y in zip(a.params.axis, b.params.axis)
     )
-    ca = [c for c in a.components if c.active == 1 and c.cid >= 0]
-    cb = [c for c in b.components if c.active == 1 and c.cid >= 0]
-    co = [c for c in out.components if c.active == 1 and c.cid >= 0]
+    ca = _morph_comps(a, deterministic)
+    cb = _morph_comps(b, deterministic)
+    co = _morph_comps(out, deterministic)
     for x, y, o in zip(ca, cb, co):
         for f in _COMP_LERP:
             setattr(o, f, lerp(getattr(x, f), getattr(y, f)))
@@ -105,13 +120,14 @@ def morph_scenes(scene: Scene, target: GalaxyData, frames: int,
         raise ValueError("morph_scenes expects a single-instance scene")
     if frames < 2:
         raise ValueError("need at least 2 frames")
+    deterministic = bool(scene.config.deterministic)
     a = scene.instances[0].galaxy
-    err = _structure_error(a, target)
+    err = _structure_error(a, target, deterministic)
     if err is not None:
         raise ValueError(f"galaxies are not morph-compatible: {err}")
 
-    ca = [c for c in a.components if c.active == 1 and c.cid >= 0]
-    cb = [c for c in target.components if c.active == 1 and c.cid >= 0]
+    ca = _morph_comps(a, deterministic)
+    cb = _morph_comps(target, deterministic)
     spec_a = [find_spectrum(c.spectrum, scene.spectra) for c in ca]
     spec_b = [find_spectrum(c.spectrum, scene.spectra) for c in cb]
 
@@ -122,9 +138,9 @@ def morph_scenes(scene: Scene, target: GalaxyData, frames: int,
             t = t * t * (3.0 - 2.0 * t)
         elif ease != "linear":
             raise ValueError(f"unknown ease {ease!r}")
-        g = lerp_galaxy(a, target, t)
+        g = lerp_galaxy(a, target, t, deterministic)
         spectra = dict(scene.spectra) if scene.spectra else {}
-        gc = [c for c in g.components if c.active == 1 and c.cid >= 0]
+        gc = _morph_comps(g, deterministic)
         for i, (c, sa, sb) in enumerate(zip(gc, spec_a, spec_b)):
             spectra[f"morph:{i}"] = tuple(
                 x + t * (y - x) for x, y in zip(sa, sb)

@@ -12,6 +12,12 @@ Endpoints:
     /                  viewer page (orbit buttons / keyboard)
     /render?...        PNG frame: galaxy=<name>&h=<deg>&v=<deg>&zoom=<f>
     /galaxies          JSON list of available galaxies (files + presets)
+    /params?galaxy=    JSON dict of the galaxy's current (edited) parameters
+    /set?galaxy=&comp=&field=&value=   live parameter edit; the next /render
+                       shows it — the edit->preview loop of the reference's
+                       GUI tabs (mainwindow.cpp:267-302,483-495) in the
+                       scene-dict world. comp=-1 edits galaxy-level params.
+    /reset?galaxy=     drop all edits for the galaxy
 """
 
 from __future__ import annotations
@@ -38,6 +44,8 @@ button{background:#222;color:#ccc;border:1px solid #555;margin:2px;padding:4px 1
 <button onclick="zoomBy(-0.1)">zoom-</button>
 <button onclick="cycle(1)">next galaxy</button>
 <button id=q onclick="cycleLod()">quality: fast</button>
+<button onclick="editParam()">edit</button>
+<button onclick="resetEdits()">reset</button>
 </div>
 <img id=v>
 <script>
@@ -55,6 +63,15 @@ function cycleLod(){li=(li+1)%quals.length;
 function rot(dh,dv){h+=dh;v+=dv;refresh();}
 function zoomBy(d){zoom+=d;refresh();}
 function cycle(d){gi=(gi+d+names.length)%names.length;refresh();}
+async function editParam(){
+  const s=prompt('edit: comp,field,value   (comp -1 = galaxy level; e.g. "1,strength,1200" or "-1,winding_n,6")');
+  if(!s)return; const parts=s.split(','); if(parts.length<3)return;
+  const r=await fetch('/set?galaxy='+encodeURIComponent(names[gi])+
+    '&comp='+parts[0].trim()+'&field='+parts[1].trim()+
+    '&value='+encodeURIComponent(parts.slice(2).join(',').trim()));
+  if(!r.ok)alert(await r.text()); refresh();}
+async function resetEdits(){
+  await fetch('/reset?galaxy='+encodeURIComponent(names[gi]));refresh();}
 document.addEventListener('keydown',e=>{
   if(e.key=='a')rot(-15,0); if(e.key=='d')rot(15,0);
   if(e.key=='w')rot(0,-15); if(e.key=='s')rot(0,15);
@@ -74,11 +91,27 @@ load();
 </script>"""
 
 
+# numeric knobs editable through /set — the ComponentParams / GalaxyParams
+# fields of the reference's Components/Galaxy tabs (componentparams.h:7-44,
+# galaxyparams.h:10-43). 'active' toggles a component (recompiles the scene
+# structure, like the GUI's checkbox); 'spectrum' is the one string field.
+_COMP_EDIT_FIELDS = {
+    "strength", "arm", "z0", "r0", "inner", "delta", "winding", "scale",
+    "noise_offset", "noise_tilt", "ks", "active",
+}
+_GALAXY_EDIT_FIELDS = {
+    "winding_b", "winding_n", "no_arms", "arm1", "arm2", "arm3", "arm4",
+    "bulge_dust", "inner_twirl", "warp_amplitude", "warp_scale",
+}
+
+
 class _ViewerState:
     def __init__(self, size: int, gax_dir: Path | None):
         self.size = size
         self.lock = threading.Lock()
         self.galaxies = {}
+        # per-galaxy live edits: name -> list of (comp_idx|None, field, value)
+        self.edits: dict = {}
         if gax_dir and gax_dir.is_dir():
             from .scene import gax
 
@@ -89,6 +122,50 @@ class _ViewerState:
         for name, builder in GALLERY.items():
             self.galaxies.setdefault(name, builder)
 
+    def _galaxy(self, name: str):
+        """The named galaxy with this session's live edits applied."""
+        builder = self.galaxies.get(name) or next(iter(self.galaxies.values()))
+        g = builder()
+        for comp, field, value in self.edits.get(name, []):
+            if comp is None:
+                setattr(g.params, field, value)
+            else:
+                setattr(g.components[comp], field, value)
+        return g
+
+    def set_param(self, name: str, comp: int, field: str, raw: str):
+        """Validate + record one edit; returns the applied value."""
+        if name not in self.galaxies:
+            raise ValueError(f"unknown galaxy {name!r}")
+        g = self._galaxy(name)
+        if comp < 0:  # galaxy-level
+            if field == "axis":
+                value = tuple(float(v) for v in raw.split(","))
+                if len(value) != 3:
+                    raise ValueError("axis needs 3 comma-separated values")
+            elif field in _GALAXY_EDIT_FIELDS:
+                value = float(raw)
+            else:
+                raise ValueError(
+                    f"unknown galaxy field {field!r}; editable: "
+                    f"{sorted(_GALAXY_EDIT_FIELDS)} + axis")
+            self.edits.setdefault(name, []).append((None, field, value))
+        else:
+            if not 0 <= comp < len(g.components):
+                raise ValueError(
+                    f"component {comp} out of range (galaxy has "
+                    f"{len(g.components)})")
+            if field == "spectrum":
+                value = raw
+            elif field in _COMP_EDIT_FIELDS:
+                value = int(float(raw)) if field == "active" else float(raw)
+            else:
+                raise ValueError(
+                    f"unknown component field {field!r}; editable: "
+                    f"{sorted(_COMP_EDIT_FIELDS)} + spectrum")
+            self.edits.setdefault(name, []).append((comp, field, value))
+        return value
+
     def render_png(self, name: str, h_deg: float, v_deg: float,
                    zoom: float, lod: int = 4, ss: int = 1) -> bytes:
         import numpy as np
@@ -98,7 +175,7 @@ class _ViewerState:
         from .scene.cameracontrols import rotate_horizontal, rotate_vertical
         from .scene.cameracontrols import zoom as czoom
 
-        builder = self.galaxies.get(name) or next(iter(self.galaxies.values()))
+        galaxy = self._galaxy(name)
         cam = gamer_tpu.CameraParams(camera=(1.2, 0.0, 0.0), target=(0, 0, 0),
                                      up=(0, 0, 1), fov=75.0)
         cam = rotate_horizontal(cam, h_deg)
@@ -107,7 +184,7 @@ class _ViewerState:
             cam = czoom(cam, zoom)
         scene = gamer_tpu.Scene(
             camera=cam,
-            instances=[gamer_tpu.GalaxyInstance(galaxy=builder())],
+            instances=[gamer_tpu.GalaxyInstance(galaxy=galaxy)],
             # interactive default: noise LOD 4 (~1.5x faster frames,
             # preview-grade grain); lod=0 renders the exact octave counts
             config=gamer_tpu.RenderConfig(size=self.size, ray_step=0.025,
@@ -155,6 +232,35 @@ def make_handler(state: _ViewerState):
                     self._send(200, "image/png", png)
                 except Exception as e:  # noqa: BLE001
                     self._send(500, "text/plain", str(e).encode())
+            elif url.path == "/params":
+                from .scene.schema import galaxy_to_dict
+
+                q = urllib.parse.parse_qs(url.query)
+                name = q.get("galaxy", [""])[0]
+                try:
+                    d = galaxy_to_dict(state._galaxy(name))
+                    self._send(200, "application/json",
+                               json.dumps(d, indent=1).encode())
+                except Exception as e:  # noqa: BLE001
+                    self._send(400, "text/plain", str(e).encode())
+            elif url.path == "/set":
+                q = urllib.parse.parse_qs(url.query)
+                try:
+                    name = q.get("galaxy", [""])[0]
+                    comp = int(q.get("comp", ["-1"])[0])
+                    field = q.get("field", [""])[0]
+                    raw = q.get("value", [""])[0]
+                    value = state.set_param(name, comp, field, raw)
+                    self._send(200, "application/json", json.dumps(
+                        {"galaxy": name, "comp": comp, "field": field,
+                         "value": value}).encode())
+                except Exception as e:  # noqa: BLE001
+                    self._send(400, "text/plain", str(e).encode())
+            elif url.path == "/reset":
+                q = urllib.parse.parse_qs(url.query)
+                name = q.get("galaxy", [""])[0]
+                state.edits.pop(name, None)
+                self._send(200, "application/json", b'{"reset": true}')
             else:
                 self._send(404, "text/plain", b"not found")
 

@@ -195,3 +195,50 @@ def test_pose_fit_rejects_unknown_fields():
     with pytest.raises(ValueError, match="unknown pose fields"):
         gfit.fit_pose(scene, np.zeros((16, 16, 3), np.uint8),
                       fit_fields=("up",), steps=1)
+
+
+def test_fit_rejects_supersample():
+    """ADVICE round 1: the diff forward model renders 1 ray/pixel, so a
+    supersampled scene must be rejected, not silently mis-fitted."""
+    import dataclasses
+
+    scene = _scene(default_galaxy(), 16)
+    scene = dataclasses.replace(
+        scene, config=dataclasses.replace(scene.config, supersample=2))
+    tgt = np.zeros((16, 16, 3), np.uint8)
+    with pytest.raises(ValueError, match="supersample"):
+        gfit.fit_scene(scene, tgt, steps=1)
+    with pytest.raises(ValueError, match="supersample"):
+        gfit.fit_pose(scene, tgt, ("camera",), steps=1)
+
+
+@pytest.mark.slow
+def test_pose_multiscale_ladder(fixtures_dir):
+    """fit_pose_multiscale: one call runs the LOD->exact ladder and beats
+    the starting pose on a FULL-quality target (the round-1 PARITY workflow
+    automated, VERDICT next #7)."""
+    g = gax.load(fixtures_dir / "Spiral.gax")
+
+    def pose_scene(cam):
+        s = _scene(g, 16)
+        s.camera = gamer_tpu.CameraParams(camera=cam, target=(0, 0, 0),
+                                          up=(0, 1, 0), fov=90.0)
+        return s
+
+    from gamer_tpu.engine.render import render_scene
+
+    target = render_scene(pose_scene((0.5, 0, 0)))  # exact octaves
+    start_cam = (0.54, 0.02, -0.02)
+    seen = []
+    res = gfit.fit_pose_multiscale(
+        pose_scene(start_cam), target, ("camera",), steps=12, lr=1e-2,
+        schedule=((3, 4), (5, 2), (0, 1)),
+        on_step=lambda i, loss: seen.append(i))
+    truth = np.array((0.5, 0.0, 0.0))
+    err0 = float(np.linalg.norm(np.array(start_cam) - truth))
+    err1 = float(np.linalg.norm(np.array(res.scene.camera.camera) - truth))
+    assert err1 < 0.7 * err0, f"position error {err0:.4f} -> {err1:.4f}"
+    # global step indices span all rungs; scene keeps the caller's octaves
+    assert seen == list(range(36))
+    assert res.scene.config.noise_octaves == pose_scene(start_cam).config.noise_octaves
+    assert len(res.losses) == 3 * (12 + 1)  # per-rung final-iterate extras

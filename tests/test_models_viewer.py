@@ -63,3 +63,51 @@ def test_viewer_endpoints():
             urllib.request.urlopen(base + "/nope").read()
     finally:
         httpd.shutdown()
+
+
+def test_viewer_live_edit_endpoints():
+    """/set -> /render edit->preview loop (the GUI tabs' capability,
+    mainwindow.cpp:267-302) + /params + /reset."""
+    import numpy as np
+    from PIL import Image
+    import io
+
+    from gamer_tpu.viewer import serve
+
+    httpd = serve(port=8764, size=12, poll=False)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        time.sleep(0.2)
+        base = "http://127.0.0.1:8764"
+        names = json.loads(urllib.request.urlopen(base + "/galaxies").read())
+        g = names[0]
+        params0 = json.loads(urllib.request.urlopen(
+            base + f"/params?galaxy={g}").read())
+        before = np.asarray(Image.open(io.BytesIO(urllib.request.urlopen(
+            base + f"/render?galaxy={g}").read())))
+        # crank a component's strength way up -> frame must change
+        r = json.loads(urllib.request.urlopen(
+            base + f"/set?galaxy={g}&comp=0&field=strength&value=99999").read())
+        assert r["value"] == 99999.0
+        params1 = json.loads(urllib.request.urlopen(
+            base + f"/params?galaxy={g}").read())
+        assert params1 != params0
+        after = np.asarray(Image.open(io.BytesIO(urllib.request.urlopen(
+            base + f"/render?galaxy={g}").read())))
+        assert after.astype(int).sum() != before.astype(int).sum()
+        # galaxy-level edit
+        r2 = json.loads(urllib.request.urlopen(
+            base + f"/set?galaxy={g}&comp=-1&field=winding_n&value=6").read())
+        assert r2["comp"] == -1 and r2["value"] == 6.0
+        # bad field -> 400, not a crash
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(
+                base + f"/set?galaxy={g}&comp=0&field=nope&value=1").read()
+        # reset restores the original frame
+        urllib.request.urlopen(base + f"/reset?galaxy={g}").read()
+        reset_img = np.asarray(Image.open(io.BytesIO(urllib.request.urlopen(
+            base + f"/render?galaxy={g}").read())))
+        np.testing.assert_array_equal(reset_img, before)
+    finally:
+        httpd.shutdown()

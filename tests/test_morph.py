@@ -92,3 +92,31 @@ def test_sign_crossing_rejected():
     b.components[1].arm = -a.components[1].arm  # 0.2 -> -0.2 hits 0 mid-morph
     with pytest.raises(ValueError, match="sign"):
         lerp_galaxy(a, b, 0.5)
+
+
+def test_deterministic_ignores_stars_small():
+    """A deterministic scene whose endpoints differ only in a 'stars small'
+    component flattens to one compiled structure (scene_prep drops cid 6),
+    so the morph gate must accept it too (ADVICE round 1)."""
+    import dataclasses
+
+    from gamer_tpu.scene.schema import ComponentParams
+
+    a = default_galaxy()
+    b = _variant()
+    b.components.append(ComponentParams(
+        class_name="stars small", strength=1.0, scale=1000.0, noise_tilt=2.0,
+        spectrum="White", name="sparkle"))
+    # non-deterministic: structures genuinely differ -> rejected
+    with pytest.raises(ValueError, match="not morph-compatible"):
+        lerp_galaxy(a, b, 0.5)
+    # deterministic: the sparkle component is outside the compiled structure
+    g = lerp_galaxy(a, b, 0.5, deterministic=True)
+    assert g.components[0].strength == pytest.approx(
+        0.5 * (a.components[0].strength + b.components[0].strength))
+    scene = _scene(a)
+    scene = dataclasses.replace(
+        scene, config=dataclasses.replace(scene.config, deterministic=True))
+    scenes = morph_scenes(scene, b, 3)
+    statics = [flatten_scene(s)[0] for s in scenes]
+    assert all(st == statics[0] for st in statics)

@@ -223,3 +223,58 @@ def test_pallas_negative_inner_cuts_component():
         assert d.max() <= 2, f"inner={inner}: pallas vs xla {d.max()}"
         if inner == -0.1:
             assert int(ref.sum()) == 0, "negative inner must cut the component"
+
+
+def test_progressive_pallas_bands_and_abort(fixtures_dir):
+    """render_progressive_pallas: band-decomposed frames match the fused
+    launch to <=2 uint8 LSB on CPU (bit-exact on TPU — the tile program is
+    grid-shape independent; XLA:CPU interpret recompiles per shape), ticks
+    monotonic progress, and aborts cooperatively between bands."""
+    from gamer_tpu.engine.pallas_render import (
+        render_progressive_pallas, render_scene_pallas)
+
+    g = gax.load(fixtures_dir / "Sombrero.gax")
+    scene = gamer_tpu.Scene(
+        camera=gamer_tpu.CameraParams(camera=(0.5, 0, 0), target=(0, 0, 0),
+                                      up=(0, 1, 0), fov=90.0),
+        instances=[gamer_tpu.GalaxyInstance(galaxy=g)],
+        config=gamer_tpu.RenderConfig(size=48, ray_step=0.025),
+    )
+    fused = render_scene_pallas(scene)
+    ticks = []
+    prog = render_progressive_pallas(
+        scene, bands=4, on_progress=lambda f, img: ticks.append(f))
+    assert ticks == sorted(ticks) and ticks[-1] == 1.0 and len(ticks) >= 2
+    d = np.abs(prog.astype(np.int16) - fused.astype(np.int16))
+    assert d.max() <= 2, f"progressive vs fused max diff {d.max()}"
+
+    # abort after the first band: the partial frame has the first band's
+    # rows rendered and the rest black (the aborted back-buffer contract)
+    aborted = render_progressive_pallas(
+        scene, bands=4, on_progress=lambda f, img: False)
+    assert aborted.shape == (48, 48, 3)
+    assert int(aborted[:16].sum()) > 0   # first band present
+    assert int(aborted[32:].sum()) == 0  # later bands never rendered
+    np.testing.assert_array_equal(aborted[:16], prog[:16])
+
+
+def test_progressive_pallas_supersample_and_stars(fixtures_dir):
+    """Band path under supersampling + star overlay: pooling stays aligned
+    to band boundaries and the per-band overlay slices reassemble exactly."""
+    import dataclasses
+
+    from gamer_tpu.engine.pallas_render import (
+        render_progressive_pallas, render_scene_pallas)
+
+    g = gax.load(fixtures_dir / "Spiral.gax")
+    scene = gamer_tpu.Scene(
+        camera=gamer_tpu.CameraParams(camera=(0.5, 0, 0), target=(0, 0, 0),
+                                      up=(0, 1, 0), fov=90.0),
+        instances=[gamer_tpu.GalaxyInstance(galaxy=g)],
+        config=gamer_tpu.RenderConfig(size=32, ray_step=0.025, supersample=2,
+                                      no_stars=40, star_seed=7),
+    )
+    fused = render_scene_pallas(scene)
+    prog = render_progressive_pallas(scene, bands=2)
+    d = np.abs(prog.astype(np.int16) - fused.astype(np.int16))
+    assert d.max() <= 2, f"ss+stars progressive vs fused max diff {d.max()}"
