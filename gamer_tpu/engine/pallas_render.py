@@ -819,15 +819,27 @@ def _compiled(static: SceneStatic, size: int, pool: int = 1):
 
     run = jax.jit(_pooled_linear)
 
-    # render + post chain fused into ONE dispatch (the no-star-overlay fast
-    # path of render_scene_pallas; each dispatch pays a tunnel round trip)
+    # render + post chain fused into ONE dispatch (the fast path of
+    # render_scene_pallas; each dispatch pays a tunnel round trip)
     @jax.jit
     def run_post(sp, exposure, gamma, saturation):
         from .render import post_process
 
         return post_process(_pooled_linear(sp), exposure, gamma, saturation)
 
-    return lay, run, run_post
+    # starred variant: the overlay is evaluated ON DEVICE from the (K, 6)
+    # star-parameter rows inside the SAME dispatch — a starred frame ships
+    # ~24 bytes per star up and one uint8 image down, instead of splitting
+    # into two dispatches around a frame-sized host overlay upload
+    @jax.jit
+    def run_post_stars(sp, star_p, exposure, gamma, saturation):
+        from ..post.stars import star_field_device
+        from .render import post_process
+
+        lin = _pooled_linear(sp) + star_field_device(star_p, size // pool)
+        return post_process(lin, exposure, gamma, saturation)
+
+    return lay, run, run_post, run_post_stars
 
 
 @functools.lru_cache(maxsize=32)
@@ -923,7 +935,15 @@ def _compiled_rowshard(static: SceneStatic, size: int, mesh, pool: int = 1):
 
         return post_process(_pooled_linear(sp), exposure, gamma, saturation)
 
-    return lay, run, run_post
+    @jax.jit
+    def run_post_stars(sp, star_p, exposure, gamma, saturation):
+        from ..post.stars import star_field_device
+        from .render import post_process
+
+        lin = _pooled_linear(sp) + star_field_device(star_p, size // pool)
+        return post_process(lin, exposure, gamma, saturation)
+
+    return lay, run, run_post, run_post_stars
 
 
 @functools.lru_cache(maxsize=32)
@@ -1201,18 +1221,19 @@ def _prepared(scene: Scene, mesh=None):
         camera, scene.camera.target, scene.camera.up, scene.camera.fov)
     ss = cfg.supersample
     if mesh is not None:
-        lay, run, run_post = _compiled_rowshard(static, cfg.size * ss, mesh, ss)
+        lay, run, run_post, run_post_stars = _compiled_rowshard(
+            static, cfg.size * ss, mesh, ss)
     else:
-        lay, run, run_post = _compiled(static, cfg.size * ss, ss)
+        lay, run, run_post, run_post_stars = _compiled(static, cfg.size * ss, ss)
     sp = _pack_scalars(static, lay, params, camera, inv_vp,
                        np.float32(cfg.ray_step), np.float32(cfg.min_ray_step))
-    return sp, run, run_post
+    return sp, run, run_post, run_post_stars
 
 
 def render_linear_pallas(scene: Scene, mesh=None):
     """Linear radiance buffer (size, size, 3) float32 via the Pallas kernel.
     With ``mesh`` (1-D), the frame's rows are sharded across its devices."""
-    sp, run, _ = _prepared(scene, mesh)
+    sp, run, _, _ = _prepared(scene, mesh)
     return run(sp)
 
 
@@ -1232,25 +1253,24 @@ def render_scene_pallas(scene: Scene, mesh=None):
     (see _compiled_rowshard for the exactness contract).
 
     The linear buffer STAYS ON DEVICE through the post chain — only the
-    final uint8 image is transferred, in ONE dispatch when there is no star
-    overlay. Round-tripping the float32 radiance (down, then back up for
-    post) costs hundreds of ms per frame on a tunneled device link; the
-    host-generated star overlay is the one case that uploads an extra
-    frame-sized array and splits render/post into two dispatches.
+    final uint8 image is transferred, always in ONE dispatch: a starred
+    frame evaluates the overlay on device from the (K, 6) star-parameter
+    rows (post/stars.star_field_device) inside the same fused dispatch,
+    uploading ~24 bytes per star instead of a frame-sized overlay.
     """
     cfg = scene.config
-    sp, run, run_post = _prepared(scene, mesh)
+    sp, run, run_post, run_post_stars = _prepared(scene, mesh)
     exposure = np.float32(cfg.exposure)
     gamma = np.float32(cfg.gamma)
     saturation = np.float32(cfg.saturation)
     if cfg.no_stars > 0:
-        from ..post.stars import render_star_field
+        from ..post.stars import star_params
 
-        linear = run(sp) + jnp.asarray(render_star_field(
-            cfg.size, cfg.no_stars, cfg.star_size, cfg.star_size_spread,
-            cfg.star_strength, cfg.star_seed,
-        ))
-        img = _post_jit()(linear, exposure, gamma, saturation)
+        star_p = star_params(cfg.size, cfg.no_stars, cfg.star_size,
+                             cfg.star_size_spread, cfg.star_strength,
+                             cfg.star_seed)
+        img = run_post_stars(sp, jnp.asarray(star_p), exposure, gamma,
+                             saturation)
     else:
         img = run_post(sp, exposure, gamma, saturation)
     return np.asarray(img)

@@ -95,7 +95,12 @@ def _arm_value(st: InstanceStatic, pr, cp, radius, P, pow_fn=jnp.power):
     return val
 
 
-def _apply_component(
+def _is_absorber(cs: CompStatic) -> bool:
+    """dust / dust2 multiply the accumulator; every other class adds."""
+    return cs.cid in (CID_DUST, CID_DUST2)
+
+
+def _component_sample(
     cs: CompStatic,
     st: InstanceStatic,
     pr,
@@ -103,27 +108,32 @@ def _apply_component(
     p,
     active,
     weight,
-    I,
-    winding,
     ray_step,
+    winding,
     pow_fn=jnp.power,
 ):
-    """One component's contribution at the current sample points.
+    """Pure per-sample effect of one component: the component's action on
+    the accumulator is ``I -> I * exp(att_exp) + emit``.
+
+    Returns (emit_rgb, att_exp_rgb, winding): absorbers (dust/dust2) have
+    emit == 0, emitters att_exp == 0; masked lanes return exact zeros, so
+    composing with + / * reproduces the reference's where-masked updates
+    bit-for-bit (IEEE: x + 0 == x and x * exp(0) == x for the non-negative
+    accumulator this pipeline maintains). This factorization is what the
+    tensorized differentiable march (engine/tensor_march.py) builds on;
+    _apply_component composes it back into the sequential form.
 
     Mirrors GalaxyComponent::calculateIntensity (galaxycomponent.cpp:45-88)
-    + the componentIntensity kernels (galaxycomponents.cpp). Returns the
-    updated (I, winding).
+    + the componentIntensity kernels (galaxycomponents.cpp).
 
     ``pow_fn`` is ``jnp.power`` on the conformance path; the differentiable
-    path (engine/diff.py) passes a gradient-safe pow whose primal is
-    identical but whose cotangents are zeroed where the true derivative is
-    non-finite (pow(x<=0, traced exponent) lanes, which the forward math
-    discards via NaN-ordering/where masks but which would otherwise poison
-    reverse-mode gradients).
+    paths pass a gradient-safe pow whose primal is identical but whose
+    cotangents are zeroed where the true derivative is non-finite.
     """
     orientation = pr["orientation"]
     twirl_axis = pr["twirl_axis"]
     iscale = pr["intensity_scale"]
+    zero3 = jnp.zeros(p.shape[:-1] + (3,), p.dtype)
 
     if cs.cid == CID_BULGE:
         # Bulge bypasses all gating (galaxycomponents.cpp:5-39).
@@ -134,7 +144,7 @@ def _apply_component(
         ) * iscale
         ival = jnp.where(ival < 0, 0.0, ival)
         add = cp["spec"] * (ival * ray_step)[..., None]
-        return I + jnp.where(active[..., None], add, 0.0), winding
+        return jnp.where(active[..., None], add, 0.0), zero3, winding
 
     # Shared per-sample geometry (rasterizer.cpp:460-462).
     dott = dot3(p, orientation)
@@ -177,14 +187,14 @@ def _apply_component(
         p2 = pow_fn(p2, cp["noise_tilt"])
         p2 = p2 + cp["noise_offset"]
         add = spec * (ival * p2 * ray_step)[..., None]
-        I = jnp.where((emit & (p2 >= 0))[..., None], I + add, I)
-    elif cs.cid == CID_DUST:
+        return jnp.where((emit & (p2 >= 0))[..., None], add, 0.0), zero3, winding
+    if cs.cid == CID_DUST:
         p2 = _perlin_cloud(p, winding, cs.oct(9), cp["scale"], cp["ks"], twirl_axis)
         p2 = jnp.maximum(p2 - cp["noise_offset"], 0.0)
         p2 = qt_clamp(pow_fn(5.0 * p2, cp["noise_tilt"]), -10.0, 10.0)
-        att = jnp.exp(-p2[..., None] * ival[..., None] * spec * 0.01)
-        I = jnp.where(emit[..., None], I * att, I)
-    elif cs.cid in (CID_DUST2, CID_DUST_POSITIVE):
+        e = -p2[..., None] * ival[..., None] * spec * 0.01
+        return zero3, jnp.where(emit[..., None], e, 0.0), winding
+    if cs.cid in (CID_DUST2, CID_DUST_POSITIVE):
         r = _twirl(p, winding, twirl_axis) * cp["scale"]
         p2 = jnoise.ridged_mf(
             r[..., 0], r[..., 1], r[..., 2],
@@ -192,12 +202,11 @@ def _apply_component(
         )
         p2 = jnp.maximum(p2, 0.0)
         if cs.cid == CID_DUST2:
-            att = jnp.exp(-p2[..., None] * ival[..., None] * spec * 0.01)
-            I = jnp.where(emit[..., None], I * att, I)
-        else:
-            add = spec * (ival * p2 * ray_step)[..., None]
-            I = jnp.where(emit[..., None], I + add, I)
-    elif cs.cid == CID_STARS:
+            e = -p2[..., None] * ival[..., None] * spec * 0.01
+            return zero3, jnp.where(emit[..., None], e, 0.0), winding
+        add = spec * (ival * p2 * ray_step)[..., None]
+        return jnp.where(emit[..., None], add, 0.0), zero3, winding
+    if cs.cid == CID_STARS:
         freq = (0.01 * cp["scale"]) * 100.0
         perlin = jnp.abs(
             jnoise.octave_noise_3d(cs.oct(10), cp["ks"], freq, p[..., 0], p[..., 1], p[..., 2])
@@ -210,8 +219,8 @@ def _apply_component(
             )
         v = jnp.abs(pow_fn(perlin + 1.0 + add_n, cp["noise_tilt"]))
         add = spec * (ival * v * ray_step)[..., None]
-        I = jnp.where(emit[..., None], I + add, I)
-    elif cs.cid == CID_STARS_SMALL:
+        return jnp.where(emit[..., None], add, 0.0), zero3, winding
+    if cs.cid == CID_STARS_SMALL:
         # The reference sprinkles with unseeded rand() (galaxycomponents.cpp:
         # 159-170: emit with prob 1/scale, val = (rand()%10)^tilt) — inherently
         # nondeterministic, excluded from conformance (galaxy_repro.py:734).
@@ -219,9 +228,32 @@ def _apply_component(
         sel, dval = _sparkle_hash(p, cp["scale"])
         v = pow_fn(dval, cp["noise_tilt"])
         add = spec * (ival * v * ray_step)[..., None]
-        I = jnp.where((emit & sel)[..., None], I + add, I)
+        return jnp.where((emit & sel)[..., None], add, 0.0), zero3, winding
+    return zero3, zero3, winding  # unknown class: no-op (reference skips)
 
-    return I, winding
+
+def _apply_component(
+    cs: CompStatic,
+    st: InstanceStatic,
+    pr,
+    cp,
+    p,
+    active,
+    weight,
+    I,
+    winding,
+    ray_step,
+    pow_fn=jnp.power,
+):
+    """One component's contribution applied to the accumulator: the
+    sequential composition of _component_sample (see its docstring for the
+    exactness argument). Returns the updated (I, winding)."""
+    emit, att_e, winding = _component_sample(
+        cs, st, pr, cp, p, active, weight, ray_step, winding, pow_fn
+    )
+    if _is_absorber(cs):
+        return I * jnp.exp(att_e), winding
+    return I + emit, winding
 
 
 def hash3_i32(bx, by, bz):

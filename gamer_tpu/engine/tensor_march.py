@@ -1,0 +1,162 @@
+"""Tensorized differentiable march: the TPU-native gradient path.
+
+The scan march (engine/diff.py) replays the reference's sequential loop
+(rasterizer.cpp:422-483) step by step; its reverse pass is a 200-odd-step
+sequential transpose whose per-step bodies are far too small to occupy a
+TPU — that is what made fitting 3.5 s/step at 64^2 in round 1.
+
+This module removes the sequential dependence entirely, using a structural
+fact of the pipeline: every per-step update is AFFINE in the accumulator,
+
+    I_{k+1} = exp(E_k) * I_k + B_k
+
+because emissions never depend on I and the per-channel absorption factors
+are exponentials (render._component_sample's contract). The march therefore
+factorizes into three parts:
+
+  1. a tiny scalar scan computing each ray's step schedule t_k (the
+     adaptive clamp schedule has a 1-D recursion per ray — a few scalar
+     carries, negligible cost either direction);
+  2. one embarrassingly parallel evaluation of all per-sample effects
+     (E_k, B_k) over the whole (steps x rays) grid — ALL of the noise
+     math, now a single wide elementwise computation the TPU can tile,
+     rematerialized under jax.checkpoint so the backward stores only the
+     (steps, rays, 3) E/B tensors instead of every noise intermediate;
+  3. a closed-form composition: I = I_in * exp(sum E) + sum_k B_k *
+     exp(suffix_k) where suffix_k = sum_{j>k} E_j is one cumulative sum.
+
+Forward values match the sequential paths to fp-reassociation tolerance
+(the camera-distance and chord bookkeeping use the incremental forms, like
+the Pallas kernel); gradients agree with the scan path to the same order
+(gated in tests/test_tensor_march.py). One knowing divergence: a NaN
+emission on an active lane zeroes the whole accumulated intensity in the
+sequential paths (RasterPixel::Floor semantics, rasterpixel.cpp:34-38) but
+only that step's contribution here — it differs only for parameter sets
+whose render is already NaN-poisoned, which no fit target is.
+
+Within a step, components still compose in list order (emission adds,
+absorption multiplies — they do not commute): B accumulates each emitter's
+contribution and is re-attenuated by every later-in-step absorber, exactly
+the (((I + e1) * a2) + e3) bracketing of the reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import camera as cam_ops
+from ..ops.math3d import intersect_ellipsoid, norm3, qt_clamp
+from .diff import post_process_float, safe_pow
+from .render import _component_sample, _dither01, _is_absorber
+from .scene_prep import InstanceStatic, SceneStatic
+
+
+def _march_instance_tensor(st: InstanceStatic, pr, dirs, camera, I,
+                           ray_step, min_step, max_steps: int,
+                           dither: bool = False):
+    """One instance's march as (schedule scan) + (parallel effects) +
+    (suffix composition). dirs: (N, 3) unit rays; I: (N, 3)."""
+    o = camera - pr["position"]
+    hit, isp1, isp2, t0, t1 = intersect_ellipsoid(o, dirs, pr["axis"])
+    isp2 = jnp.where((t1 > 0)[..., None], o, isp2)
+    alive = hit & ~((t0 > 0) & (t1 > 0))
+
+    origin = isp1
+    # camera distance is affine along the march (rays originate at the
+    # camera; the behind-camera rule only truncates at t=0) — the same
+    # incremental form the Pallas kernel uses (pallas_render.py dist0-tacc)
+    dist_origin = norm3(origin - o)
+    if dither:
+        step0 = qt_clamp(dist_origin * ray_step, min_step, 0.01)
+        diff0 = origin - isp2
+        len0 = norm3(diff0)
+        safe0 = jnp.where(len0 == 0, 1.0, len0)
+        delta = jnp.minimum(step0 * _dither01(dirs), len0)
+        origin = origin - (diff0 / safe0[..., None]) * delta[..., None]
+        dist_origin = dist_origin - delta
+    diff = origin - isp2
+    length = norm3(diff)
+    safe = jnp.where(length == 0, 1.0, length)
+    dir_m = diff / safe[..., None]
+
+    # 1. step schedule: t_k along the chord, per ray (cheap scalar scan)
+    def tbody(carry, _):
+        t, step_prev, done = carry
+        done = done | (t >= length + step_prev)
+        active = ~done
+        dist = dist_origin - t
+        step = qt_clamp(dist * ray_step, min_step, 0.01)
+        af = active.astype(t.dtype)
+        out = (t, active, step * 200.0)
+        return (t + step * af, jnp.where(active, step, step_prev), done), out
+
+    init = (jnp.zeros_like(length), jnp.full_like(length, ray_step), ~alive)
+    _, (ts, actives, weights) = jax.lax.scan(
+        tbody, init, None, length=max_steps)
+
+    # 2. all sample positions + per-step effects, fully parallel
+    P = origin[None] - dir_m[None] * ts[..., None]  # (S, N, 3)
+
+    def step_effects(P, actives, weights):
+        E = jnp.zeros(P.shape[:-1] + (3,), P.dtype)  # log attenuation
+        B = jnp.zeros_like(E)                        # in-step emission
+        winding = jnp.zeros(P.shape[:-1], P.dtype)
+        for cs, cp in zip(st.comps, pr["comps"]):
+            emit, att_e, winding = _component_sample(
+                cs, st, pr, cp, P, actives, weights, ray_step, winding,
+                pow_fn=safe_pow,
+            )
+            if _is_absorber(cs):
+                B = B * jnp.exp(att_e)
+                E = E + att_e
+            else:
+                B = B + emit
+        # a NaN effect would poison the whole composition sum; zero it like
+        # the sequential paths' floor0 zeroes NaN accumulators (see module
+        # docstring for the one semantic difference)
+        return jnp.nan_to_num(E), jnp.nan_to_num(B)
+
+    E, B = jax.checkpoint(step_effects)(P, actives, weights)
+
+    # 3. closed-form composition via one suffix cumulative sum
+    incl = jnp.cumsum(E[::-1], axis=0)[::-1]  # sum_{j>=k} E_j
+    suffix = incl - E                          # sum_{j>k}  E_j
+    total = incl[0] if max_steps > 0 else jnp.zeros_like(I)
+    return I * jnp.exp(total) + jnp.sum(B * jnp.exp(suffix), axis=0)
+
+
+def render_rays_tensor(static: SceneStatic, params, dirs, camera, ray_step,
+                       min_step, max_steps: int):
+    """Differentiable twin of render.render_rays with the tensorized march.
+    dirs: (..., 3) -> (..., 3) linear radiance."""
+    shape = dirs.shape[:-1]
+    dirs_f = dirs.reshape(-1, 3)
+    I = jnp.zeros((dirs_f.shape[0], 3), dirs.dtype)
+    for st, pr in zip(static.instances, params):
+        # instances compose sequentially (far->near, rasterizer.cpp:190-201)
+        # and each instance's action on I is itself affine, so threading I
+        # through per-instance tensor marches is exact
+        I = _march_instance_tensor(st, pr, dirs_f, camera, I, ray_step,
+                                   min_step, max_steps,
+                                   dither=static.dither)
+    I = I * (0.01 / ray_step)
+    return I.reshape(*shape, 3)
+
+
+def render_frame_tensor(static: SceneStatic, size: int, max_steps: int,
+                        params, camera, inv_vp, ray_step, min_step,
+                        exposure, gamma, saturation):
+    """One differentiable frame via the tensorized march (float image in
+    [0, 255], linear radiance) — drop-in for diff.render_frame_diff."""
+    dirs = cam_ops.ray_grid(size, inv_vp)
+    linear = render_rays_tensor(
+        static, params, dirs, camera, ray_step, min_step, max_steps)
+    return post_process_float(linear, exposure, gamma, saturation), linear
+
+
+render_frame_tensor_jit = functools.partial(
+    jax.jit, static_argnums=(0, 1, 2)
+)(render_frame_tensor)

@@ -13,13 +13,25 @@ branchlessly from the gradient index instead of a table gather — exact, since
 GRAD3 rows for gi<4 are (±1,±1,0), gi<8 are (±1,0,±1), else (0,±1,±1) with
 signs given by the low bits of gi (see ops/tables.py).
 
-The permutation-table lookups are genuine data-dependent gathers; they are
-expressed with jnp.take so XLA picks the best TPU lowering. Octave counts are
-static (python ints) — loops unroll at trace time.
+The permutation-table lookups are data-dependent; their LOWERING is chosen
+per backend at trace time (identical integer results either way):
+
+  - CPU/GPU: jnp.take — native gathers are fast there.
+  - TPU: a branchless binary select tree over the byte-packed 256-entry
+    table (_perm_lookup_tree). XLA:TPU serializes small-table gathers to
+    ~10 M lookups/s, which made the whole XLA render path gather-bound
+    (measured: raw simplex 9 M evals/s while pow chains run 560 M evals/s
+    on the same chip); the select tree is ~70 pure vector ops per lookup
+    and fuses, recovering VPU-speed noise for the lockstep/differentiable
+    paths. The production Pallas kernel solves the same problem with
+    lane-gathers from PERM_PACKED32 (ops/pallas_noise.py).
+
+Octave counts are static (python ints) — loops unroll at trace time.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,11 +39,57 @@ from .tables import PERM
 
 _PERM_NP = PERM.astype(np.int32)
 
+# 256-entry half-table byte-packed 4 values/word: word w holds
+# PERM[4w..4w+3] in its bytes. PERM is the half-table doubled, so
+# PERM[idx] == packed-byte (idx & 255) for every idx the simplex forms.
+_PERM_WORDS = [
+    int(_PERM_NP[4 * w] | (_PERM_NP[4 * w + 1] << 8)
+        | (_PERM_NP[4 * w + 2] << 16) | (_PERM_NP[4 * w + 3] << 24))
+    for w in range(64)
+]
+
 
 def _perm() -> jnp.ndarray:
     # jnp.asarray of a host constant per trace — XLA dedupes; caching the
     # device array globally would leak tracers across jit scopes.
     return jnp.asarray(_PERM_NP)
+
+
+def _perm_lookup_tree(idx):
+    """PERM[idx] as a branchless binary select tree over the 64 packed
+    words — zero gathers, value-exact (integer selects); see module
+    docstring for why TPU needs this."""
+    i = idx & 255
+    w = i >> 2
+    level = [jnp.int32(c) for c in _PERM_WORDS]
+    bit = 0
+    while len(level) > 1:
+        pred = (w & (1 << bit)) != 0
+        level = [jnp.where(pred, level[2 * k + 1], level[2 * k])
+                 for k in range(len(level) // 2)]
+        bit += 1
+    word = level[0]
+    return (word >> ((i & 3) << 3)) & 255
+
+
+def _perm_lookup_onehot(idx):
+    """PERM[idx] as one-hot(256) @ table on the MXU — also gather-free and
+    value-exact: the one-hot rows and the table values (<= 255) are exact
+    in bfloat16, and the f32 dot accumulates one nonzero term."""
+    i = idx & 255
+    oh = (i[..., None] == jnp.arange(256, dtype=jnp.int32)).astype(jnp.bfloat16)
+    table = jnp.asarray(_PERM_NP[:256], jnp.bfloat16)
+    out = jax.lax.dot_general(
+        oh, table, (((oh.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return out.astype(jnp.int32)
+
+
+def _perm_take(perm, idx):
+    """Backend-dispatched PERM lookup (identical values either way)."""
+    if jax.default_backend() == "tpu":
+        return _perm_lookup_onehot(idx)
+    return jnp.take(perm, idx, axis=0)
 
 
 def _grad_dot(gi, x, y, z):
@@ -101,18 +159,18 @@ def raw_noise_3d(x, y, z):
     ii = i & 255
     jj = j & 255
     kk = k & 255
-    pkk = jnp.take(perm, kk, axis=0)
-    pkk1 = jnp.take(perm, kk + k1, axis=0)
-    pkk2 = jnp.take(perm, kk + k2, axis=0)
-    pkk3 = jnp.take(perm, kk + 1, axis=0)
-    pj0 = jnp.take(perm, jj + pkk, axis=0)
-    pj1 = jnp.take(perm, jj + j1 + pkk1, axis=0)
-    pj2 = jnp.take(perm, jj + j2 + pkk2, axis=0)
-    pj3 = jnp.take(perm, jj + 1 + pkk3, axis=0)
-    gi0 = jnp.take(perm, ii + pj0, axis=0) % 12
-    gi1 = jnp.take(perm, ii + i1 + pj1, axis=0) % 12
-    gi2 = jnp.take(perm, ii + i2 + pj2, axis=0) % 12
-    gi3 = jnp.take(perm, ii + 1 + pj3, axis=0) % 12
+    pkk = _perm_take(perm, kk)
+    pkk1 = _perm_take(perm, kk + k1)
+    pkk2 = _perm_take(perm, kk + k2)
+    pkk3 = _perm_take(perm, kk + 1)
+    pj0 = _perm_take(perm, jj + pkk)
+    pj1 = _perm_take(perm, jj + j1 + pkk1)
+    pj2 = _perm_take(perm, jj + j2 + pkk2)
+    pj3 = _perm_take(perm, jj + 1 + pkk3)
+    gi0 = _perm_take(perm, ii + pj0) % 12
+    gi1 = _perm_take(perm, ii + i1 + pj1) % 12
+    gi2 = _perm_take(perm, ii + i2 + pj2) % 12
+    gi3 = _perm_take(perm, ii + 1 + pj3) % 12
 
     def contrib(tv, gi, cx, cy, cz):
         gd = _grad_dot(gi, cx, cy, cz)

@@ -397,3 +397,17 @@ def test_skybox_end_to_end_vs_oracle(fixtures_dir):
         ref, _ = render_oracle(job.scene)
         d = np.abs(ours.astype(np.int16) - ref.astype(np.int16))
         assert d.max() <= 1, f"{job.filename}: max diff {d.max()}"
+
+
+def test_perm_lookup_variants_exact():
+    """The gather-free PERM lookups used on TPU (one-hot bf16 matmul, and
+    the select-tree alternative) reproduce the table exactly for every
+    reachable index, including the doubled-table wrap."""
+    from gamer_tpu.ops.noise import (_PERM_NP, _perm_lookup_onehot,
+                                     _perm_lookup_tree)
+
+    idx = jnp.arange(512, dtype=jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(_perm_lookup_tree)(idx)), _PERM_NP)
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(_perm_lookup_onehot)(idx)), _PERM_NP)

@@ -77,3 +77,21 @@ def test_star_field_deterministic_and_bounded():
     assert render_star_field(32, 0, 1, 1, 1).sum() == 0
     # sub-splat-width config draws nothing (reference quirk, kept)
     assert render_star_field(64, 30, 1.0, 1.0, 1.0, seed=7).sum() == 0
+
+
+def test_star_field_device_matches_host():
+    """star_field_device (the fused on-device overlay) reproduces the host
+    splatter from identical star_params draws; starred frames keep the
+    single-dispatch contract (VERDICT round 1, weak #8)."""
+    import numpy as np
+
+    from gamer_tpu.post.stars import (render_star_field, star_field_device,
+                                      star_params)
+
+    host = render_star_field(64, 50, 10.0, 2.0, 1.5, seed=7)
+    p = star_params(64, 50, 10.0, 2.0, 1.5, seed=7)
+    assert p.shape[0] > 10  # real splats at this size
+    dev = np.asarray(star_field_device(p, 64))
+    np.testing.assert_allclose(dev, host, rtol=0, atol=1e-6)
+    # empty field stays empty (and w<2 stars are dropped like the reference)
+    assert np.asarray(star_field_device(star_params(64, 0, 1, 1, 1), 64)).sum() == 0

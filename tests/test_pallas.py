@@ -271,8 +271,11 @@ def test_progressive_pallas_supersample_and_stars(fixtures_dir):
         camera=gamer_tpu.CameraParams(camera=(0.5, 0, 0), target=(0, 0, 0),
                                       up=(0, 1, 0), fov=90.0),
         instances=[gamer_tpu.GalaxyInstance(galaxy=g)],
+        # star_size large enough that splats reach the w >= 2 draw
+        # threshold at this tiny frame (w = int(int(sz*size)/245))
         config=gamer_tpu.RenderConfig(size=32, ray_step=0.025, supersample=2,
-                                      no_stars=40, star_seed=7),
+                                      no_stars=40, star_size=20.0,
+                                      star_seed=7),
     )
     fused = render_scene_pallas(scene)
     prog = render_progressive_pallas(scene, bands=2)

@@ -63,7 +63,7 @@ def test_rowshard_pallas_bitexact_vs_banded(fixtures_dir):
     assert sharded.shape == (40, 40, 3) and int(sharded.sum()) > 0
 
     static, _ = flatten_scene(scene, jnp.float32)
-    sp, _, _ = _prepared(scene)
+    sp = _prepared(scene)[0]
     tr = _tile_rows(40)
     rows_local = -(-40 // (8 * tr)) * tr
     _lay, _run, run_post, _ = _compiled_band(static, 40, rows_local, 1)

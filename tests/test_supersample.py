@@ -98,12 +98,20 @@ def test_non_integer_supersample_rejected():
 
 
 def test_sharded_supersample_matches_single_device(fixtures_dir):
+    from gamer_tpu.engine.pallas_render import render_scene_pallas
     from gamer_tpu.engine.render import render_scene
     from gamer_tpu.parallel.sharding import render_scene_sharded
 
     g = gax.load(fixtures_dir / "Spiral.gax")
     s = _scene(g, ss=2, size=16)
-    np.testing.assert_array_equal(render_scene_sharded(s), render_scene(s))
+    # XLA row sharding propagates through the box filter bit-exactly
+    np.testing.assert_array_equal(
+        render_scene_sharded(s, method="xla"), render_scene(s))
+    # production (Pallas) row sharding: <=2 LSB vs the fused launch on CPU
+    # interpret (bit-exact on TPU — see _compiled_rowshard)
+    d = np.abs(render_scene_sharded(s).astype(np.int16)
+               - render_scene_pallas(s).astype(np.int16))
+    assert d.max() <= 2, f"pallas sharded ss vs fused max diff {d.max()}"
 
 
 def test_progressive_supersample_matches_direct(fixtures_dir):
