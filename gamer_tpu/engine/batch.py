@@ -42,6 +42,15 @@ def _post_batch_jit():
     return jax.jit(jax.vmap(post_process))
 
 
+@functools.lru_cache(maxsize=1)
+def _star_field_jit():
+    from ..post.stars import star_field_device
+
+    # one dispatch per unique star config (eager scans would pay a tunnel
+    # round trip per op); compile cache keyed by (star count, frame size)
+    return jax.jit(star_field_device, static_argnums=1)
+
+
 def _scene_rows(scenes: Sequence[Scene], dtype=jnp.float32):
     """Flatten scenes sharing one structure into packed scalar rows."""
     statics_params = [flatten_scene(s, dtype) for s in scenes]
@@ -122,20 +131,32 @@ def render_batch(scenes: Sequence[Scene], mesh: Optional[Mesh] = None) -> np.nda
         linear = run_sharded(sp_rows)
 
     # post chain per frame (exposure/gamma/saturation may differ per scene),
-    # vmapped ON DEVICE: only the final uint8 frames are transferred. The
-    # host-generated star overlays are the one extra upload, and only when
-    # some scene uses them.
+    # vmapped ON DEVICE: only the final uint8 frames are transferred. Star
+    # overlays are computed ON DEVICE from the seeded (K, 6) star-parameter
+    # rows, once per UNIQUE star config — a starred fly-through (shared
+    # config across frames) uploads one ~24-bytes-per-star array, not B
+    # frame-sized overlays.
     if any(s.config.no_stars > 0 for s in scenes):
-        from ..post.stars import render_star_field
+        from ..post.stars import star_params
 
-        overlays = np.stack([
-            render_star_field(s.config.size, s.config.no_stars,
-                              s.config.star_size, s.config.star_size_spread,
-                              s.config.star_strength, s.config.star_seed)
-            if s.config.no_stars > 0 else np.zeros((size, size, 3), np.float32)
+        field_jit = _star_field_jit()
+        fields = {}
+        for s in scenes:
+            key = (s.config.no_stars, s.config.star_size,
+                   s.config.star_size_spread, s.config.star_strength,
+                   s.config.star_seed)
+            if key not in fields:
+                fields[key] = (
+                    field_jit(jnp.asarray(star_params(size, *key)), size)
+                    if key[0] > 0 else jnp.zeros((size, size, 3), jnp.float32)
+                )
+        overlays = jnp.stack([
+            fields[(s.config.no_stars, s.config.star_size,
+                    s.config.star_size_spread, s.config.star_strength,
+                    s.config.star_seed)]
             for s in scenes
         ])
-        linear = linear + jnp.asarray(overlays)
+        linear = linear + overlays
     exposures = np.asarray([s.config.exposure for s in scenes], np.float32)
     gammas = np.asarray([s.config.gamma for s in scenes], np.float32)
     saturations = np.asarray([s.config.saturation for s in scenes], np.float32)

@@ -1213,8 +1213,36 @@ def render_dirs_pallas(scene: Scene, dirs) -> np.ndarray:
     return np.asarray(run(sp, dx, dy, dz))
 
 
+def _check_march_cap(scene: Scene) -> None:
+    """Surface the MAX_ITERS safety cap instead of silently truncating: a
+    pathological scene (huge ellipsoid + tiny min step) whose WORST-CASE
+    march length exceeds the kernel's substep cap would lose its
+    camera-near segment. The check is conservative (closed-form bound from
+    the step schedule, diff.conservative_step_bound), so a warning means
+    'can truncate', not 'did truncate'."""
+    from .diff import conservative_step_bound
+
+    cfg = scene.config
+    max_axis = max(
+        (max(gi.galaxy.params.axis) for gi in scene.instances), default=1.0)
+    bound = conservative_step_bound(cfg.ray_step, cfg.min_ray_step, max_axis)
+    if bound * len(scene.instances) > MAX_ITERS:
+        import warnings
+
+        from ..utils.log import Messages
+
+        msg = (f"scene's worst-case march length (~{bound} substeps/instance"
+               f", axis {max_axis:g}, min step {cfg.min_ray_step:g}) exceeds "
+               f"the kernel cap MAX_ITERS={MAX_ITERS}; rays needing more "
+               "substeps would truncate their camera-near segment. Use a "
+               "larger min_ray_step or smaller ellipsoid axes.")
+        Messages.message("WARNING: " + msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=3)
+
+
 def _prepared(scene: Scene, mesh=None):
     cfg = scene.config
+    _check_march_cap(scene)
     static, params = flatten_scene(scene, jnp.float32)
     camera = np.asarray(scene.camera.camera, np.float32)
     inv_vp = cam_ops.inv_view_projection_host(
@@ -1296,6 +1324,7 @@ def render_progressive_pallas(scene: Scene, bands: int = 16,
     import math
 
     cfg = scene.config
+    _check_march_cap(scene)
     static, params = flatten_scene(scene, jnp.float32)
     camera = np.asarray(scene.camera.camera, np.float32)
     inv_vp = cam_ops.inv_view_projection_host(

@@ -110,3 +110,30 @@ def test_generate_scene_mode(fixtures_dir):
     # deterministic under the seed
     scene2 = generate_scene([g], n=5, box_size=3.0, seed=11)
     assert [i.position for i in scene.instances] == [i.position for i in scene2.instances]
+
+
+def test_starred_batch_matches_single(fixtures_dir):
+    """Starred batch frames (device overlay, computed once per unique star
+    config) match the starred single-frame render."""
+    import dataclasses
+
+    from gamer_tpu.engine.batch import render_batch
+    from gamer_tpu.engine.pallas_render import render_scene_pallas
+    from gamer_tpu.scene import gax
+
+    g = gax.load(fixtures_dir / "Spiral.gax")
+    base = gamer_tpu.Scene(
+        camera=gamer_tpu.CameraParams(camera=(0.5, 0, 0), target=(0, 0, 0),
+                                      up=(0, 1, 0), fov=90.0),
+        instances=[gamer_tpu.GalaxyInstance(galaxy=g)],
+        config=gamer_tpu.RenderConfig(size=32, ray_step=0.025, no_stars=60,
+                                      star_size=20.0, star_seed=3),
+    )
+    other = dataclasses.replace(
+        base, config=dataclasses.replace(base.config, star_seed=9))
+    frames = render_batch([base, base, other])
+    np.testing.assert_array_equal(frames[0], frames[1])  # shared field
+    assert not np.array_equal(frames[0], frames[2])       # different seed
+    single = render_scene_pallas(base)
+    d = np.abs(frames[0].astype(np.int16) - single.astype(np.int16))
+    assert d.max() <= 2, f"starred batch vs single max diff {d.max()}"
