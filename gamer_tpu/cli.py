@@ -520,7 +520,7 @@ def cmd_fitpose(argv) -> int:
         config=RenderConfig(size=target.shape[0], ray_step=vals[13],
                             exposure=vals[10], gamma=vals[11],
                             saturation=vals[12], is_preview=True,
-                            noise_octaves=0 if multiscale else lod),
+                            noise_octaves=None if multiscale else lod),
     )
     if multiscale:
         from .engine.fit import DEFAULT_POSE_SCHEDULE, fit_pose_multiscale

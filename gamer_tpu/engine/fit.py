@@ -473,10 +473,13 @@ def fit_pose_multiscale(
         pool = int(pool)
         while pool > 1 and size % pool:
             pool -= 1  # pooling must divide the frame; degrade gracefully
+        # LOD 0 in a schedule means the exact rung — the schema spells
+        # "exact octaves" as noise_octaves=None (0 is rejected)
         rung_scene = dataclasses.replace(
             current,
-            config=dataclasses.replace(current.config,
-                                       noise_octaves=int(lod)))
+            config=dataclasses.replace(
+                current.config,
+                noise_octaves=int(lod) if int(lod) >= 1 else None))
         rung_cb = None
         if on_step is not None:
             rung_cb = (lambda i, loss, b=base: on_step(b + i, loss))

@@ -17,13 +17,15 @@ factorizes into three parts:
   1. a tiny scalar scan computing each ray's step schedule t_k (the
      adaptive clamp schedule has a 1-D recursion per ray — a few scalar
      carries, negligible cost either direction);
-  2. one embarrassingly parallel evaluation of all per-sample effects
-     (E_k, B_k) over the whole (steps x rays) grid — ALL of the noise
-     math, now a single wide elementwise computation the TPU can tile,
-     rematerialized under jax.checkpoint so the backward stores only the
-     (steps, rays, 3) E/B tensors instead of every noise intermediate;
-  3. a closed-form composition: I = I_in * exp(sum E) + sum_k B_k *
-     exp(suffix_k) where suffix_k = sum_{j>k} E_j is one cumulative sum.
+  2. embarrassingly parallel evaluation of the per-sample effects
+     (E_k, B_k) over (step-chunk x rays) grids — ALL of the noise math,
+     now wide elementwise computation the TPU can tile, rematerialized
+     under jax.checkpoint per chunk;
+  3. a closed-form composition: within a chunk I = I_in * exp(sum E) +
+     sum_k B_k * exp(suffix_k) (suffix via one cumulative sum), and chunks
+     compose sequentially as affine maps (STEP_CHUNK steps each, bounding
+     backward memory at O(chunk x rays) — a 128^2 pose fit fits in HBM
+     where the unchunked form OOM'd the compiler).
 
 Forward values match the sequential paths to fp-reassociation tolerance
 (the camera-distance and chord bookkeeping use the incremental forms, like
@@ -54,11 +56,22 @@ from .render import _component_sample, _dither01, _is_absorber
 from .scene_prep import InstanceStatic, SceneStatic
 
 
+# steps per rematerialized chunk of the effects evaluation. The march
+# composes chunk-affine maps sequentially (each chunk is itself I' =
+# exp(Ec)*I + Bc), so backward memory is O(chunk x rays) instead of
+# O(steps x rays) — a 128^2 pose fit needs ~30 MB of temporaries instead
+# of the multi-GB that OOM'd the TPU compiler, while the work inside each
+# chunk stays fully parallel.
+STEP_CHUNK = 64
+
+
 def _march_instance_tensor(st: InstanceStatic, pr, dirs, camera, I,
                            ray_step, min_step, max_steps: int,
-                           dither: bool = False):
-    """One instance's march as (schedule scan) + (parallel effects) +
-    (suffix composition). dirs: (N, 3) unit rays; I: (N, 3)."""
+                           dither: bool = False,
+                           step_chunk: int = STEP_CHUNK):
+    """One instance's march as (schedule scan) + (parallel per-chunk
+    effects) + (affine chunk composition). dirs: (N, 3) unit rays;
+    I: (N, 3)."""
     o = camera - pr["position"]
     hit, isp1, isp2, t0, t1 = intersect_ellipsoid(o, dirs, pr["axis"])
     isp2 = jnp.where((t1 > 0)[..., None], o, isp2)
@@ -93,12 +106,12 @@ def _march_instance_tensor(st: InstanceStatic, pr, dirs, camera, I,
         out = (t, active, step * 200.0)
         return (t + step * af, jnp.where(active, step, step_prev), done), out
 
+    # pad the trip count to whole chunks: padded steps run with done=True
+    # (done persists in the schedule scan), so their effects are exact zeros
+    n_chunks = max(1, -(-max_steps // step_chunk))
+    S = n_chunks * step_chunk
     init = (jnp.zeros_like(length), jnp.full_like(length, ray_step), ~alive)
-    _, (ts, actives, weights) = jax.lax.scan(
-        tbody, init, None, length=max_steps)
-
-    # 2. all sample positions + per-step effects, fully parallel
-    P = origin[None] - dir_m[None] * ts[..., None]  # (S, N, 3)
+    _, (ts, actives, weights) = jax.lax.scan(tbody, init, None, length=S)
 
     def step_effects(P, actives, weights):
         E = jnp.zeros(P.shape[:-1] + (3,), P.dtype)  # log attenuation
@@ -119,13 +132,23 @@ def _march_instance_tensor(st: InstanceStatic, pr, dirs, camera, I,
         # docstring for the one semantic difference)
         return jnp.nan_to_num(E), jnp.nan_to_num(B)
 
-    E, B = jax.checkpoint(step_effects)(P, actives, weights)
+    # 2+3. chunk-affine composition: within a chunk, all sample effects
+    # evaluate in parallel and reduce via the suffix cumulative sum; chunks
+    # compose sequentially (each is I' = exp(Ec)*I + Bc). Rematerializing
+    # per chunk bounds backward memory at O(step_chunk x rays).
+    def chunk_body(I, inputs):
+        t_c, act_c, w_c = inputs  # (step_chunk, N)
+        P = origin[None] - dir_m[None] * t_c[..., None]
+        E, B = step_effects(P, act_c, w_c)
+        incl = jnp.cumsum(E[::-1], axis=0)[::-1]  # sum_{j>=k} E_j
+        suffix = incl - E                          # sum_{j>k}  E_j
+        return I * jnp.exp(incl[0]) + jnp.sum(B * jnp.exp(suffix), axis=0), None
 
-    # 3. closed-form composition via one suffix cumulative sum
-    incl = jnp.cumsum(E[::-1], axis=0)[::-1]  # sum_{j>=k} E_j
-    suffix = incl - E                          # sum_{j>k}  E_j
-    total = incl[0] if max_steps > 0 else jnp.zeros_like(I)
-    return I * jnp.exp(total) + jnp.sum(B * jnp.exp(suffix), axis=0)
+    chunks = (ts.reshape(n_chunks, step_chunk, -1),
+              actives.reshape(n_chunks, step_chunk, -1),
+              weights.reshape(n_chunks, step_chunk, -1))
+    I, _ = jax.lax.scan(jax.checkpoint(chunk_body), I, chunks)
+    return I
 
 
 def render_rays_tensor(static: SceneStatic, params, dirs, camera, ray_step,
