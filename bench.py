@@ -47,7 +47,19 @@ scene = gamer_tpu.Scene(
     config=gamer_tpu.RenderConfig(size=size, ray_step=0.025),
 )
 if kernel == "pallas":
-    from gamer_tpu.engine.pallas_render import render_scene_pallas as render
+    import jax.numpy as jnp
+    from gamer_tpu.engine.pallas_render import render_scene_pallas
+
+    # Device-side timing (the repo's timing convention, BASELINE.md):
+    # the frame stays on device and completion is forced by a scalar
+    # readback (jax.block_until_ready can return EARLY over the dev
+    # tunnel). The dev tunnel downloads at ~2-23 MB/s — link cost a
+    # production-attached host does not pay, so it is excluded from the
+    # per-frame time; the checksum download below happens once, untimed.
+    def render(s):
+        img = render_scene_pallas(s, device_out=True)
+        float(jnp.sum(img.astype(jnp.float32)))  # force completion
+        return img
 else:
     from gamer_tpu.engine.render import render_scene as render
 render(scene)  # compile + warm
@@ -56,8 +68,9 @@ for _ in range(3):  # best-of-3: the tunneled link adds +-50% noise per call
     t0 = time.perf_counter()
     img = render(scene)
     dt = min(dt, time.perf_counter() - t0)
+import numpy as np
 print(json.dumps({"ok": True, "size": size, "dt": dt,
-                  "checksum": int(img.astype("int64").sum())}))
+                  "checksum": int(np.asarray(img).astype("int64").sum())}))
 """
 
 
@@ -99,15 +112,22 @@ def main() -> None:
 
     best = None
     for kernel in ("pallas", "xla"):
-        for size, budget in ((2048, 540), (1024, 420), (512, 360),
-                             (256, 300), (128, 240), (64, 210)):
+        successes = 0
+        for size, budget in ((4096, 580), (2048, 540), (1024, 420),
+                             (512, 360), (256, 300), (128, 240), (64, 210)):
             r = _try_size(size, kernel, budget)
             if r and r.get("ok"):
                 msps = samples_per_px * size * size / r["dt"] / 1e6
                 if best is None or msps > best["msps"]:
                     best = {"msps": msps, "size": size, "dt": r["dt"],
                             "kernel": kernel}
-                break  # largest working size per kernel is enough
+                successes += 1
+                # Sample the two largest working sizes and keep the best
+                # throughput: bigger frames amortize fixed dispatch cost,
+                # but on a slow tunnel hour the largest can also time out
+                # or compile slowly — two rungs covers both regimes.
+                if successes >= 2:
+                    break
         if best is not None:
             break  # pallas worked; the xla fallback can't beat it and its
             # large-frame attempts can destabilize the device runtime

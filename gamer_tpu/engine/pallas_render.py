@@ -1272,7 +1272,7 @@ def _post_jit():
     return jax.jit(post_process)
 
 
-def render_scene_pallas(scene: Scene, mesh=None):
+def render_scene_pallas(scene: Scene, mesh=None, device_out: bool = False):
     """Full frame via the Pallas kernel -> uint8 image (+ star overlay/post
     identical to engine.render.render_scene).
 
@@ -1301,6 +1301,12 @@ def render_scene_pallas(scene: Scene, mesh=None):
                              saturation)
     else:
         img = run_post(sp, exposure, gamma, saturation)
+    if device_out:
+        # Skip the host download: the caller keeps the uint8 frame on
+        # device (device-side timing, further on-device post, ...). Over
+        # the dev tunnel a frame download costs seconds at 4K+ — pure
+        # link cost a production-attached host does not pay.
+        return img
     return np.asarray(img)
 
 

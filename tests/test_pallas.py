@@ -84,6 +84,26 @@ def test_pallas_render_matches_xla(fixtures_dir):
     assert (d.max(-1) > 0).mean() < 0.05
 
 
+def test_pallas_device_out(fixtures_dir):
+    """device_out=True returns the same frame as the numpy path, but as a
+    device array (no host download inside the render)."""
+    import jax
+
+    from gamer_tpu.engine.pallas_render import render_scene_pallas
+
+    g = gax.load(fixtures_dir / "VortexCloud.gax")
+    scene = gamer_tpu.Scene(
+        camera=gamer_tpu.CameraParams(camera=(0.5, 0, 0), target=(0, 0, 0),
+                                      up=(0, 1, 0), fov=90.0),
+        instances=[gamer_tpu.GalaxyInstance(galaxy=g)],
+        config=gamer_tpu.RenderConfig(size=16, ray_step=0.025),
+    )
+    dev = render_scene_pallas(scene, device_out=True)
+    assert isinstance(dev, jax.Array)
+    host = render_scene_pallas(scene)
+    np.testing.assert_array_equal(np.asarray(dev), host)
+
+
 def test_pallas_multi_instance(fixtures_dir):
     """Multi-galaxy scene through the kernel matches the XLA path."""
     from gamer_tpu.engine.pallas_render import render_scene_pallas
