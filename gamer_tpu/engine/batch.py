@@ -106,6 +106,10 @@ def render_batch(scenes: Sequence[Scene], mesh: Optional[Mesh] = None) -> np.nda
         # slabs over 'rows' (ICI) — parallel.pixel_tile_mesh_2d
         from .pallas_render import _compiled_batch_rowshard
 
+        if set(mesh.axis_names) != {"batch", "rows"}:
+            raise ValueError(
+                f"2-D batch mesh must have axes ('batch', 'rows'), got "
+                f"{mesh.axis_names} — use parallel.pixel_tile_mesh_2d")
         n_b = mesh.shape["batch"]
         if B % n_b != 0:
             raise ValueError(
@@ -137,7 +141,7 @@ def render_batch(scenes: Sequence[Scene], mesh: Optional[Mesh] = None) -> np.nda
     # config across frames) uploads one ~24-bytes-per-star array, not B
     # frame-sized overlays.
     if any(s.config.no_stars > 0 for s in scenes):
-        from ..post.stars import star_params
+        from ..post.stars import pad_star_rows, star_params
 
         field_jit = _star_field_jit()
         fields = {}
@@ -147,7 +151,10 @@ def render_batch(scenes: Sequence[Scene], mesh: Optional[Mesh] = None) -> np.nda
                    s.config.star_seed)
             if key not in fields:
                 fields[key] = (
-                    field_jit(jnp.asarray(star_params(size, *key)), size)
+                    # bucket-padded: one compile per shape bucket, not per
+                    # exact star count (w=0 pad rows splat nothing)
+                    field_jit(jnp.asarray(pad_star_rows(
+                        star_params(size, *key))), size)
                     if key[0] > 0 else jnp.zeros((size, size, 3), jnp.float32)
                 )
         overlays = jnp.stack([

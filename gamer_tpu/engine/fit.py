@@ -210,6 +210,26 @@ def _march_fn(march: str):
     raise ValueError(f"unknown march backend {march!r}; use 'scan' or 'tensor'")
 
 
+# fields whose gradients flow through the spiral winding angle — the one
+# leaf family where the tensor march's reassociated gradients legitimately
+# diverge from the sequential linearization (chaotic sensitivity; see
+# engine/tensor_march docstring / tests/test_tensor_march.py)
+_WINDING_FIELDS = frozenset({"winding", "winding_b", "winding_n"})
+
+
+def _check_march_fields(march: str, fit_fields) -> None:
+    bad = _WINDING_FIELDS & set(fit_fields)
+    if march == "tensor" and bad:
+        import warnings
+
+        warnings.warn(
+            f"fitting winding-family fields {sorted(bad)} with the tensor "
+            "march: their reassociated gradients diverge from the true "
+            "linearization (chaotic winding sensitivity) — pass "
+            "march='scan' for trustworthy winding gradients.",
+            RuntimeWarning, stacklevel=3)
+
+
 def fit_scene(
     scene: Scene,
     target_image,
@@ -269,6 +289,7 @@ def fit_scene(
             )
     f = jnp.float32
 
+    _check_march_fields(march, fit_fields)
     march_fn = _march_fn(march)
 
     def loss_fn(p):

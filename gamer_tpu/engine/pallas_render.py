@@ -765,6 +765,82 @@ def _set_row0(lay: _Layout, sp, row0_f):
     return sp.at[..., off // 128, off % 128].set(row0_f)
 
 
+def _perm_rows_const(tr: int):
+    """The byte-packed permutation table broadcast to a (tr, 128) VMEM
+    block (one lane-gather + byte-extract per lookup in the kernel)."""
+    return jnp.asarray(np.broadcast_to(PERM_PACKED32, (tr, 128)).copy())
+
+
+def _tile_call(kernel, lay: _Layout, tr: int, cols: int, grid, out_rows: int,
+               batched_n=None, extra_in_specs=()):
+    """The pallas_call plumbing shared by every kernel builder: SMEM scalar
+    page + broadcast perm-table rows in, three f32 planes out, the 11+1
+    VMEM scratch set. Builders differ only in grid shape, output
+    partitioning (per-frame batching) and the ray-list variant's extra
+    direction inputs — a Mosaic-constraint change (scratch count, SMEM
+    block shape, ...) lands HERE exactly once."""
+    vmem = lambda: pltpu.VMEM((tr, TILE_C), jnp.float32)
+    interpret = jax.default_backend() != "tpu"
+    if batched_n is None:
+        out_shape = [jax.ShapeDtypeStruct((out_rows, cols), jnp.float32)] * 3
+        smem_spec = pl.BlockSpec((1, lay.smem_rows, 128),
+                                 lambda i, j: (0, 0, 0),
+                                 memory_space=pltpu.SMEM)
+        perm_spec = pl.BlockSpec((tr, 128), lambda i, j: (0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_specs = [pl.BlockSpec((tr, TILE_C), lambda i, j: (i, j),
+                                  memory_space=pltpu.VMEM)] * 3
+    else:
+        out_shape = [jax.ShapeDtypeStruct((batched_n, out_rows, cols),
+                                          jnp.float32)] * 3
+        smem_spec = pl.BlockSpec((1, lay.smem_rows, 128),
+                                 lambda b, i, j: (b, 0, 0),
+                                 memory_space=pltpu.SMEM)
+        perm_spec = pl.BlockSpec((tr, 128), lambda b, i, j: (0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_specs = [pl.BlockSpec((1, tr, TILE_C), lambda b, i, j: (b, i, j),
+                                  memory_space=pltpu.VMEM)] * 3
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        out_shape=out_shape,
+        in_specs=[smem_spec, perm_spec, *extra_in_specs],
+        out_specs=out_specs,
+        scratch_shapes=[vmem() for _ in range(11)]
+        + [pltpu.VMEM((tr, TILE_C), jnp.int32)],
+    )
+
+
+def _fused_runs(pooled_linear, out_size: int):
+    """(run, run_post, run_post_stars) over a frame-producing
+    ``pooled_linear(sp)``.
+
+    run_post fuses the render + post chain into ONE dispatch (each dispatch
+    pays a tunnel round trip); run_post_stars additionally evaluates the
+    star overlay ON DEVICE from the (K, 6) star-parameter rows inside the
+    SAME dispatch — a starred frame ships ~24 bytes per star up and one
+    uint8 image down, instead of splitting into two dispatches around a
+    frame-sized host overlay upload."""
+    run = jax.jit(pooled_linear)
+
+    @jax.jit
+    def run_post(sp, exposure, gamma, saturation):
+        from .render import post_process
+
+        return post_process(pooled_linear(sp), exposure, gamma, saturation)
+
+    @jax.jit
+    def run_post_stars(sp, star_p, exposure, gamma, saturation):
+        from ..post.stars import star_field_device
+        from .render import post_process
+
+        lin = pooled_linear(sp) + star_field_device(star_p, out_size)
+        return post_process(lin, exposure, gamma, saturation)
+
+    return run, run_post, run_post_stars
+
+
 @functools.lru_cache(maxsize=32)
 def _compiled(static: SceneStatic, size: int, pool: int = 1):
     """Compiled kernel for a (structure, render size) pair.
@@ -779,34 +855,9 @@ def _compiled(static: SceneStatic, size: int, pool: int = 1):
     rows = -(-size // tr) * tr
     cols = -(-size // TILE_C) * TILE_C
     kernel = _make_kernel(static, lay, size, rows, cols, tr=tr)
-
-    grid = (rows // tr, cols // TILE_C)
-    vmem = lambda: pltpu.VMEM((tr, TILE_C), jnp.float32)
-
-    # interpret mode on non-TPU backends (tests run on the CPU mesh)
-    interpret = jax.default_backend() != "tpu"
-
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        interpret=interpret,
-        out_shape=[jax.ShapeDtypeStruct((rows, cols), jnp.float32)] * 3,
-        in_specs=[
-            pl.BlockSpec((1, lay.smem_rows, 128), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((tr, 128), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((tr, TILE_C), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM)
-        ] * 3,
-        scratch_shapes=[vmem() for _ in range(11)]
-        + [pltpu.VMEM((tr, TILE_C), jnp.int32)],
-    )
-
-    perm_rows = jnp.asarray(
-        np.broadcast_to(PERM_PACKED32, (tr, 128)).copy())
+    call = _tile_call(kernel, lay, tr, cols, (rows // tr, cols // TILE_C),
+                      rows)
+    perm_rows = _perm_rows_const(tr)
 
     def _pooled_linear(sp):
         r, g, b = call(sp, perm_rows)
@@ -817,29 +868,7 @@ def _compiled(static: SceneStatic, size: int, pool: int = 1):
             lin = lin.reshape(o, pool, o, pool, 3).mean(axis=(1, 3))
         return lin
 
-    run = jax.jit(_pooled_linear)
-
-    # render + post chain fused into ONE dispatch (the fast path of
-    # render_scene_pallas; each dispatch pays a tunnel round trip)
-    @jax.jit
-    def run_post(sp, exposure, gamma, saturation):
-        from .render import post_process
-
-        return post_process(_pooled_linear(sp), exposure, gamma, saturation)
-
-    # starred variant: the overlay is evaluated ON DEVICE from the (K, 6)
-    # star-parameter rows inside the SAME dispatch — a starred frame ships
-    # ~24 bytes per star up and one uint8 image down, instead of splitting
-    # into two dispatches around a frame-sized host overlay upload
-    @jax.jit
-    def run_post_stars(sp, star_p, exposure, gamma, saturation):
-        from ..post.stars import star_field_device
-        from .render import post_process
-
-        lin = _pooled_linear(sp) + star_field_device(star_p, size // pool)
-        return post_process(lin, exposure, gamma, saturation)
-
-    return lay, run, run_post, run_post_stars
+    return (lay, *_fused_runs(_pooled_linear, size // pool))
 
 
 @functools.lru_cache(maxsize=32)
@@ -882,31 +911,9 @@ def _compiled_rowshard(static: SceneStatic, size: int, mesh, pool: int = 1):
     rows = rows_local * n_dev
     cols = -(-size // TILE_C) * TILE_C
     kernel = _make_kernel(static, lay, size, rows, cols, tr=tr)
-
-    grid = (rows_local // tr, cols // TILE_C)
-    vmem = lambda: pltpu.VMEM((tr, TILE_C), jnp.float32)
-    interpret = jax.default_backend() != "tpu"
-
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        interpret=interpret,
-        out_shape=[jax.ShapeDtypeStruct((rows_local, cols), jnp.float32)] * 3,
-        in_specs=[
-            pl.BlockSpec((1, lay.smem_rows, 128), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((tr, 128), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((tr, TILE_C), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM)
-        ] * 3,
-        scratch_shapes=[vmem() for _ in range(11)]
-        + [pltpu.VMEM((tr, TILE_C), jnp.int32)],
-    )
-
-    perm_rows = jnp.asarray(np.broadcast_to(PERM_PACKED32, (tr, 128)).copy())
+    call = _tile_call(kernel, lay, tr, cols,
+                      (rows_local // tr, cols // TILE_C), rows_local)
+    perm_rows = _perm_rows_const(tr)
 
     def _local(sp):
         row0 = (jax.lax.axis_index(axis) * rows_local).astype(jnp.float32)
@@ -927,23 +934,7 @@ def _compiled_rowshard(static: SceneStatic, size: int, mesh, pool: int = 1):
             lin = lin.reshape(o, pool, o, pool, 3).mean(axis=(1, 3))
         return lin
 
-    run = jax.jit(_pooled_linear)
-
-    @jax.jit
-    def run_post(sp, exposure, gamma, saturation):
-        from .render import post_process
-
-        return post_process(_pooled_linear(sp), exposure, gamma, saturation)
-
-    @jax.jit
-    def run_post_stars(sp, star_p, exposure, gamma, saturation):
-        from ..post.stars import star_field_device
-        from .render import post_process
-
-        lin = _pooled_linear(sp) + star_field_device(star_p, size // pool)
-        return post_process(lin, exposure, gamma, saturation)
-
-    return lay, run, run_post, run_post_stars
+    return (lay, *_fused_runs(_pooled_linear, size // pool))
 
 
 @functools.lru_cache(maxsize=32)
@@ -970,32 +961,10 @@ def _compiled_batch_rowshard(static: SceneStatic, size: int,
     rows = rows_local * n_rows_dev
     cols = -(-size // TILE_C) * TILE_C
     kernel = _make_kernel(static, lay, size, rows, cols, tr=tr, batched=True)
-
-    grid = (nbatch_local, rows_local // tr, cols // TILE_C)
-    vmem = lambda: pltpu.VMEM((tr, TILE_C), jnp.float32)
-    interpret = jax.default_backend() != "tpu"
-
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        interpret=interpret,
-        out_shape=[jax.ShapeDtypeStruct((nbatch_local, rows_local, cols),
-                                        jnp.float32)] * 3,
-        in_specs=[
-            pl.BlockSpec((1, lay.smem_rows, 128), lambda b, i, j: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((tr, 128), lambda b, i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, tr, TILE_C), lambda b, i, j: (b, i, j),
-                         memory_space=pltpu.VMEM)
-        ] * 3,
-        scratch_shapes=[vmem() for _ in range(11)]
-        + [pltpu.VMEM((tr, TILE_C), jnp.int32)],
-    )
-
-    perm_rows = jnp.asarray(np.broadcast_to(PERM_PACKED32, (tr, 128)).copy())
+    call = _tile_call(kernel, lay, tr, cols,
+                      (nbatch_local, rows_local // tr, cols // TILE_C),
+                      rows_local, batched_n=nbatch_local)
+    perm_rows = _perm_rows_const(tr)
 
     def _local(sp_rows):
         row0 = (jax.lax.axis_index("rows") * rows_local).astype(jnp.float32)
@@ -1041,31 +1010,9 @@ def _compiled_band(static: SceneStatic, size: int, band_rows: int,
             f"{tr} and the pool factor {pool}")
     cols = -(-size // TILE_C) * TILE_C
     kernel = _make_kernel(static, lay, size, band_rows, cols, tr=tr)
-
-    grid = (band_rows // tr, cols // TILE_C)
-    vmem = lambda: pltpu.VMEM((tr, TILE_C), jnp.float32)
-    interpret = jax.default_backend() != "tpu"
-
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        interpret=interpret,
-        out_shape=[jax.ShapeDtypeStruct((band_rows, cols), jnp.float32)] * 3,
-        in_specs=[
-            pl.BlockSpec((1, lay.smem_rows, 128), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((tr, 128), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((tr, TILE_C), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM)
-        ] * 3,
-        scratch_shapes=[vmem() for _ in range(11)]
-        + [pltpu.VMEM((tr, TILE_C), jnp.int32)],
-    )
-
-    perm_rows = jnp.asarray(np.broadcast_to(PERM_PACKED32, (tr, 128)).copy())
+    call = _tile_call(kernel, lay, tr, cols,
+                      (band_rows // tr, cols // TILE_C), band_rows)
+    perm_rows = _perm_rows_const(tr)
 
     def _band_linear(sp, row0):
         r, g, b = call(_set_row0(lay, sp, row0), perm_rows)
@@ -1105,32 +1052,10 @@ def _compiled_batch(static: SceneStatic, size: int, nbatch: int,
     rows = -(-size // tr) * tr
     cols = -(-size // TILE_C) * TILE_C
     kernel = _make_kernel(static, lay, size, rows, cols, tr=tr, batched=True)
-
-    grid = (nbatch, rows // tr, cols // TILE_C)
-    vmem = lambda: pltpu.VMEM((tr, TILE_C), jnp.float32)
-    interpret = jax.default_backend() != "tpu"
-
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        interpret=interpret,
-        out_shape=[jax.ShapeDtypeStruct((nbatch, rows, cols), jnp.float32)] * 3,
-        in_specs=[
-            pl.BlockSpec((1, lay.smem_rows, 128), lambda b, i, j: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((tr, 128), lambda b, i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, tr, TILE_C), lambda b, i, j: (b, i, j),
-                         memory_space=pltpu.VMEM)
-        ] * 3,
-        scratch_shapes=[vmem() for _ in range(11)]
-        + [pltpu.VMEM((tr, TILE_C), jnp.int32)],
-    )
-
-    perm_rows = jnp.asarray(
-        np.broadcast_to(PERM_PACKED32, (tr, 128)).copy())
+    call = _tile_call(kernel, lay, tr, cols,
+                      (nbatch, rows // tr, cols // TILE_C), rows,
+                      batched_n=nbatch)
+    perm_rows = _perm_rows_const(tr)
 
     @jax.jit
     def run(sp_rows):
@@ -1156,31 +1081,11 @@ def _compiled_dirs(static: SceneStatic, n_rays: int):
     cols = TILE_C
     kernel = _make_kernel(static, lay, 0, rows, cols, rays_input=True)
 
-    grid = (rows // TILE_R, 1)
-    vmem = lambda: pltpu.VMEM((TILE_R, TILE_C), jnp.float32)
-    interpret = jax.default_backend() != "tpu"
-
     dir_spec = pl.BlockSpec((TILE_R, TILE_C), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        interpret=interpret,
-        out_shape=[jax.ShapeDtypeStruct((rows, cols), jnp.float32)] * 3,
-        in_specs=[
-            pl.BlockSpec((1, lay.smem_rows, 128), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILE_R, 128), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            dir_spec, dir_spec, dir_spec,
-        ],
-        out_specs=[dir_spec] * 3,
-        scratch_shapes=[vmem() for _ in range(11)]
-        + [pltpu.VMEM((TILE_R, TILE_C), jnp.int32)],
-    )
-
-    perm_rows = jnp.asarray(
-        np.broadcast_to(PERM_PACKED32, (TILE_R, 128)).copy())
+    call = _tile_call(kernel, lay, TILE_R, cols, (rows // TILE_R, 1), rows,
+                      extra_in_specs=(dir_spec, dir_spec, dir_spec))
+    perm_rows = _perm_rows_const(TILE_R)
 
     @jax.jit
     def run(sp, dx, dy, dz):
@@ -1226,7 +1131,9 @@ def _check_march_cap(scene: Scene) -> None:
     max_axis = max(
         (max(gi.galaxy.params.axis) for gi in scene.instances), default=1.0)
     bound = conservative_step_bound(cfg.ray_step, cfg.min_ray_step, max_axis)
-    if bound * len(scene.instances) > MAX_ITERS:
+    # each instance marches in its OWN while_loop (it restarts at 0 per
+    # _march_instance call), so the cap applies per instance, not summed
+    if bound > MAX_ITERS:
         import warnings
 
         from ..utils.log import Messages
@@ -1265,13 +1172,6 @@ def render_linear_pallas(scene: Scene, mesh=None):
     return run(sp)
 
 
-@functools.lru_cache(maxsize=1)
-def _post_jit():
-    from .render import post_process
-
-    return jax.jit(post_process)
-
-
 def render_scene_pallas(scene: Scene, mesh=None, device_out: bool = False):
     """Full frame via the Pallas kernel -> uint8 image (+ star overlay/post
     identical to engine.render.render_scene).
@@ -1292,11 +1192,14 @@ def render_scene_pallas(scene: Scene, mesh=None, device_out: bool = False):
     gamma = np.float32(cfg.gamma)
     saturation = np.float32(cfg.saturation)
     if cfg.no_stars > 0:
-        from ..post.stars import star_params
+        from ..post.stars import pad_star_rows, star_params
 
-        star_p = star_params(cfg.size, cfg.no_stars, cfg.star_size,
-                             cfg.star_size_spread, cfg.star_strength,
-                             cfg.star_seed)
+        # bucket-padded so star count/seed edits reuse the compiled
+        # executable (w=0 pad rows splat nothing)
+        star_p = pad_star_rows(
+            star_params(cfg.size, cfg.no_stars, cfg.star_size,
+                        cfg.star_size_spread, cfg.star_strength,
+                        cfg.star_seed))
         img = run_post_stars(sp, jnp.asarray(star_p), exposure, gamma,
                              saturation)
     else:

@@ -144,7 +144,12 @@ def inv_view_projection_host_batch(cameras, targets, ups, fov_degs,
     B = cameras.shape[0]
     keys = [_pose_key(cameras[i], targets[i], ups[i], fov_degs[i], dtype)
             for i in range(B)]
-    missing = sorted({k for k in keys if k not in _POSE_CACHE})
+    # snapshot this batch's values locally: a fill larger than the cache
+    # budget may evict keys of THIS batch (including pre-existing hits)
+    # while inserting later ones, so the final stack must not re-read the
+    # shared cache
+    local = {k: _POSE_CACHE[k] for k in keys if k in _POSE_CACHE}
+    missing = sorted(set(keys) - local.keys())
     if missing and (len(missing) == 1 or jax.default_backend() != "tpu"):
         # Scalar path per pose when it is cheap (single miss, or an
         # untunneled CPU/GPU backend where a dispatch costs microseconds):
@@ -154,7 +159,8 @@ def inv_view_projection_host_batch(cameras, targets, ups, fov_degs,
         # On TPU vmapped == scalar and each dispatch pays a tunnel round
         # trip, so the one-dispatch batched fill below is the right call.
         for k in missing:
-            inv_view_projection_host(k[0], k[1], k[2], k[3], dtype)
+            local[k] = inv_view_projection_host(k[0], k[1], k[2], k[3],
+                                                dtype)
     elif missing:
         mc = np.asarray([k[0] for k in missing], dtype)
         mt = np.asarray([k[1] for k in missing], dtype)
@@ -163,7 +169,8 @@ def inv_view_projection_host_batch(cameras, targets, ups, fov_degs,
         out = np.asarray(_inv_vp_batch_jitted()(mc, mt, mu, mf))
         for k, m in zip(missing, out):
             _pose_cache_put(k, m)
-    return np.stack([_POSE_CACHE[k] for k in keys])
+            local[k] = m
+    return np.stack([local[k] for k in keys])
 
 
 def coord2ray(i, j, width, inv_vp):

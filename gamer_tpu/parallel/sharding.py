@@ -86,6 +86,12 @@ def render_scene_sharded(scene: Scene, mesh: Optional[Mesh] = None,
     mesh = mesh if mesh is not None else make_pixel_mesh()
     cfg = scene.config
     if method == "pallas":
+        if dtype != jnp.float32:
+            # the tile kernel is f32-only; silently dropping a requested
+            # x64 would return numerically different output
+            raise ValueError(
+                f"method='pallas' renders in float32 only (got {dtype}); "
+                "use method='xla' for the dtype-parametric conformance path")
         from ..engine.pallas_render import render_scene_pallas
 
         return render_scene_pallas(scene, mesh=mesh)

@@ -45,6 +45,24 @@ def star_params(size: int, no_stars: int, star_size: float,
     return np.asarray(rows, np.float32).reshape(-1, 6)
 
 
+def pad_star_rows(rows: np.ndarray) -> np.ndarray:
+    """Pad (K, 6) star rows to the next power-of-two bucket (>= 64) with
+    zero rows — a w = 0 row splats an empty window, so padding is a no-op
+    numerically. Callers that jit the device splatter pass padded rows so
+    the compiled executable sees a handful of stable shapes instead of one
+    per exact star count: star seed/count edits are NUMERIC parameter
+    changes and must not recompile (the scene_prep invariant)."""
+    K = rows.shape[0]
+    if K == 0:
+        return rows
+    bucket = 64
+    while bucket < K:
+        bucket *= 2
+    if bucket > K:
+        rows = np.concatenate([rows, np.zeros((bucket - K, 6), np.float32)])
+    return rows
+
+
 def render_star_field(size: int, no_stars: int, star_size: float,
                       star_size_spread: float, strength: float,
                       seed: int = 0) -> np.ndarray:

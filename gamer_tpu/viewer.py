@@ -123,7 +123,12 @@ class _ViewerState:
             self.galaxies.setdefault(name, builder)
 
     def _galaxy(self, name: str):
-        """The named galaxy with this session's live edits applied."""
+        """The named galaxy with this session's live edits applied. An
+        EMPTY name means "the default" (first gallery entry); an unknown
+        non-empty name is an error — silently serving some other galaxy's
+        data under a typo'd name would corrupt the client's edit state."""
+        if name and name not in self.galaxies:
+            raise ValueError(f"unknown galaxy {name!r}")
         builder = self.galaxies.get(name) or next(iter(self.galaxies.values()))
         g = builder()
         for comp, field, value in self.edits.get(name, []):

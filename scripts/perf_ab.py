@@ -82,7 +82,7 @@ def main() -> None:
             m, a = resolve(k)
             setattr(m, a, v)
         pr._compiled.cache_clear()
-        lay, run, _ = pr._compiled(static, size, 1)
+        lay, run, *_ = pr._compiled(static, size, 1)
         sp = pr._pack_scalars(static, lay, params, camera, inv_vp,
                               np.float32(cfg.ray_step),
                               np.float32(cfg.min_ray_step))

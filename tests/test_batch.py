@@ -101,6 +101,18 @@ def test_batch_rejects_mixed_structure(vortex_scene, fixtures_dir):
         render_batch([vortex_scene, other])
 
 
+def test_batch_2d_mesh_rejects_wrong_axis_names(vortex_scene):
+    """A 2-axis mesh with axes other than ('batch', 'rows') gets the
+    descriptive ValueError, not a bare KeyError."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices()[:2]).reshape(1, 2)
+    with pytest.raises(ValueError, match="batch.*rows"):
+        render_batch([vortex_scene, vortex_scene],
+                     mesh=Mesh(devs, ("x", "y")))
+
+
 def test_generate_scene_mode(fixtures_dir):
     g = gax.load(fixtures_dir / "VortexCloud.gax")
     scene = generate_scene([g], n=5, box_size=3.0, seed=11)

@@ -212,6 +212,24 @@ def test_fit_rejects_supersample():
         gfit.fit_pose(scene, tgt, ("camera",), steps=1)
 
 
+def test_fit_warns_winding_fields_on_tensor_march():
+    """Winding-family gradients legitimately diverge under the tensor
+    march's reassociation (chaotic sensitivity) — fitting them with the
+    default backend must warn and steer to march='scan'."""
+    scene = _scene(default_galaxy(), 16)
+    tgt = np.zeros((16, 16, 3), np.uint8)
+    with pytest.warns(RuntimeWarning, match="march='scan'"):
+        gfit.fit_scene(scene, tgt, fit_fields=("winding_b",), steps=1)
+    # scan backend: no winding warning
+    import warnings
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        gfit.fit_scene(scene, tgt, fit_fields=("winding_b",), steps=1,
+                       march="scan")
+    assert not [w for w in rec if "winding" in str(w.message)]
+
+
 @pytest.mark.slow
 def test_pose_multiscale_ladder(fixtures_dir):
     """fit_pose_multiscale: one call runs the LOD->exact ladder and beats

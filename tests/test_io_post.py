@@ -95,3 +95,24 @@ def test_star_field_device_matches_host():
     np.testing.assert_allclose(dev, host, rtol=0, atol=1e-6)
     # empty field stays empty (and w<2 stars are dropped like the reference)
     assert np.asarray(star_field_device(star_params(64, 0, 1, 1, 1), 64)).sum() == 0
+
+
+def test_pad_star_rows_bucketed_noop():
+    """pad_star_rows pads to power-of-two buckets with numerically inert
+    rows, so star count/seed edits reuse the compiled splatter (parameter
+    changes must never recompile)."""
+    import numpy as np
+
+    from gamer_tpu.post.stars import (pad_star_rows, star_field_device,
+                                      star_params)
+
+    p = star_params(64, 50, 10.0, 2.0, 1.5, seed=7)
+    padded = pad_star_rows(p)
+    assert padded.shape[0] in (64, 128, 256) and padded.shape[0] >= p.shape[0]
+    np.testing.assert_array_equal(
+        np.asarray(star_field_device(padded, 64)),
+        np.asarray(star_field_device(p, 64)))
+    # nearby star counts land in the SAME bucket -> same jit shape
+    p2 = star_params(64, 45, 10.0, 2.0, 1.5, seed=9)
+    assert pad_star_rows(p2).shape[0] == padded.shape[0]
+    assert pad_star_rows(np.zeros((0, 6), np.float32)).shape[0] == 0

@@ -104,6 +104,11 @@ def test_viewer_live_edit_endpoints():
         with pytest.raises(urllib.error.HTTPError):
             urllib.request.urlopen(
                 base + f"/set?galaxy={g}&comp=0&field=nope&value=1").read()
+        # unknown galaxy name -> 400, never another galaxy's data
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(base + "/params?galaxy=NoSuchGalaxy").read()
+        # empty name still serves the default
+        assert json.loads(urllib.request.urlopen(base + "/params").read())
         # reset restores the original frame
         urllib.request.urlopen(base + f"/reset?galaxy={g}").read()
         reset_img = np.asarray(Image.open(io.BytesIO(urllib.request.urlopen(

@@ -330,3 +330,21 @@ def test_march_cap_warning(fixtures_dir):
         big, config=dataclasses.replace(big.config, ray_step=0.001))
     with pytest.warns(RuntimeWarning, match="MAX_ITERS"):
         _check_march_cap(big)
+
+    # the cap is PER INSTANCE (each _march_instance restarts its while_loop
+    # at 0): a scene whose per-instance bound fits must stay silent no
+    # matter how many instances it has
+    import copy
+
+    g2 = copy.deepcopy(g)
+    for gal in (g, g2):
+        gal.params.axis = (400.0, 400.0, 400.0)  # bound ~97k < 131072
+    multi = gamer_tpu.Scene(
+        camera=ok.camera,
+        instances=[gamer_tpu.GalaxyInstance(galaxy=g),
+                   gamer_tpu.GalaxyInstance(galaxy=g2)],
+        config=dataclasses.replace(ok.config, ray_step=0.001),
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        _check_march_cap(multi)

@@ -46,6 +46,17 @@ def test_sharded_xla_size_must_tile():
         render_scene_sharded(scene, make_pixel_mesh(), method="xla")
 
 
+def test_sharded_pallas_rejects_non_f32_dtype():
+    """method='pallas' is f32-only; a requested x64 must error, not be
+    silently dropped (the XLA method keeps dtype parametricity)."""
+    import jax.numpy as jnp
+
+    scene = gamer_tpu.Scene(config=gamer_tpu.RenderConfig(size=16,
+                                                          ray_step=0.025))
+    with pytest.raises(ValueError, match="float32"):
+        render_scene_sharded(scene, make_pixel_mesh(), dtype=jnp.float64)
+
+
 def test_rowshard_pallas_bitexact_vs_banded(fixtures_dir):
     """The production multi-chip path: one Pallas frame row-sharded over the
     8-device mesh must equal a single-device render decomposed into the SAME
