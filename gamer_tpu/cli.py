@@ -56,7 +56,7 @@ Commands:
    dataset <gax> <n> <seed> <size> <chunk> <out dir>
    fit <camera x y z> <target x y z> <up x y z> <fov> <exposure> <gamma>
        <saturation> <ray step> <gax file> <target image> <out gax>
-       [steps=100] [lr=0.02] [fields=strength,r0,z0]
+       [steps=100] [lr=0.02] [fields=strength,r0,z0] [multiscale]
    fitpose <camera x y z> <target x y z> <up x y z> <fov> <exposure> <gamma>
        <saturation> <ray step> <gax file> <target image> <out scene.json>
        [steps=80] [lr=0.01] [noise LOD=3 | multiscale]
@@ -432,6 +432,9 @@ def cmd_fit(argv) -> int:
     matches a look by hand in the Qt editor; here every editor knob is a
     differentiable degree of freedom.
     """
+    multiscale = bool(argv) and argv[-1].lower() == "multiscale"
+    if multiscale:
+        argv = argv[:-1]
     if not 18 <= len(argv) <= 21:
         print(f"{len(argv)}\nIncorrect usage/parameters for fit. Usage:")
         print(USAGE)
@@ -466,15 +469,29 @@ def cmd_fit(argv) -> int:
                             exposure=vals[10], gamma=vals[11],
                             saturation=vals[12]),
     )
+    mode = " [multiscale LOD ladder]" if multiscale else ""
     print(f"Fitting {','.join(fields)} of {gax_file} to {target_file} "
-          f"({steps} steps, lr {lr}) ...")
+          f"({steps} steps, lr {lr}){mode} ...")
     t0 = time.perf_counter()
 
-    def on_step(i, loss):
-        print(f"\r[ step {i + 1}/{steps} ]  loss {loss:.6f} ", end="", flush=True)
+    if multiscale:
+        from .engine.fit import DEFAULT_SCENE_SCHEDULE, fit_scene_multiscale
 
-    result = fit_scene(scene, target, fields, steps=steps, lr=lr,
-                       on_step=on_step)
+        total = steps * len(DEFAULT_SCENE_SCHEDULE)
+
+        def on_step(i, loss):
+            print(f"\r[ step {i + 1}/{total} ]  loss {loss:.6f} ",
+                  end="", flush=True)
+
+        result = fit_scene_multiscale(scene, target, fields, steps=steps,
+                                      lr=lr, on_step=on_step)
+    else:
+        def on_step(i, loss):
+            print(f"\r[ step {i + 1}/{steps} ]  loss {loss:.6f} ",
+                  end="", flush=True)
+
+        result = fit_scene(scene, target, fields, steps=steps, lr=lr,
+                           on_step=on_step)
     print(f"\nloss {result.losses[0]:.6f} -> {result.losses[-1]:.6f} in "
           f"{format_ms((time.perf_counter() - t0) * 1000.0)}")
     gax.save(result.scene.instances[0].galaxy, out_file)

@@ -520,6 +520,69 @@ def fit_pose_multiscale(
                      losses=all_losses, fit_fields=tuple(fit_fields))
 
 
+# LOD rungs for fit_scene_multiscale: most steps at the cheap LOD-4 rung
+# (~6x faster per step at 128², see PARITY.md), then the exact rung (0 =
+# noise_octaves None) removes the LOD bias from the fitted values.
+DEFAULT_SCENE_SCHEDULE: Tuple[int, ...] = (4, 0)
+
+
+def fit_scene_multiscale(
+    scene: Scene,
+    target_image,
+    fit_fields: Sequence[str] = DEFAULT_FIT_FIELDS,
+    *,
+    steps: int = 60,
+    lr: float = 2e-2,
+    schedule: Sequence[int] = DEFAULT_SCENE_SCHEDULE,
+    max_steps: Optional[int] = None,
+    optimizer=None,
+    on_step: Optional[Callable[[int, float], None]] = None,
+    march: str = "tensor",
+) -> FitResult:
+    """The LOD -> exact ladder for PARAMETER fitting as one call.
+
+    Unlike pose fitting (which NEEDS a noise LOD — see fit_pose), parameter
+    fits converge at full quality; the ladder is a speed optimization:
+    brightness/extent fields (strength, r0, ...) are insensitive to fractal
+    grain, so the bulk of the descent runs at the ~6x-cheaper LOD-4 forward
+    model and only the final rung pays exact-octave steps. ``steps``
+    applies per rung; ``schedule`` entries are noise-octave caps with 0
+    meaning the exact rung. The returned scene keeps the caller's
+    noise_octaves. CLI: ``fit ... multiscale``.
+    """
+    import dataclasses
+
+    if not schedule:
+        raise ValueError("schedule must have at least one LOD rung")
+    current = scene
+    all_losses: List[float] = []
+    result: Optional[FitResult] = None
+    base = 0
+    for lod in schedule:
+        rung_scene = dataclasses.replace(
+            current,
+            config=dataclasses.replace(
+                current.config,
+                noise_octaves=int(lod) if int(lod) >= 1 else None))
+        rung_cb = None
+        if on_step is not None:
+            rung_cb = (lambda i, loss, b=base: on_step(b + i, loss))
+        result = fit_scene(
+            rung_scene, target_image, fit_fields, steps=steps, lr=lr,
+            max_steps=max_steps, optimizer=optimizer, on_step=rung_cb,
+            march=march,
+        )
+        current = result.scene
+        all_losses.extend(result.losses)
+        base += steps
+    final_scene = dataclasses.replace(
+        result.scene,
+        config=dataclasses.replace(result.scene.config,
+                                   noise_octaves=scene.config.noise_octaves))
+    return FitResult(scene=final_scene, params=result.params,
+                     losses=all_losses, fit_fields=tuple(fit_fields))
+
+
 def apply_fit_to_scene(scene: Scene, params, fit_fields: Sequence[str]) -> Scene:
     """Write fitted params back into a deep copy of ``scene``.
 

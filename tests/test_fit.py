@@ -146,6 +146,37 @@ def test_fit_recovers_perturbed_parameters():
         abs(start.components[1].strength - truth.components[1].strength)
 
 
+def test_fit_scene_multiscale_converges():
+    """The parameter-fit LOD ladder: coarse rung + exact rung in one call
+    converges like the direct fit and returns the caller's noise_octaves."""
+    truth = default_galaxy()
+    scene_truth = _scene(truth, 24)
+    static, params, camera, inv_vp, rs, ms = _render_args(scene_truth)
+    bound = gdiff.step_bound_for_scene(scene_truth)
+    target, _ = gdiff.render_frame_diff_jit(
+        static, 24, bound, params, camera, inv_vp, rs, ms,
+        jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0),
+    )
+
+    start = default_galaxy()
+    start.components[0].strength *= 2.0
+    start.components[1].r0 *= 0.7
+    scene_start = _scene(start, 24)
+
+    seen = []
+    result = gfit.fit_scene_multiscale(
+        scene_start, np.asarray(target), fit_fields=("strength", "r0"),
+        steps=15, lr=5e-2, on_step=lambda i, loss: seen.append(i),
+    )
+    # each rung reports steps+1 losses (final-iterate loss included)
+    assert len(result.losses) == 32 and seen == list(range(30))
+    assert result.losses[-1] < 0.3 * result.losses[0]
+    assert result.scene.config.noise_octaves == scene_start.config.noise_octaves
+    with pytest.raises(ValueError, match="rung"):
+        gfit.fit_scene_multiscale(scene_start, np.asarray(target),
+                                  schedule=(), steps=1)
+
+
 def test_fit_mask_rejects_unknown_fields():
     scene = _scene(default_galaxy(), 16)
     with pytest.raises(ValueError, match="unknown fit fields"):
