@@ -241,12 +241,17 @@ def fit_scene(
     optimizer=None,
     on_step: Optional[Callable[[int, float], None]] = None,
     march: str = "tensor",
+    pool: int = 1,
 ) -> FitResult:
     """Fit ``fit_fields`` of ``scene`` so its render matches ``target_image``.
 
     target_image: (size, size, 3) uint8 or float array in [0, 255] — the
     post-processed image space (what the reference saves to PNG). The loss
-    is the mean squared error in [0, 1]-normalized image space.
+    is the mean squared error in [0, 1]-normalized image space; ``pool``
+    box-averages BOTH images by that factor first (used by the multiscale
+    ladder: pooling suppresses the fractal-scale mismatch between an
+    LOD-capped forward model and a full-quality target, which otherwise
+    biases brightness fields).
 
     Returns a FitResult whose ``scene`` is a deep copy with the fitted
     values written back (round-trippable to .gax / scene dict).
@@ -259,7 +264,17 @@ def fit_scene(
         raise ValueError(
             f"target size {size} != scene.config.size {scene.config.size}"
         )
+    if pool < 1 or size % pool != 0:
+        raise ValueError(f"pool {pool} must divide the size {size}")
     _reject_supersample(scene, "fit_scene")
+
+    def _pooled(img):
+        if pool > 1:
+            o = size // pool
+            img = img.reshape(o, pool, o, pool, 3).mean(axis=(1, 3))
+        return img
+
+    target_pooled = _pooled(target)
 
     cfg = scene.config
     static, params0 = flatten_scene(scene)
@@ -300,7 +315,7 @@ def fit_scene(
         img = post_process_float(
             linear, f(cfg.exposure), f(cfg.gamma), f(cfg.saturation)
         ) / 255.0
-        return jnp.mean((img - target) ** 2)
+        return jnp.mean((_pooled(img) - target_pooled) ** 2)
 
     mask = _fit_mask(params, fit_fields)
     # Project the starting point too: a fitted field sitting exactly on a
@@ -520,10 +535,15 @@ def fit_pose_multiscale(
                      losses=all_losses, fit_fields=tuple(fit_fields))
 
 
-# LOD rungs for fit_scene_multiscale: most steps at the cheap LOD-4 rung
-# (~6x faster per step at 128², see PARITY.md), then the exact rung (0 =
-# noise_octaves None) removes the LOD bias from the fitted values.
-DEFAULT_SCENE_SCHEDULE: Tuple[int, ...] = (4, 0)
+# Resolution divisors of the default parameter-fit pyramid: descend mostly
+# on the 16x-cheaper quarter-res forward model, refine at half, finish at
+# full. Resolution rungs (unlike noise-LOD rungs) are UNBIASED for
+# brightness-family fields: a box-downsampled target matches a
+# coarse-pitch ray grid of the same full-octave volume, whereas capping
+# octaves shifts the mean noise density and moves the optimum itself
+# (measured at 128²: an LOD-4 rung drove disk strength 64% past truth and
+# the exact rung could not recover it — that design was rejected).
+DEFAULT_SCENE_SCHEDULE: Tuple[int, ...] = (4, 2, 1)
 
 
 def fit_scene_multiscale(
@@ -531,7 +551,7 @@ def fit_scene_multiscale(
     target_image,
     fit_fields: Sequence[str] = DEFAULT_FIT_FIELDS,
     *,
-    steps: int = 60,
+    steps: int = 40,
     lr: float = 2e-2,
     schedule: Sequence[int] = DEFAULT_SCENE_SCHEDULE,
     max_steps: Optional[int] = None,
@@ -539,36 +559,44 @@ def fit_scene_multiscale(
     on_step: Optional[Callable[[int, float], None]] = None,
     march: str = "tensor",
 ) -> FitResult:
-    """The LOD -> exact ladder for PARAMETER fitting as one call.
+    """Coarse-to-fine resolution pyramid for PARAMETER fitting, one call.
 
-    Unlike pose fitting (which NEEDS a noise LOD — see fit_pose), parameter
-    fits converge at full quality; the ladder is a speed optimization:
-    brightness/extent fields (strength, r0, ...) are insensitive to fractal
-    grain, so the bulk of the descent runs at the ~6x-cheaper LOD-4 forward
-    model and only the final rung pays exact-octave steps. ``steps``
-    applies per rung; ``schedule`` entries are noise-octave caps with 0
-    meaning the exact rung. The returned scene keeps the caller's
-    noise_octaves. CLI: ``fit ... multiscale``.
+    Each ``schedule`` entry is a resolution divisor: the rung renders the
+    scene at size/s against the box-downsampled target, so an s=4 rung
+    costs 1/16 of a full-resolution step while descending the same (up to
+    sampling pitch) objective; the final s=1 rung polishes at full
+    resolution. ``steps`` applies per rung; each rung starts from the
+    previous rung's fitted values. Each rung compiles its own forward
+    model, so very short fits amortize better as one direct fit_scene —
+    the pyramid pays off when step cost x step count dominates the rung
+    compiles. CLI: ``fit ... multiscale``.
     """
     import dataclasses
 
     if not schedule:
-        raise ValueError("schedule must have at least one LOD rung")
+        raise ValueError("schedule must have at least one resolution rung")
+    size = int(scene.config.size)
+    target = np.asarray(target_image, np.float32)
     current = scene
     all_losses: List[float] = []
     result: Optional[FitResult] = None
     base = 0
-    for lod in schedule:
+    for s in schedule:
+        s = int(s)
+        while s > 1 and size % s:
+            s -= 1  # divisor must tile the frame; degrade gracefully
+        rsize = size // s
+        rung_target = (
+            target.reshape(rsize, s, rsize, s, 3).mean(axis=(1, 3))
+            if s > 1 else target)
         rung_scene = dataclasses.replace(
             current,
-            config=dataclasses.replace(
-                current.config,
-                noise_octaves=int(lod) if int(lod) >= 1 else None))
+            config=dataclasses.replace(current.config, size=rsize))
         rung_cb = None
         if on_step is not None:
             rung_cb = (lambda i, loss, b=base: on_step(b + i, loss))
         result = fit_scene(
-            rung_scene, target_image, fit_fields, steps=steps, lr=lr,
+            rung_scene, rung_target, fit_fields, steps=steps, lr=lr,
             max_steps=max_steps, optimizer=optimizer, on_step=rung_cb,
             march=march,
         )
@@ -577,8 +605,7 @@ def fit_scene_multiscale(
         base += steps
     final_scene = dataclasses.replace(
         result.scene,
-        config=dataclasses.replace(result.scene.config,
-                                   noise_octaves=scene.config.noise_octaves))
+        config=dataclasses.replace(result.scene.config, size=size))
     return FitResult(scene=final_scene, params=result.params,
                      losses=all_losses, fit_fields=tuple(fit_fields))
 

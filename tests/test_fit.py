@@ -147,8 +147,9 @@ def test_fit_recovers_perturbed_parameters():
 
 
 def test_fit_scene_multiscale_converges():
-    """The parameter-fit LOD ladder: coarse rung + exact rung in one call
-    converges like the direct fit and returns the caller's noise_octaves."""
+    """The parameter-fit resolution pyramid: a half-res rung + full-res
+    rung in one call converges like the direct fit and restores the
+    caller's frame size."""
     truth = default_galaxy()
     scene_truth = _scene(truth, 24)
     static, params, camera, inv_vp, rs, ms = _render_args(scene_truth)
@@ -166,12 +167,18 @@ def test_fit_scene_multiscale_converges():
     seen = []
     result = gfit.fit_scene_multiscale(
         scene_start, np.asarray(target), fit_fields=("strength", "r0"),
-        steps=15, lr=5e-2, on_step=lambda i, loss: seen.append(i),
+        steps=15, lr=5e-2, schedule=(2, 1),
+        on_step=lambda i, loss: seen.append(i),
     )
     # each rung reports steps+1 losses (final-iterate loss included)
     assert len(result.losses) == 32 and seen == list(range(30))
     assert result.losses[-1] < 0.3 * result.losses[0]
-    assert result.scene.config.noise_octaves == scene_start.config.noise_octaves
+    assert result.scene.config.size == scene_start.config.size
+    # and the full-res rung's fitted values must beat the start on the
+    # FULL-resolution objective (the coarse rung must not have biased them)
+    fitted = result.scene.instances[0].galaxy.components
+    assert abs(fitted[0].strength - truth.components[0].strength) < \
+        abs(start.components[0].strength - truth.components[0].strength)
     with pytest.raises(ValueError, match="rung"):
         gfit.fit_scene_multiscale(scene_start, np.asarray(target),
                                   schedule=(), steps=1)
