@@ -71,7 +71,7 @@ def test_tensor_forward_with_dither(fixtures_dir):
     assert np.linalg.norm(lin_s - lin_t) / np.linalg.norm(lin_s) < 6e-3
 
 
-def test_tensor_gradients_match_scan_on_fit_fields(fixtures_dir):
+def _grad_compare(fixtures_dir):
     """Reverse-mode gradients of the default fit fields (strength, r0, z0)
     and the camera pose agree between the two differentiable paths. The
     winding-driven leaves are excluded: multi-octave noise makes the true
@@ -110,6 +110,40 @@ def test_tensor_gradients_match_scan_on_fit_fields(fixtures_dir):
     assert cos > 0.95, f"camera grad direction: scan {a} tensor {b} cos {cos}"
     ratio = np.linalg.norm(b) / (np.linalg.norm(a) + 1e-12)
     assert 0.7 < ratio < 1.4, f"camera grad magnitude ratio {ratio}"
+
+
+def test_tensor_gradients_match_scan_on_fit_fields(fixtures_dir, tmp_path):
+    """_grad_compare in a FRESH subprocess. Compiling BOTH differentiable
+    marches' backward graphs segfaults XLA:CPU when it happens late in a
+    long pytest process (reproduced twice at suite position ~150 in
+    jax._src.compiler.backend_compile_and_load; passes in any fresh
+    process) — so this heavyweight double-compile is isolated the same way
+    the two-process distributed smoke test is."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    tests_dir = Path(__file__).resolve().parent
+    worker = tmp_path / "grad_worker.py"
+    worker.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {str(tests_dir)!r})\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from pathlib import Path\n"
+        "from test_tensor_march import _grad_compare\n"
+        "_grad_compare(Path(sys.argv[1]))\n"
+        "print('GRADS-OK')\n"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(tests_dir.parent) + (
+        (":" + env["PYTHONPATH"]) if env.get("PYTHONPATH") else "")
+    proc = subprocess.run(
+        [sys.executable, str(worker), str(fixtures_dir)],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert proc.returncode == 0, (proc.stdout, proc.stderr)
+    assert "GRADS-OK" in proc.stdout
 
 
 def test_fit_scene_with_tensor_march(fixtures_dir):
