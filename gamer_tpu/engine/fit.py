@@ -77,6 +77,25 @@ _FIT_BOUNDS = {
 DEFAULT_FIT_FIELDS = ("strength", "r0", "z0")
 
 
+def _pixel_sharding(mesh, ndim: int):
+    """NamedSharding partitioning an array's leading (pixel-row) axis over a
+    1-D mesh — the fit-path analog of parallel/sharding.py's row sharding."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if len(mesh.axis_names) != 1:
+        raise ValueError(f"need a 1-D mesh, got axes {mesh.axis_names}")
+    return NamedSharding(
+        mesh, P(mesh.axis_names[0], *([None] * (ndim - 1))))
+
+
+def _check_mesh_divides(mesh, size: int, pool: int, who: str) -> None:
+    n_dev = mesh.devices.size
+    if (size // pool) % n_dev:
+        raise ValueError(
+            f"{who}: pooled frame rows {size // pool} must divide the mesh "
+            f"({n_dev} devices) so every device owns whole output rows")
+
+
 def _reject_supersample(scene: Scene, who: str) -> None:
     """The differentiable forward model renders 1 ray/pixel; silently
     fitting a supersampled scene (or against an AA target) would bake the
@@ -242,6 +261,7 @@ def fit_scene(
     on_step: Optional[Callable[[int, float], None]] = None,
     march: str = "tensor",
     pool: int = 1,
+    mesh=None,
 ) -> FitResult:
     """Fit ``fit_fields`` of ``scene`` so its render matches ``target_image``.
 
@@ -252,6 +272,14 @@ def fit_scene(
     ladder: pooling suppresses the fractal-scale mismatch between an
     LOD-capped forward model and a full-quality target, which otherwise
     biases brightness fields).
+
+    ``mesh`` (a 1-D jax.sharding.Mesh) runs the whole training step
+    multi-chip: the ray grid and target rows are sharded across the mesh
+    (data parallelism over pixels — the fit-path analog of the render
+    path's row sharding, SURVEY.md §2.5), parameters stay replicated, and
+    the per-device gradient contributions meet in the all-reduce XLA
+    inserts for the replicated-parameter grads. The pooled frame rows must
+    divide the mesh.
 
     Returns a FitResult whose ``scene`` is a deep copy with the fitted
     values written back (round-trippable to .gax / scene dict).
@@ -285,6 +313,14 @@ def fit_scene(
         scene.camera.target, scene.camera.up, scene.camera.fov,
     ))
     dirs = cam_ops.ray_grid(size, inv_vp)
+    if mesh is not None:
+        _check_mesh_divides(mesh, size, pool, "fit_scene")
+        # committing the ray grid and target rows to the mesh is the only
+        # annotation needed: jit/GSPMD propagates the row partitioning
+        # through march+post+loss and all-reduces the parameter gradients
+        dirs = jax.device_put(dirs, _pixel_sharding(mesh, dirs.ndim))
+        target_pooled = jax.device_put(
+            target_pooled, _pixel_sharding(mesh, target_pooled.ndim))
     if max_steps is not None:
         trip_bound = max_steps
     else:
@@ -352,8 +388,14 @@ def fit_pose(
     normalize: bool = True,
     pool: int = 1,
     march: str = "tensor",
+    mesh=None,
 ) -> FitResult:
     """Refine the camera pose toward the one that produced ``target_image``.
+
+    ``mesh`` (1-D) shards the training step's pixel rows across devices
+    exactly like fit_scene's — here the ray grid is itself a function of
+    the fitted pose, so it is sharding-constrained in-graph instead of
+    committed as an input.
 
     The whole camera chain is in-graph (ops/camera.inv_view_projection is
     plain jnp), so gradients flow target pixels -> post -> march -> ray
@@ -408,6 +450,12 @@ def fit_pose(
         return img
 
     target_prepped = _prep(target)
+    dirs_sharding = None
+    if mesh is not None:
+        _check_mesh_divides(mesh, size, pool, "fit_pose")
+        dirs_sharding = _pixel_sharding(mesh, 3)
+        target_prepped = jax.device_put(
+            target_prepped, _pixel_sharding(mesh, target_prepped.ndim))
 
     cfg = scene.config
     static, gal_params = flatten_scene(scene)
@@ -427,6 +475,8 @@ def fit_pose(
         inv_vp = cam_ops.inv_view_projection(p["camera"], p["target"], up,
                                              p["fov"])
         dirs = cam_ops.ray_grid(size, inv_vp)
+        if dirs_sharding is not None:
+            dirs = jax.lax.with_sharding_constraint(dirs, dirs_sharding)
         linear = march_fn(
             static, gal_params, dirs, p["camera"], f(cfg.ray_step),
             f(cfg.min_ray_step), trip_bound,
@@ -478,6 +528,7 @@ def fit_pose_multiscale(
     on_step: Optional[Callable[[int, float], None]] = None,
     normalize: bool = True,
     march: str = "tensor",
+    mesh=None,
 ) -> FitResult:
     """The LOD -> exact multiscale pose ladder as ONE call.
 
@@ -522,7 +573,7 @@ def fit_pose_multiscale(
         result = fit_pose(
             rung_scene, target_image, fit_fields, steps=steps, lr=lr,
             max_steps=max_steps, optimizer=optimizer, on_step=rung_cb,
-            normalize=normalize, pool=pool, march=march,
+            normalize=normalize, pool=pool, march=march, mesh=mesh,
         )
         current = result.scene
         all_losses.extend(result.losses)
@@ -558,6 +609,7 @@ def fit_scene_multiscale(
     optimizer=None,
     on_step: Optional[Callable[[int, float], None]] = None,
     march: str = "tensor",
+    mesh=None,
 ) -> FitResult:
     """Coarse-to-fine resolution pyramid for PARAMETER fitting, one call.
 
@@ -598,7 +650,7 @@ def fit_scene_multiscale(
         result = fit_scene(
             rung_scene, rung_target, fit_fields, steps=steps, lr=lr,
             max_steps=max_steps, optimizer=optimizer, on_step=rung_cb,
-            march=march,
+            march=march, mesh=mesh,
         )
         current = result.scene
         all_losses.extend(result.losses)

@@ -80,6 +80,11 @@ MAX_ITERS = 131072
 # default 1 (3x faster kernel compiles); the knob stays for perf_ab tuning
 UNROLL = 1
 RIDGED_OCTAVES = 9
+# Load every SMEM scene scalar ONCE at kernel start instead of re-issuing
+# the scalar load at each use site inside the march while-loop (the loads
+# are loop-invariant; hoisting is bit-exactness-preserving by construction).
+# Perf knob for scripts/perf_ab.py (HOIST_SMEM:0/1).
+HOIST_SMEM = 1
 
 
 class _Layout:
@@ -229,6 +234,18 @@ def _make_kernel(static: SceneStatic, lay: _Layout, size: int,
         def S(name, k=0):
             off = lay.offsets[name] + k
             return sp_ref[0, off // 128, off % 128]
+
+        if HOIST_SMEM:
+            # one load per scalar, issued HERE (outside the march loop and
+            # every pl.when region); all later S() calls return the cached
+            # value, so the while-loop body carries them as invariants
+            # instead of re-loading from SMEM each substep.
+            cache = {
+                (name, k): S(name, k)
+                for name in lay.names
+                for k in range(lay.sizes[name])
+            }
+            S = lambda name, k=0: cache[(name, k)]  # noqa: E731
 
         perm_rows = perm_ref[:]
 

@@ -298,3 +298,70 @@ def test_pose_multiscale_ladder(fixtures_dir):
     assert seen == list(range(36))
     assert res.scene.config.noise_octaves == pose_scene(start_cam).config.noise_octaves
     assert len(res.losses) == 3 * (12 + 1)  # per-rung final-iterate extras
+
+
+def test_fit_scene_mesh_matches_single_device():
+    """fit_scene(mesh=...) — the training step with pixel rows sharded over
+    the device mesh (dp over pixels) — descends the same objective as the
+    single-device fit: per-step losses agree to fp-reassociation tolerance
+    (the sharded mean + grad all-reduce reassociate the reductions)."""
+    from gamer_tpu.parallel import make_pixel_mesh
+
+    truth = default_galaxy()
+    scene_truth = _scene(truth, 16)
+    static, params, camera, inv_vp, rs, ms = _render_args(scene_truth)
+    bound = gdiff.step_bound_for_scene(scene_truth)
+    target, _ = gdiff.render_frame_diff_jit(
+        static, 16, bound, params, camera, inv_vp, rs, ms,
+        jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0),
+    )
+
+    start = default_galaxy()
+    start.components[1].strength *= 0.5
+
+    kw = dict(fit_fields=("strength",), steps=4, lr=5e-2)
+    res_single = gfit.fit_scene(_scene(start, 16), np.asarray(target), **kw)
+    mesh = make_pixel_mesh()
+    assert mesh.devices.size > 1, "conftest should provide 8 virtual devices"
+    res_mesh = gfit.fit_scene(_scene(start, 16), np.asarray(target),
+                              mesh=mesh, **kw)
+    np.testing.assert_allclose(res_mesh.losses, res_single.losses,
+                               rtol=2e-3, atol=1e-7)
+    # and the fitted values agree too
+    f_single = res_single.scene.instances[0].galaxy.components[1].strength
+    f_mesh = res_mesh.scene.instances[0].galaxy.components[1].strength
+    np.testing.assert_allclose(f_mesh, f_single, rtol=2e-3)
+
+
+def test_fit_pose_mesh_runs_and_matches():
+    """fit_pose(mesh=...): the pose training step shards its in-graph ray
+    grid via a sharding constraint; losses track the single-device fit."""
+    from gamer_tpu.engine.render import render_scene
+    from gamer_tpu.parallel import make_pixel_mesh
+
+    g = default_galaxy()
+
+    def pose_scene(cam):
+        s = _scene(g, 16)
+        s.camera = gamer_tpu.CameraParams(camera=cam, target=(0, 0, 0),
+                                          up=(0, 1, 0), fov=90.0)
+        s.config.noise_octaves = 3
+        return s
+
+    target = render_scene(pose_scene((0.5, 0, 0)))
+    kw = dict(fit_fields=("camera",), steps=3, lr=1e-2, pool=2)
+    res_single = gfit.fit_pose(pose_scene((0.53, 0.01, 0.0)), target, **kw)
+    res_mesh = gfit.fit_pose(pose_scene((0.53, 0.01, 0.0)), target,
+                             mesh=make_pixel_mesh(), **kw)
+    assert np.isfinite(res_mesh.losses).all()
+    np.testing.assert_allclose(res_mesh.losses, res_single.losses,
+                               rtol=5e-3, atol=1e-7)
+
+
+def test_fit_mesh_rejects_indivisible_rows():
+    from gamer_tpu.parallel import make_pixel_mesh
+
+    scene = _scene(default_galaxy(), 20)  # 20 rows, 8 devices
+    tgt = np.zeros((20, 20, 3), np.uint8)
+    with pytest.raises(ValueError, match="divide the mesh"):
+        gfit.fit_scene(scene, tgt, steps=1, mesh=make_pixel_mesh())
