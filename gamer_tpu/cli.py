@@ -56,10 +56,12 @@ Commands:
    dataset <gax> <n> <seed> <size> <chunk> <out dir>
    fit <camera x y z> <target x y z> <up x y z> <fov> <exposure> <gamma>
        <saturation> <ray step> <gax file> <target image> <out gax>
-       [steps=100] [lr=0.02] [fields=strength,r0,z0] [multiscale]
+       [steps=100] [lr=0.02] [fields=strength,r0,z0] [multiscale] [ckpt=FILE]
    fitpose <camera x y z> <target x y z> <up x y z> <fov> <exposure> <gamma>
        <saturation> <ray step> <gax file> <target image> <out scene.json>
-       [steps=80] [lr=0.01] [noise LOD=3 | multiscale]
+       [steps=80] [lr=0.01] [noise LOD=3 | multiscale] [ckpt=FILE]
+   serve [port=8100] [batch window s=0.05] [bands=8]
+   viewer [port=8000] [size=256] [gax dir]
 <method>: omp | thread | pallas (TPU kernel) | xla | oracle | sharded
 """
 
@@ -432,6 +434,9 @@ def cmd_fit(argv) -> int:
     matches a look by hand in the Qt editor; here every editor knob is a
     differentiable degree of freedom.
     """
+    ckpt = next((a[len("ckpt="):] for a in argv if a.startswith("ckpt=")),
+                None)
+    argv = [a for a in argv if not a.startswith("ckpt=")]
     multiscale = bool(argv) and argv[-1].lower() == "multiscale"
     if multiscale:
         argv = argv[:-1]
@@ -484,14 +489,15 @@ def cmd_fit(argv) -> int:
                   end="", flush=True)
 
         result = fit_scene_multiscale(scene, target, fields, steps=steps,
-                                      lr=lr, on_step=on_step)
+                                      lr=lr, on_step=on_step,
+                                      checkpoint_path=ckpt)
     else:
         def on_step(i, loss):
             print(f"\r[ step {i + 1}/{steps} ]  loss {loss:.6f} ",
                   end="", flush=True)
 
         result = fit_scene(scene, target, fields, steps=steps, lr=lr,
-                           on_step=on_step)
+                           on_step=on_step, checkpoint_path=ckpt)
     print(f"\nloss {result.losses[0]:.6f} -> {result.losses[-1]:.6f} in "
           f"{format_ms((time.perf_counter() - t0) * 1000.0)}")
     gax.save(result.scene.instances[0].galaxy, out_file)
@@ -505,6 +511,9 @@ def cmd_fitpose(argv) -> int:
     the galaxy fixed. Writes the fitted scene dict to <out scene.json>.
     Fits at the given noise LOD (see the fit_pose docstring: full-octave
     noise drowns the pose gradient)."""
+    ckpt = next((a[len("ckpt="):] for a in argv if a.startswith("ckpt=")),
+                None)
+    argv = [a for a in argv if not a.startswith("ckpt=")]
     if not 18 <= len(argv) <= 21:
         print(f"{len(argv)}\nIncorrect usage/parameters for fitpose. Usage:")
         print(USAGE)
@@ -553,7 +562,8 @@ def cmd_fitpose(argv) -> int:
                   end="", flush=True)
 
         result = fit_pose_multiscale(scene, target, ("camera",), steps=steps,
-                                     lr=lr, on_step=on_step)
+                                     lr=lr, on_step=on_step,
+                                     checkpoint_path=ckpt)
     else:
         print(f"Refining camera pose toward {target_file} "
               f"({steps} steps, lr {lr}, noise LOD {lod}) ...")
@@ -564,7 +574,7 @@ def cmd_fitpose(argv) -> int:
                   end="", flush=True)
 
         result = fit_pose(scene, target, ("camera",), steps=steps, lr=lr,
-                          on_step=on_step)
+                          on_step=on_step, checkpoint_path=ckpt)
     cam = result.scene.camera
     print(f"\nloss {result.losses[0]:.6f} -> {min(result.losses):.6f} in "
           f"{format_ms((time.perf_counter() - t0) * 1000.0)}")
@@ -589,6 +599,31 @@ def _backend_desc(method: str) -> str:
         return "the default backend"
 
 
+def cmd_serve(argv) -> int:
+    """HTTP render service (POST /render with a scene dict; concurrent
+    requests sharing a structure batch into ONE device launch — serve.py)."""
+    from .serve import serve
+
+    args = argv[1:]
+    port = int(args[0]) if len(args) > 0 else 8100
+    window = float(args[1]) if len(args) > 1 else 0.05
+    bands = int(args[2]) if len(args) > 2 else 8
+    serve(port, window, bands)
+    return 0
+
+
+def cmd_viewer(argv) -> int:
+    """Interactive HTTP viewer (orbit/zoom/LOD/live edits — viewer.py)."""
+    from .viewer import serve as viewer_serve
+
+    args = argv[1:]
+    port = int(args[0]) if len(args) > 0 else 8000
+    size = int(args[1]) if len(args) > 1 else 256
+    gax_dir = args[2] if len(args) > 2 else None
+    viewer_serve(port, size, gax_dir)
+    return 0
+
+
 COMMANDS = {
     "galaxy": cmd_galaxy,
     "skybox": cmd_skybox,
@@ -602,6 +637,8 @@ COMMANDS = {
     "fitpose": cmd_fitpose,
     "scene": cmd_scene,
     "dataset": cmd_dataset,
+    "serve": cmd_serve,
+    "viewer": cmd_viewer,
 }
 
 

@@ -109,8 +109,54 @@ def _reject_supersample(scene: Scene, who: str) -> None:
         )
 
 
+def _ckpt_save(path: str, fingerprint: str, i: int, params, opt_state,
+               losses, best_loss: float, best_params) -> None:
+    """Atomically persist one optimizer step boundary (engine/jobs.py's
+    manifest-resume discipline applied to a training loop)."""
+    import os
+
+    leaves = {}
+    for tag, tree in (("p", params), ("o", opt_state), ("b", best_params)):
+        for k, leaf in enumerate(jax.tree_util.tree_leaves(tree)):
+            leaves[f"{tag}{k}"] = np.asarray(leaf)
+    tmp = f"{path}.tmp"
+    np.savez(tmp, __fingerprint__=np.frombuffer(
+        fingerprint.encode(), np.uint8), __step__=np.int64(i),
+        __losses__=np.asarray(losses, np.float64),
+        __best_loss__=np.float64(best_loss), **leaves)
+    os.replace(tmp + (".npz" if not tmp.endswith(".npz") else ""), path)
+
+
+def _ckpt_load(path: str, fingerprint: str, params, opt_state, best_params):
+    """Restore (step, params, opt_state, losses, best_loss, best_params)
+    from ``path``, or None if absent. A checkpoint written by a different
+    fit setup is rejected loudly, like DatasetJob's manifest mismatch."""
+    import os
+
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        saved_fp = bytes(z["__fingerprint__"]).decode()
+        if saved_fp != fingerprint:
+            raise ValueError(
+                f"checkpoint {path} was written by a different fit "
+                f"(fields/lr/march/scene/target changed); delete it or use "
+                f"another path")
+
+        def restore(tag, tree):
+            treedef = jax.tree_util.tree_structure(tree)
+            n = treedef.num_leaves
+            return jax.tree_util.tree_unflatten(
+                treedef, [jnp.asarray(z[f"{tag}{k}"]) for k in range(n)])
+
+        return (int(z["__step__"]), restore("p", params),
+                restore("o", opt_state), list(z["__losses__"]),
+                float(z["__best_loss__"]), restore("b", best_params))
+
+
 def _optimize(loss_fn, params, mask, *, steps, lr, optimizer, on_step,
-              project_fn=None):
+              project_fn=None, checkpoint_path=None, checkpoint_every=1,
+              fingerprint=""):
     """The shared masked-Adam loop of fit_scene and fit_pose.
 
     - Gradients are nan_to_num-sanitized and masked to the fitted leaves.
@@ -118,6 +164,10 @@ def _optimize(loss_fn, params, mask, *, steps, lr, optimizer, on_step,
       magnitude (relative stepping: galaxy knobs span ~4 orders of
       magnitude, so lr becomes a per-step relative change).
     - ``project_fn(params)`` re-applies domain constraints after each step.
+    - ``checkpoint_path`` persists (params, optimizer state, loss trace)
+      every ``checkpoint_every`` steps and resumes from it when present;
+      the relative-step scales derive from the CALLER's initial params, so
+      a resumed run replays the exact trajectory of an uninterrupted one.
     - Returns (best_params, losses): each step's loss belongs to the
       PRE-update params, and the final iterate's loss is evaluated once at
       the end (appended to losses), so the best (loss, params) pair is
@@ -153,12 +203,24 @@ def _optimize(loss_fn, params, mask, *, steps, lr, optimizer, on_step,
 
     losses: List[float] = []
     best_loss, best_params = np.inf, params
-    for i in range(steps):
+    start = 0
+    if checkpoint_path:
+        resumed = _ckpt_load(checkpoint_path, fingerprint, params, opt_state,
+                             best_params)
+        if resumed is not None:
+            start, params, opt_state, losses, best_loss, best_params = resumed
+    for i in range(start, steps):
         new_params, opt_state, loss = step_fn(params, opt_state)
         losses.append(float(loss))
         if losses[-1] < best_loss:
             best_loss, best_params = losses[-1], params
         params = new_params
+        if checkpoint_path and ((i + 1) % max(1, checkpoint_every) == 0
+                                or i + 1 == steps):
+            # the final step saves unconditionally: a completed run must be
+            # extendable (rerun with larger steps resumes, not restarts)
+            _ckpt_save(checkpoint_path, fingerprint, i + 1, params, opt_state,
+                       losses, best_loss, best_params)
         if on_step is not None:
             on_step(i, losses[-1])
     # the final iterate's loss was never seen by the loop above
@@ -167,6 +229,22 @@ def _optimize(loss_fn, params, mask, *, steps, lr, optimizer, on_step,
     if final_loss < best_loss:
         best_params = params
     return best_params, losses
+
+
+def _fit_fingerprint(kind: str, fit_fields, lr, march, size, params,
+                     target, extra: str = "") -> str:
+    """Identity of a fit setup for checkpoint-resume validation: the same
+    (loss surface, fitted leaves, step rule) — steps excluded so a resume
+    may extend a run. ``extra`` carries per-call loss-shape knobs (pool,
+    noise LOD) that distinguish multiscale rungs."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves(params):
+        h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+    h.update(np.ascontiguousarray(np.asarray(target)).tobytes())
+    return (f"{kind}|{','.join(sorted(fit_fields))}|{lr:g}|{march}|{size}|"
+            f"{extra}|{h.hexdigest()[:16]}")
 
 
 @dataclass
@@ -262,6 +340,8 @@ def fit_scene(
     march: str = "tensor",
     pool: int = 1,
     mesh=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 10,
 ) -> FitResult:
     """Fit ``fit_fields`` of ``scene`` so its render matches ``target_image``.
 
@@ -283,6 +363,12 @@ def fit_scene(
 
     Returns a FitResult whose ``scene`` is a deep copy with the fitted
     values written back (round-trippable to .gax / scene dict).
+
+    ``checkpoint_path`` persists the optimizer state every
+    ``checkpoint_every`` steps and resumes from it when the file exists —
+    an interrupted fit rerun with the same arguments replays the exact
+    uninterrupted trajectory; a checkpoint from a DIFFERENT setup (fields,
+    lr, march, scene, target) is rejected.
     """
     target = jnp.asarray(np.asarray(target_image, np.float32) / 255.0)
     size = target.shape[0]
@@ -361,6 +447,10 @@ def fit_scene(
         loss_fn, params, mask, steps=steps, lr=lr, optimizer=optimizer,
         on_step=on_step,
         project_fn=lambda p: _project_bounds(p, fit_fields),
+        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+        fingerprint=_fit_fingerprint(
+            "scene", fit_fields, lr, march, size, params, target,
+            extra=f"pool{pool}|lod{cfg.noise_octaves}"),
     )
 
     fitted = jax.tree_util.tree_map(np.asarray, best_params)
@@ -389,8 +479,13 @@ def fit_pose(
     pool: int = 1,
     march: str = "tensor",
     mesh=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 10,
 ) -> FitResult:
     """Refine the camera pose toward the one that produced ``target_image``.
+
+    ``checkpoint_path``/``checkpoint_every``: exact-resume optimizer
+    checkpoints, as in fit_scene.
 
     ``mesh`` (1-D) shards the training step's pixel rows across devices
     exactly like fit_scene's — here the ray grid is itself a function of
@@ -498,6 +593,10 @@ def fit_pose(
     best_pose, losses = _optimize(
         loss_fn, pose, mask, steps=steps, lr=lr, optimizer=optimizer,
         on_step=on_step, project_fn=project,
+        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+        fingerprint=_fit_fingerprint(
+            "pose", fit_fields, lr, march, size, pose, target,
+            extra=f"pool{pool}|lod{cfg.noise_octaves}|norm{int(normalize)}"),
     )
 
     fitted_pose = jax.tree_util.tree_map(np.asarray, best_pose)
@@ -529,6 +628,8 @@ def fit_pose_multiscale(
     normalize: bool = True,
     march: str = "tensor",
     mesh=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 10,
 ) -> FitResult:
     """The LOD -> exact multiscale pose ladder as ONE call.
 
@@ -574,6 +675,11 @@ def fit_pose_multiscale(
             rung_scene, target_image, fit_fields, steps=steps, lr=lr,
             max_steps=max_steps, optimizer=optimizer, on_step=rung_cb,
             normalize=normalize, pool=pool, march=march, mesh=mesh,
+            # per-rung files: a completed rung short-circuits on restart
+            # (its checkpoint already holds step == steps)
+            checkpoint_path=(f"{checkpoint_path}.rung{base // steps}"
+                             if checkpoint_path else None),
+            checkpoint_every=checkpoint_every,
         )
         current = result.scene
         all_losses.extend(result.losses)
@@ -610,6 +716,8 @@ def fit_scene_multiscale(
     on_step: Optional[Callable[[int, float], None]] = None,
     march: str = "tensor",
     mesh=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 10,
 ) -> FitResult:
     """Coarse-to-fine resolution pyramid for PARAMETER fitting, one call.
 
@@ -651,6 +759,9 @@ def fit_scene_multiscale(
             rung_scene, rung_target, fit_fields, steps=steps, lr=lr,
             max_steps=max_steps, optimizer=optimizer, on_step=rung_cb,
             march=march, mesh=mesh,
+            checkpoint_path=(f"{checkpoint_path}.rung{base // steps}"
+                             if checkpoint_path else None),
+            checkpoint_every=checkpoint_every,
         )
         current = result.scene
         all_losses.extend(result.losses)

@@ -1,0 +1,437 @@
+"""Production render service: an HTTP JSON API over the render engines.
+
+The reference's serving surfaces are in-process only: the GUI render queue
+(a FIFO polled on a Qt timer, renderqueue.cpp:63-127) and the console
+progress ticker (consolerenderer.cpp:80-93). This module lifts that
+contract to a network service shaped for how a TPU actually serves:
+
+  * one worker thread owns ALL device dispatch (a TPU executes one program
+    at a time — concurrency belongs in the batch axis, not in threads);
+  * concurrent client requests that share a compiled structure are drained
+    into ONE batched launch (engine/batch.render_batch) — B requests cost
+    one dispatch, the TPU-native replacement for the reference's
+    thread-per-image fan-out (rasterthread.cpp);
+  * batch shapes are padded to power-of-two buckets so a busy service
+    compiles a handful of executables, not one per observed batch size
+    (tunneled TPU compiles run 20 s-7 min; the padded tail rows render
+    duplicate frames that are simply dropped);
+  * single jobs render progressively in row bands with percent-done and
+    cooperative abort between bands (rasterizer.cpp:283-313 semantics);
+    an aborted job keeps its partially filled frame, like the reference's
+    aborted back buffer;
+  * a render failure (poisoned tunnel worker, bad parameters) fails THAT
+    job and the worker lives on — jobs are isolated the way bench.py
+    isolates risky device work.
+
+The JSON scene payload is the scene-dict API (scene.schema.scene_from_dict),
+so everything the CLI and library can render is servable. Endpoints:
+
+  POST   /render            scene dict (or {"scene": {...}}) -> {"job": id}
+  GET    /job/<id>          state/progress/timing
+  GET    /job/<id>/image.png  finished (or abort-partial) frame
+  DELETE /job/<id>          abort (between bands; queued jobs cancel)
+  GET    /jobs              all jobs, newest first
+  GET    /metrics           Prometheus text format
+  GET    /healthz           liveness + backend platform
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+import urllib.parse
+from collections import deque
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+import numpy as np
+
+QUEUED, RUNNING, DONE, FAILED, ABORTED = (
+    "queued", "running", "done", "failed", "aborted")
+
+
+@dataclass
+class Job:
+    id: int
+    scene: object  # Scene
+    key: tuple     # batching compatibility key (structure, size, ss)
+    state: str = QUEUED
+    progress: float = 0.0
+    batched: bool = False
+    error: Optional[str] = None
+    image: Optional[np.ndarray] = None  # uint8 (size, size, 3); partial if aborted
+    submitted: float = field(default_factory=time.time)
+    started: Optional[float] = None
+    finished: Optional[float] = None
+    abort: threading.Event = field(default_factory=threading.Event)
+
+    def info(self) -> dict:
+        end = self.finished or time.time()
+        return {
+            "job": self.id, "state": self.state,
+            "progress": round(self.progress, 4), "batched": self.batched,
+            "error": self.error, "size": self.scene.config.size,
+            "elapsed_s": round(end - (self.started or end), 4),
+            "queued_s": round((self.started or end) - self.submitted, 4),
+        }
+
+
+def _bucket(n: int, multiple_of: int = 1) -> int:
+    """Smallest power-of-two >= n that is a multiple of ``multiple_of``."""
+    b = 1
+    while b < n:
+        b *= 2
+    while b % multiple_of:
+        b *= 2
+    return b
+
+
+class RenderService:
+    """Job queue + device worker. Usable directly (no HTTP) and as the
+    state behind ``serve()``.
+
+    batch_window_s: after picking up a job, wait this long for compatible
+    requests to arrive before launching (0 = batch only what is already
+    queued). bands: progress granularity for single jobs.
+    """
+
+    def __init__(self, batch_window_s: float = 0.0, bands: int = 8,
+                 mesh=None, autostart: bool = True):
+        self.batch_window_s = batch_window_s
+        self.bands = bands
+        self.mesh = mesh
+        self.jobs: Dict[int, Job] = {}
+        self._queue: deque[Job] = deque()
+        self._cond = threading.Condition()
+        self._next_id = 1
+        self._stop = False
+        self._worker: Optional[threading.Thread] = None
+        self.metrics = {
+            "jobs_submitted": 0, "frames_rendered": 0, "jobs_failed": 0,
+            "jobs_aborted": 0, "batches": 0, "batched_frames": 0,
+            "padded_frames": 0, "render_seconds": 0.0,
+            "started_at": time.time(),
+        }
+        # A TPU-runtime crash poisons the whole client process (tunneled
+        # workers especially — see bench.py's subprocess isolation): after
+        # enough consecutive render failures the service declares itself
+        # unhealthy so an orchestrator restarts the process. Any success
+        # resets the count.
+        self.max_consecutive_failures = 3
+        self.consecutive_failures = 0
+        if autostart:
+            self.start()
+
+    # -- client surface ----------------------------------------------------
+
+    def submit(self, scene) -> int:
+        """Queue a Scene (or scene dict) for rendering; returns the job id.
+
+        Raises ValueError for payloads that cannot flatten to a compilable
+        scene — invalid requests fail at submission, not on the worker.
+        """
+        from .engine.scene_prep import flatten_scene
+        from .scene.schema import Scene, scene_from_dict
+
+        if isinstance(scene, dict):
+            scene = scene_from_dict(scene)
+        if not isinstance(scene, Scene):
+            raise ValueError(f"expected Scene or scene dict, got {type(scene)}")
+        static, _ = flatten_scene(scene)  # validates; also the batching key
+        key = (static, scene.config.size, scene.config.supersample)
+        with self._cond:
+            job = Job(id=self._next_id, scene=scene, key=key)
+            self._next_id += 1
+            self.jobs[job.id] = job
+            self._queue.append(job)
+            self.metrics["jobs_submitted"] += 1
+            self._cond.notify()
+        return job.id
+
+    def abort(self, job_id: int) -> bool:
+        """Request cancellation. Queued jobs cancel immediately; a running
+        single job stops at the next band boundary (keeping the partial
+        frame); a job already inside a batched launch finishes with it."""
+        job = self.jobs.get(job_id)
+        if job is None:
+            return False
+        job.abort.set()
+        with self._cond:
+            if job in self._queue and job.state == QUEUED:
+                self._queue.remove(job)
+                self._finish(job, ABORTED)
+        return True
+
+    def wait(self, job_id: int, timeout: float = 300.0) -> Job:
+        job = self.jobs[job_id]
+        deadline = time.time() + timeout
+        while job.state in (QUEUED, RUNNING) and time.time() < deadline:
+            time.sleep(0.005)
+        return job
+
+    def queue_depth(self) -> int:
+        with self._cond:
+            return len(self._queue)
+
+    def metrics_text(self) -> str:
+        """Prometheus text exposition of the service counters."""
+        m = dict(self.metrics)
+        m["queue_depth"] = self.queue_depth()
+        m["consecutive_failures"] = self.consecutive_failures
+        m["healthy"] = int(self.healthy())
+        m["uptime_seconds"] = time.time() - m.pop("started_at")
+        gauges = ("queue_depth", "uptime_seconds", "consecutive_failures",
+                  "healthy")
+        lines = []
+        for k, v in sorted(m.items()):
+            lines.append(f"# TYPE gamer_{k} "
+                         f"{'gauge' if k in gauges else 'counter'}")
+            lines.append(f"gamer_{k} {v}")
+        return "\n".join(lines) + "\n"
+
+    # -- worker ------------------------------------------------------------
+
+    def start(self) -> None:
+        if self._worker is None or not self._worker.is_alive():
+            self._stop = False
+            self._worker = threading.Thread(target=self._run, daemon=True,
+                                            name="gamer-render-worker")
+            self._worker.start()
+
+    def stop(self, timeout: float = 30.0) -> None:
+        with self._cond:
+            self._stop = True
+            self._cond.notify_all()
+        if self._worker is not None:
+            self._worker.join(timeout)
+
+    def _finish(self, job: Job, state: str, error: str | None = None) -> None:
+        job.state = state
+        job.error = error
+        job.finished = time.time()
+        if state == DONE:
+            job.progress = 1.0
+            self.metrics["frames_rendered"] += 1
+            self.consecutive_failures = 0
+        elif state == FAILED:
+            self.metrics["jobs_failed"] += 1
+        elif state == ABORTED:
+            self.metrics["jobs_aborted"] += 1
+
+    def healthy(self) -> bool:
+        return self.consecutive_failures < self.max_consecutive_failures
+
+    def _drain_compatible(self, head: Job) -> List[Job]:
+        """Pull every queued job sharing head's compiled structure/size
+        (FIFO order preserved for the rest)."""
+        batch = [head]
+        with self._cond:
+            keep = deque()
+            while self._queue:
+                j = self._queue.popleft()
+                if j.key == head.key and not j.abort.is_set():
+                    batch.append(j)
+                else:
+                    keep.append(j)
+            self._queue = keep
+        return batch
+
+    def _run(self) -> None:
+        while True:
+            with self._cond:
+                while not self._queue and not self._stop:
+                    self._cond.wait()
+                if self._stop:
+                    return
+                head = self._queue.popleft()
+            if head.abort.is_set():
+                self._finish(head, ABORTED)
+                continue
+            if self.batch_window_s > 0:
+                time.sleep(self.batch_window_s)
+            batch = self._drain_compatible(head)
+            t0 = time.time()
+            for j in batch:
+                j.state = RUNNING
+                j.started = t0
+            try:
+                if len(batch) > 1:
+                    self._render_batch(batch)
+                else:
+                    self._render_single(head)
+            except Exception as e:  # noqa: BLE001 — job isolation
+                self.consecutive_failures += 1
+                for j in batch:
+                    if j.state == RUNNING:
+                        self._finish(j, FAILED, f"{type(e).__name__}: {e}")
+            self.metrics["render_seconds"] += time.time() - t0
+
+    def _render_batch(self, batch: List[Job]) -> None:
+        """One device launch for every compatible queued request, padded to
+        a power-of-two bucket so batch sizes reuse compiled executables."""
+        from .engine.batch import render_batch
+
+        n_dev = 1 if self.mesh is None else int(self.mesh.devices.size)
+        scenes = [j.scene for j in batch]
+        bucket = _bucket(len(scenes), multiple_of=n_dev)
+        self.metrics["padded_frames"] += bucket - len(scenes)
+        scenes = scenes + [scenes[-1]] * (bucket - len(scenes))
+        frames = render_batch(scenes, mesh=self.mesh)
+        self.metrics["batches"] += 1
+        self.metrics["batched_frames"] += len(batch)
+        for j, frame in zip(batch, frames):
+            j.batched = True
+            j.image = np.asarray(frame)
+            self._finish(j, DONE)
+
+    def _render_single(self, job: Job) -> None:
+        from .engine.pallas_render import (render_progressive_pallas,
+                                           render_scene_pallas)
+
+        if self.mesh is not None:
+            # row-sharded across the mesh: one fused launch (band-level
+            # progress would serialize the mesh on each band boundary)
+            job.image = np.asarray(render_scene_pallas(job.scene, mesh=self.mesh))
+            self._finish(job, DONE)
+            return
+
+        def on_progress(frac: float, partial: np.ndarray):
+            job.progress = frac
+            job.image = partial
+            return not job.abort.is_set()
+
+        img = render_progressive_pallas(job.scene, bands=self.bands,
+                                        on_progress=on_progress)
+        job.image = np.asarray(img)
+        self._finish(job, ABORTED if job.abort.is_set() else DONE)
+
+
+# -- HTTP layer -------------------------------------------------------------
+
+
+def _png(img: np.ndarray) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def make_handler(service: RenderService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code, ctype, body: bytes):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, code, obj):
+            self._send(code, "application/json", json.dumps(obj).encode())
+
+        def _job(self, path: str) -> Optional[Job]:
+            try:
+                return service.jobs.get(int(path.split("/")[2]))
+            except (IndexError, ValueError):
+                return None
+
+        def do_POST(self):
+            path = urllib.parse.urlparse(self.path).path
+            if path != "/render":
+                return self._json(404, {"error": "not found"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                scene = payload.get("scene", payload)
+                job_id = service.submit(scene)
+                self._json(202, {"job": job_id})
+            except Exception as e:  # noqa: BLE001
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def do_DELETE(self):
+            path = urllib.parse.urlparse(self.path).path
+            job = self._job(path)
+            if path.startswith("/job/") and job is not None:
+                service.abort(job.id)
+                self._json(200, job.info())
+            else:
+                self._json(404, {"error": "no such job"})
+
+        def do_GET(self):
+            path = urllib.parse.urlparse(self.path).path
+            if path == "/healthz":
+                try:
+                    import jax
+
+                    platform = jax.devices()[0].platform
+                except Exception as e:  # noqa: BLE001
+                    return self._json(503, {"ok": False, "error": str(e)})
+                if not service.healthy():
+                    # repeated render failures usually mean a poisoned
+                    # device runtime — tell the orchestrator to restart us
+                    return self._json(503, {
+                        "ok": False, "platform": platform,
+                        "error": f"{service.consecutive_failures} consecutive"
+                                 " render failures"})
+                self._json(200, {"ok": True, "platform": platform})
+            elif path == "/metrics":
+                self._send(200, "text/plain; version=0.0.4",
+                           service.metrics_text().encode())
+            elif path == "/jobs":
+                jobs = [j.info() for j in
+                        sorted(service.jobs.values(), key=lambda j: -j.id)]
+                self._json(200, {"jobs": jobs})
+            elif path.startswith("/job/") and path.endswith("/image.png"):
+                job = self._job(path)
+                if job is None:
+                    self._json(404, {"error": "no such job"})
+                elif job.image is None:
+                    self._json(409, {"error": f"job is {job.state}",
+                                     **job.info()})
+                else:
+                    self._send(200, "image/png", _png(job.image))
+            elif path.startswith("/job/"):
+                job = self._job(path)
+                if job is None:
+                    self._json(404, {"error": "no such job"})
+                else:
+                    self._json(200, job.info())
+            else:
+                self._json(404, {"error": "not found"})
+
+    return Handler
+
+
+def serve(port: int = 8100, batch_window_s: float = 0.05, bands: int = 8,
+          mesh=None, poll: bool = True):
+    """Start the render API. Returns the HTTPServer (caller-managed when
+    poll=False — used by tests and embedders)."""
+    service = RenderService(batch_window_s=batch_window_s, bands=bands,
+                            mesh=mesh)
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(service))
+    httpd.service = service  # type: ignore[attr-defined]
+    print(f"gamer-tpu render service on http://127.0.0.1:{httpd.server_address[1]}/ "
+          f"(POST /render, GET /job/<id>, /metrics)")
+    if poll:
+        try:
+            httpd.serve_forever()
+        finally:
+            service.stop()
+    return httpd
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, default=8100)
+    ap.add_argument("--batch-window", type=float, default=0.05)
+    ap.add_argument("--bands", type=int, default=8)
+    args = ap.parse_args()
+    serve(args.port, args.batch_window, args.bands)

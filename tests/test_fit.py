@@ -365,3 +365,74 @@ def test_fit_mesh_rejects_indivisible_rows():
     tgt = np.zeros((20, 20, 3), np.uint8)
     with pytest.raises(ValueError, match="divide the mesh"):
         gfit.fit_scene(scene, tgt, steps=1, mesh=make_pixel_mesh())
+
+
+def test_fit_checkpoint_resume_exact(tmp_path):
+    """An interrupted fit resumed from its checkpoint replays the exact
+    trajectory of an uninterrupted run (params + optimizer state + the
+    relative-step scales all restore bitwise)."""
+    truth = default_galaxy()
+    scene_truth = _scene(truth, 12)
+    from gamer_tpu.engine.render import render_scene
+
+    target = render_scene(scene_truth)
+
+    start = default_galaxy()
+    start.components[1].strength *= 0.5
+    scene_start = _scene(start, 12)
+    kw = dict(fit_fields=("strength",), lr=5e-2)
+
+    straight = gfit.fit_scene(scene_start, target, steps=5, **kw)
+
+    ckpt = str(tmp_path / "fit.ckpt")
+    gfit.fit_scene(scene_start, target, steps=2, checkpoint_path=ckpt,
+                   checkpoint_every=1, **kw)  # "interrupted" after 2 steps
+    resumed = gfit.fit_scene(scene_start, target, steps=5,
+                             checkpoint_path=ckpt, checkpoint_every=1, **kw)
+
+    np.testing.assert_array_equal(np.asarray(resumed.losses),
+                                  np.asarray(straight.losses))
+    np.testing.assert_array_equal(
+        resumed.params[0]["comps"][1]["strength"],
+        straight.params[0]["comps"][1]["strength"])
+
+
+def test_fit_checkpoint_rejects_mismatched_setup(tmp_path):
+    scene = _scene(default_galaxy(), 12)
+    from gamer_tpu.engine.render import render_scene
+
+    target = render_scene(scene)
+    ckpt = str(tmp_path / "fit.ckpt")
+    gfit.fit_scene(scene, target, fit_fields=("strength",), steps=1,
+                   lr=5e-2, checkpoint_path=ckpt, checkpoint_every=1)
+    with pytest.raises(ValueError, match="different fit"):
+        gfit.fit_scene(scene, target, fit_fields=("strength", "r0"),
+                       steps=1, lr=5e-2, checkpoint_path=ckpt)
+    with pytest.raises(ValueError, match="different fit"):
+        gfit.fit_scene(scene, target, fit_fields=("strength",),
+                       steps=1, lr=1e-2, checkpoint_path=ckpt)
+
+
+def test_fit_pose_checkpoint_resume(tmp_path):
+    scene = _scene(default_galaxy(), 12)
+    scene.config = gamer_tpu.RenderConfig(size=12, ray_step=0.025,
+                                          is_preview=True, noise_octaves=2)
+    from gamer_tpu.engine.render import render_scene
+
+    target = render_scene(scene)
+    import dataclasses
+
+    start = dataclasses.replace(
+        scene, camera=dataclasses.replace(scene.camera,
+                                          camera=(0.52, 0.01, 0.0)))
+    kw = dict(fit_fields=("camera",), lr=1e-2)
+    straight = gfit.fit_pose(start, target, steps=4, **kw)
+    ckpt = str(tmp_path / "pose.ckpt")
+    gfit.fit_pose(start, target, steps=2, checkpoint_path=ckpt,
+                  checkpoint_every=1, **kw)
+    resumed = gfit.fit_pose(start, target, steps=4, checkpoint_path=ckpt,
+                            checkpoint_every=1, **kw)
+    np.testing.assert_array_equal(np.asarray(resumed.losses),
+                                  np.asarray(straight.losses))
+    np.testing.assert_array_equal(resumed.params["camera"],
+                                  straight.params["camera"])

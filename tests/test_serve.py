@@ -1,0 +1,283 @@
+"""Render service: job lifecycle, cross-request batching, abort, failure
+isolation, and the HTTP surface (gamer_tpu/serve.py)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+import gamer_tpu
+from gamer_tpu.scene import gax
+from gamer_tpu.scene.cameracontrols import orbit_path
+from gamer_tpu.scene.schema import scene_to_dict
+from gamer_tpu.serve import ABORTED, DONE, FAILED, RenderService, _bucket, serve
+
+
+@pytest.fixture(scope="module")
+def vortex_scene(fixtures_dir):
+    g = gax.load(fixtures_dir / "VortexCloud.gax")
+    return gamer_tpu.Scene(
+        camera=gamer_tpu.CameraParams(camera=(0.5, 0, 0), target=(0, 0, 0),
+                                      up=(0, 1, 0), fov=90.0),
+        instances=[gamer_tpu.GalaxyInstance(galaxy=g)],
+        config=gamer_tpu.RenderConfig(size=16, ray_step=0.025),
+    )
+
+
+def test_bucket_padding():
+    assert [_bucket(n) for n in (1, 2, 3, 5, 8, 9)] == [1, 2, 4, 8, 8, 16]
+    assert _bucket(3, multiple_of=8) == 8
+    assert _bucket(9, multiple_of=8) == 16
+
+
+def test_single_job_lifecycle(vortex_scene):
+    from gamer_tpu.engine.pallas_render import render_progressive_pallas
+
+    svc = RenderService(bands=8)
+    try:
+        t_submit = time.time()
+        jid = svc.submit(vortex_scene)
+        job = svc.wait(jid)
+        assert job.state == DONE
+        assert job.progress == 1.0
+        assert not job.batched
+        assert job.image.shape == (16, 16, 3) and job.image.dtype == np.uint8
+        assert int(job.image.sum()) > 0
+        # identical to a direct progressive render with the same band count
+        direct = render_progressive_pallas(vortex_scene, bands=8)
+        np.testing.assert_array_equal(job.image, direct)
+        info = job.info()
+        assert info["state"] == "done" and info["error"] is None
+        assert 0 <= info["queued_s"] <= time.time() - t_submit + 1
+        assert svc.metrics["frames_rendered"] == 1
+    finally:
+        svc.stop()
+
+
+def test_cross_request_batching(vortex_scene):
+    """Concurrent compatible requests collapse into ONE padded device
+    launch — the TPU-native serving shape."""
+    import dataclasses
+
+    from gamer_tpu.engine.batch import render_batch
+
+    cams = orbit_path(vortex_scene.camera, 3, horizontal_deg=60.0)
+    scenes = [dataclasses.replace(vortex_scene, camera=c) for c in cams]
+
+    svc = RenderService(autostart=False)
+    try:
+        jids = [svc.submit(s) for s in scenes]
+        svc.start()
+        jobs = [svc.wait(j) for j in jids]
+        assert all(j.state == DONE for j in jobs)
+        assert all(j.batched for j in jobs)
+        assert svc.metrics["batches"] == 1
+        assert svc.metrics["batched_frames"] == 3
+        assert svc.metrics["padded_frames"] == 1  # bucket 4, 3 live frames
+        # frames match the equivalent direct padded batch launch
+        direct = render_batch(scenes + [scenes[-1]])
+        for j, frame in zip(jobs, direct):
+            np.testing.assert_array_equal(j.image, frame)
+        # distinct cameras produced distinct frames
+        assert not np.array_equal(jobs[0].image, jobs[1].image)
+    finally:
+        svc.stop()
+
+
+def test_incompatible_sizes_do_not_batch(vortex_scene):
+    import dataclasses
+
+    other = dataclasses.replace(
+        vortex_scene,
+        config=dataclasses.replace(vortex_scene.config, size=24))
+    svc = RenderService(autostart=False)
+    try:
+        j1 = svc.submit(vortex_scene)
+        j2 = svc.submit(other)
+        svc.start()
+        a, b = svc.wait(j1), svc.wait(j2)
+        assert a.state == DONE and b.state == DONE
+        assert not a.batched and not b.batched
+        assert svc.metrics["batches"] == 0
+        assert a.image.shape == (16, 16, 3)
+        assert b.image.shape == (24, 24, 3)
+    finally:
+        svc.stop()
+
+
+def test_abort_queued_job(vortex_scene):
+    svc = RenderService(autostart=False)
+    try:
+        j1 = svc.submit(vortex_scene)
+        j2 = svc.submit(vortex_scene)
+        assert svc.abort(j2)
+        assert svc.jobs[j2].state == ABORTED
+        assert svc.queue_depth() == 1
+        svc.start()
+        assert svc.wait(j1).state == DONE
+        # an aborted-while-queued job is batched with nothing, renders nothing
+        assert svc.jobs[j2].image is None
+        assert svc.metrics["jobs_aborted"] == 1
+    finally:
+        svc.stop()
+
+
+def test_abort_running_job_keeps_partial_frame(vortex_scene):
+    """Cooperative abort between bands: the reference's aborted back-buffer
+    semantics (rasterizer.h:91-98) — unrendered rows stay black."""
+    import dataclasses
+
+    big = dataclasses.replace(
+        vortex_scene,
+        config=dataclasses.replace(vortex_scene.config, size=96))
+    svc = RenderService(autostart=False, bands=3)  # 3 x 32-row bands at 96px
+    try:
+        jid = svc.submit(big)
+        job = svc.jobs[jid]
+
+        # The abort flag is checked at each band's progress callback, so a
+        # flag raised during band k stops the render after band k+1: abort
+        # right after band 1 -> bands 1-2 rendered, band 3 never runs.
+        def abort_after_first_band():
+            while job.progress < 0.3 and job.state != DONE:
+                time.sleep(0.001)
+            svc.abort(jid)
+
+        poller = threading.Thread(target=abort_after_first_band)
+        poller.start()
+        svc.start()
+        job = svc.wait(jid)
+        poller.join()
+        assert job.state == ABORTED
+        assert job.image is not None
+        assert job.progress < 1.0
+        # top band has content; the never-rendered bottom band stays black
+        assert int(job.image[:32].sum()) > 0
+        assert int(job.image[64:].sum()) == 0
+    finally:
+        svc.stop()
+
+
+def test_render_failure_isolates_job(vortex_scene, monkeypatch):
+    """A poisoned render fails THAT job; the worker keeps serving."""
+    from gamer_tpu.engine import pallas_render
+
+    def boom(*a, **k):
+        raise RuntimeError("device worker crashed")
+
+    svc = RenderService(autostart=False)
+    try:
+        monkeypatch.setattr(pallas_render, "render_progressive_pallas", boom)
+        svc.start()
+        j1 = svc.submit(vortex_scene)
+        job = svc.wait(j1)
+        assert job.state == FAILED
+        assert "device worker crashed" in job.error
+        assert svc.healthy()  # one failure is not yet a poisoned runtime
+        for _ in range(2):
+            svc.wait(svc.submit(vortex_scene))
+        assert not svc.healthy()  # 3 consecutive failures -> restart me
+        monkeypatch.undo()
+        j2 = svc.submit(vortex_scene)
+        assert svc.wait(j2).state == DONE
+        assert svc.healthy()  # a success resets the failure streak
+        assert svc.metrics["jobs_failed"] == 3
+    finally:
+        svc.stop()
+
+
+def test_submit_rejects_invalid_payload():
+    svc = RenderService(autostart=False)
+    try:
+        with pytest.raises(Exception):
+            svc.submit({"instances": ["not a galaxy"]})
+        with pytest.raises(ValueError):
+            svc.submit(42)
+        assert svc.metrics["jobs_submitted"] == 0
+    finally:
+        svc.stop()
+
+
+def test_metrics_text_format(vortex_scene):
+    svc = RenderService()
+    try:
+        svc.wait(svc.submit(vortex_scene))
+        text = svc.metrics_text()
+        assert "gamer_frames_rendered 1" in text
+        assert "# TYPE gamer_queue_depth gauge" in text
+        assert "gamer_uptime_seconds" in text
+    finally:
+        svc.stop()
+
+
+def test_http_surface(vortex_scene):
+    httpd = serve(port=0, poll=False)
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def get(path, expect=200):
+        try:
+            with urllib.request.urlopen(base + path) as r:
+                return r.status, r.read()
+        except urllib.error.HTTPError as e:
+            assert e.code == expect, (e.code, e.read())
+            return e.code, e.read()
+
+    try:
+        status, body = get("/healthz")
+        assert status == 200 and json.loads(body)["ok"]
+
+        payload = json.dumps(scene_to_dict(vortex_scene)).encode()
+        req = urllib.request.Request(base + "/render", data=payload,
+                                     method="POST")
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 202
+            jid = json.loads(r.read())["job"]
+
+        deadline = time.time() + 120
+        state = None
+        while time.time() < deadline:
+            _, body = get(f"/job/{jid}")
+            state = json.loads(body)["state"]
+            if state not in ("queued", "running"):
+                break
+            time.sleep(0.02)
+        assert state == "done"
+
+        status, png = get(f"/job/{jid}/image.png")
+        assert status == 200 and png[:8] == b"\x89PNG\r\n\x1a\n"
+
+        _, body = get("/jobs")
+        assert json.loads(body)["jobs"][0]["job"] == jid
+
+        _, body = get("/metrics")
+        assert b"gamer_frames_rendered 1" in body
+
+        # bad submissions / lookups
+        req = urllib.request.Request(base + "/render", data=b"not json",
+                                     method="POST")
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        get("/job/999", expect=404)
+        get("/nope", expect=404)
+
+        req = urllib.request.Request(base + "/job/999", method="DELETE")
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        httpd.shutdown()
+        httpd.service.stop()
