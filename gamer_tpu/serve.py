@@ -53,6 +53,10 @@ QUEUED, RUNNING, DONE, FAILED, ABORTED = (
     "queued", "running", "done", "failed", "aborted")
 
 
+class QueueFull(RuntimeError):
+    """Submission rejected by backpressure (RenderService max_queue)."""
+
+
 @dataclass
 class Job:
     id: int
@@ -95,14 +99,18 @@ class RenderService:
 
     batch_window_s: after picking up a job, wait this long for compatible
     requests to arrive before launching (0 = batch only what is already
-    queued). bands: progress granularity for single jobs.
+    queued). bands: progress granularity for single jobs. max_queue:
+    backpressure — submissions beyond this many queued jobs raise
+    QueueFull (HTTP 429) instead of growing the queue without bound.
     """
 
     def __init__(self, batch_window_s: float = 0.0, bands: int = 8,
-                 mesh=None, autostart: bool = True):
+                 mesh=None, autostart: bool = True,
+                 max_queue: Optional[int] = 256):
         self.batch_window_s = batch_window_s
         self.bands = bands
         self.mesh = mesh
+        self.max_queue = max_queue
         self.jobs: Dict[int, Job] = {}
         self._queue: deque[Job] = deque()
         self._cond = threading.Condition()
@@ -112,7 +120,7 @@ class RenderService:
         self.metrics = {
             "jobs_submitted": 0, "frames_rendered": 0, "jobs_failed": 0,
             "jobs_aborted": 0, "batches": 0, "batched_frames": 0,
-            "padded_frames": 0, "render_seconds": 0.0,
+            "padded_frames": 0, "jobs_rejected": 0, "render_seconds": 0.0,
             "started_at": time.time(),
         }
         # A TPU-runtime crash poisons the whole client process (tunneled
@@ -143,6 +151,10 @@ class RenderService:
         static, _ = flatten_scene(scene)  # validates; also the batching key
         key = (static, scene.config.size, scene.config.supersample)
         with self._cond:
+            if self.max_queue is not None and len(self._queue) >= self.max_queue:
+                self.metrics["jobs_rejected"] += 1
+                raise QueueFull(
+                    f"queue is full ({self.max_queue} jobs); retry later")
             job = Job(id=self._next_id, scene=scene, key=key)
             self._next_id += 1
             self.jobs[job.id] = job
@@ -351,6 +363,8 @@ def make_handler(service: RenderService):
                 scene = payload.get("scene", payload)
                 job_id = service.submit(scene)
                 self._json(202, {"job": job_id})
+            except QueueFull as e:
+                self._json(429, {"error": str(e)})
             except Exception as e:  # noqa: BLE001
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
 

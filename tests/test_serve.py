@@ -192,6 +192,21 @@ def test_render_failure_isolates_job(vortex_scene, monkeypatch):
         svc.stop()
 
 
+def test_queue_backpressure(vortex_scene):
+    from gamer_tpu.serve import QueueFull
+
+    svc = RenderService(autostart=False, max_queue=2)
+    try:
+        svc.submit(vortex_scene)
+        svc.submit(vortex_scene)
+        with pytest.raises(QueueFull, match="queue is full"):
+            svc.submit(vortex_scene)
+        assert svc.metrics["jobs_rejected"] == 1
+        assert svc.metrics["jobs_submitted"] == 2
+    finally:
+        svc.stop()
+
+
 def test_submit_rejects_invalid_payload():
     svc = RenderService(autostart=False)
     try:
