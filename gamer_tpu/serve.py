@@ -27,8 +27,11 @@ The JSON scene payload is the scene-dict API (scene.schema.scene_from_dict),
 so everything the CLI and library can render is servable. Endpoints:
 
   POST   /render            scene dict (or {"scene": {...}}) -> {"job": id}
+  POST   /flythrough        {"scene": {...}, "frames": N, "orbit_deg": D}
+                            -> orbit animation, ONE batched launch
   GET    /job/<id>          state/progress/timing
-  GET    /job/<id>/image.png  finished (or abort-partial) frame
+  GET    /job/<id>/image.png       finished (or abort-partial) frame
+  GET    /job/<id>/animation.gif   fly-through result
   DELETE /job/<id>          abort (between bands; queued jobs cancel)
   GET    /jobs              all jobs, newest first
   GET    /metrics           Prometheus text format
@@ -67,6 +70,9 @@ class Job:
     batched: bool = False
     error: Optional[str] = None
     image: Optional[np.ndarray] = None  # uint8 (size, size, 3); partial if aborted
+    frames: Optional[np.ndarray] = None  # uint8 (B, size, size, 3) fly-through
+    n_frames: int = 0    # >0 marks a fly-through job
+    orbit_deg: float = 360.0
     submitted: float = field(default_factory=time.time)
     started: Optional[float] = None
     finished: Optional[float] = None
@@ -78,6 +84,7 @@ class Job:
             "job": self.id, "state": self.state,
             "progress": round(self.progress, 4), "batched": self.batched,
             "error": self.error, "size": self.scene.config.size,
+            "frames": self.n_frames or None,
             "elapsed_s": round(end - (self.started or end), 4),
             "queued_s": round((self.started or end) - self.submitted, 4),
         }
@@ -156,6 +163,39 @@ class RenderService:
                 raise QueueFull(
                     f"queue is full ({self.max_queue} jobs); retry later")
             job = Job(id=self._next_id, scene=scene, key=key)
+            self._next_id += 1
+            self.jobs[job.id] = job
+            self._queue.append(job)
+            self.metrics["jobs_submitted"] += 1
+            self._cond.notify()
+        return job.id
+
+    def submit_flythrough(self, scene, n_frames: int,
+                          orbit_deg: float = 360.0) -> int:
+        """Queue an orbit fly-through: ``n_frames`` cameras around the
+        scene, rendered as ONE batched kernel launch (engine/batch) —
+        animation as a service. Returns the job id; the result is the
+        (B, size, size, 3) frame stack (GIF over HTTP)."""
+        from .engine.scene_prep import flatten_scene
+        from .scene.schema import Scene, scene_from_dict
+
+        if isinstance(scene, dict):
+            scene = scene_from_dict(scene)
+        if not isinstance(scene, Scene):
+            raise ValueError(f"expected Scene or scene dict, got {type(scene)}")
+        n_frames = int(n_frames)
+        if not 1 <= n_frames <= 1024:
+            raise ValueError(f"frames must be in [1, 1024], got {n_frames}")
+        flatten_scene(scene)  # validate at submission
+        with self._cond:
+            if self.max_queue is not None and len(self._queue) >= self.max_queue:
+                self.metrics["jobs_rejected"] += 1
+                raise QueueFull(
+                    f"queue is full ({self.max_queue} jobs); retry later")
+            # a unique key: a fly-through is already one batched launch and
+            # never merges with other requests
+            job = Job(id=self._next_id, scene=scene, key=("fly", self._next_id),
+                      n_frames=n_frames, orbit_deg=float(orbit_deg))
             self._next_id += 1
             self.jobs[job.id] = job
             self._queue.append(job)
@@ -270,7 +310,9 @@ class RenderService:
                 j.state = RUNNING
                 j.started = t0
             try:
-                if len(batch) > 1:
+                if head.n_frames > 0:
+                    self._render_flythrough(head)
+                elif len(batch) > 1:
                     self._render_batch(batch)
                 else:
                     self._render_single(head)
@@ -298,6 +340,18 @@ class RenderService:
             j.batched = True
             j.image = np.asarray(frame)
             self._finish(j, DONE)
+
+    def _render_flythrough(self, job: Job) -> None:
+        """One batched launch for the whole orbit (BASELINE config 4)."""
+        from .engine.batch import render_flythrough
+        from .scene.cameracontrols import orbit_path
+
+        cams = orbit_path(job.scene.camera, job.n_frames, job.orbit_deg)
+        job.frames = np.asarray(
+            render_flythrough(job.scene, cams, mesh=self.mesh))
+        job.image = job.frames[0]
+        self.metrics["frames_rendered"] += job.n_frames - 1  # +1 in _finish
+        self._finish(job, DONE)
 
     def _render_single(self, job: Job) -> None:
         from .engine.pallas_render import (render_progressive_pallas,
@@ -332,6 +386,16 @@ def _png(img: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
+def _gif(frames: np.ndarray, duration_ms: int = 80) -> bytes:
+    from PIL import Image
+
+    imgs = [Image.fromarray(f) for f in frames]
+    buf = io.BytesIO()
+    imgs[0].save(buf, format="GIF", save_all=True, duration=duration_ms,
+                 loop=0, append_images=imgs[1:])
+    return buf.getvalue()
+
+
 def make_handler(service: RenderService):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -355,13 +419,18 @@ def make_handler(service: RenderService):
 
         def do_POST(self):
             path = urllib.parse.urlparse(self.path).path
-            if path != "/render":
+            if path not in ("/render", "/flythrough"):
                 return self._json(404, {"error": "not found"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 scene = payload.get("scene", payload)
-                job_id = service.submit(scene)
+                if path == "/flythrough":
+                    job_id = service.submit_flythrough(
+                        scene, payload.get("frames", 16),
+                        payload.get("orbit_deg", 360.0))
+                else:
+                    job_id = service.submit(scene)
                 self._json(202, {"job": job_id})
             except QueueFull as e:
                 self._json(429, {"error": str(e)})
@@ -401,6 +470,15 @@ def make_handler(service: RenderService):
                 jobs = [j.info() for j in
                         sorted(service.jobs.values(), key=lambda j: -j.id)]
                 self._json(200, {"jobs": jobs})
+            elif path.startswith("/job/") and path.endswith("/animation.gif"):
+                job = self._job(path)
+                if job is None:
+                    self._json(404, {"error": "no such job"})
+                elif job.frames is None:
+                    self._json(409, {"error": f"job is {job.state} or not a "
+                                     "fly-through", **(job.info() if job else {})})
+                else:
+                    self._send(200, "image/gif", _gif(job.frames))
             elif path.startswith("/job/") and path.endswith("/image.png"):
                 job = self._job(path)
                 if job is None:

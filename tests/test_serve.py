@@ -192,6 +192,32 @@ def test_render_failure_isolates_job(vortex_scene, monkeypatch):
         svc.stop()
 
 
+def test_flythrough_job(vortex_scene):
+    """An orbit fly-through served as one batched launch; frames match the
+    direct render_flythrough call and the GIF encoder round-trips."""
+    from gamer_tpu.engine.batch import render_flythrough
+    from gamer_tpu.scene.cameracontrols import orbit_path
+    from gamer_tpu.serve import _gif
+
+    svc = RenderService()
+    try:
+        jid = svc.submit_flythrough(vortex_scene, 4, orbit_deg=120.0)
+        job = svc.wait(jid)
+        assert job.state == DONE, job.error
+        assert job.frames.shape == (4, 16, 16, 3)
+        assert job.n_frames == 4
+        direct = render_flythrough(
+            vortex_scene, orbit_path(vortex_scene.camera, 4, 120.0))
+        np.testing.assert_array_equal(job.frames, direct)
+        assert svc.metrics["frames_rendered"] == 4
+        gif = _gif(job.frames)
+        assert gif[:6] in (b"GIF87a", b"GIF89a")
+        with pytest.raises(ValueError, match="frames"):
+            svc.submit_flythrough(vortex_scene, 0)
+    finally:
+        svc.stop()
+
+
 def test_queue_backpressure(vortex_scene):
     from gamer_tpu.serve import QueueFull
 
