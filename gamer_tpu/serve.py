@@ -323,6 +323,16 @@ class RenderService:
                         self._finish(j, FAILED, f"{type(e).__name__}: {e}")
             self.metrics["render_seconds"] += time.time() - t0
 
+    def _batch_mesh(self):
+        """The service mesh re-axed for batched work: frames are
+        independent, so batches shard the BATCH axis over the same devices
+        the single-frame path row-shards over."""
+        if self.mesh is None:
+            return None
+        from .engine.batch import make_batch_mesh
+
+        return make_batch_mesh(np.asarray(self.mesh.devices).reshape(-1))
+
     def _render_batch(self, batch: List[Job]) -> None:
         """One device launch for every compatible queued request, padded to
         a power-of-two bucket so batch sizes reuse compiled executables."""
@@ -333,7 +343,7 @@ class RenderService:
         bucket = _bucket(len(scenes), multiple_of=n_dev)
         self.metrics["padded_frames"] += bucket - len(scenes)
         scenes = scenes + [scenes[-1]] * (bucket - len(scenes))
-        frames = render_batch(scenes, mesh=self.mesh)
+        frames = render_batch(scenes, mesh=self._batch_mesh())
         self.metrics["batches"] += 1
         self.metrics["batched_frames"] += len(batch)
         for j, frame in zip(batch, frames):
@@ -347,8 +357,11 @@ class RenderService:
         from .scene.cameracontrols import orbit_path
 
         cams = orbit_path(job.scene.camera, job.n_frames, job.orbit_deg)
+        mesh = self._batch_mesh()
+        if mesh is not None and job.n_frames % mesh.devices.size:
+            mesh = None  # an indivisible orbit renders single-device
         job.frames = np.asarray(
-            render_flythrough(job.scene, cams, mesh=self.mesh))
+            render_flythrough(job.scene, cams, mesh=mesh))
         job.image = job.frames[0]
         self.metrics["frames_rendered"] += job.n_frames - 1  # +1 in _finish
         self._finish(job, DONE)

@@ -192,6 +192,34 @@ def test_render_failure_isolates_job(vortex_scene, monkeypatch):
         svc.stop()
 
 
+def test_service_over_device_mesh(vortex_scene):
+    """RenderService(mesh=...) serves through the multi-chip paths: single
+    jobs row-shard the frame, batches pad to a multiple of the mesh."""
+    import dataclasses
+
+    from gamer_tpu.parallel import make_pixel_mesh
+
+    svc = RenderService(autostart=False, mesh=make_pixel_mesh())
+    try:
+        # batch: 3 compatible requests pad to the 8-device bucket
+        cams = orbit_path(vortex_scene.camera, 3, horizontal_deg=60.0)
+        jids = [svc.submit(dataclasses.replace(vortex_scene, camera=c))
+                for c in cams]
+        svc.start()
+        jobs = [svc.wait(j) for j in jids]
+        assert all(j.state == DONE for j in jobs), [j.error for j in jobs]
+        assert all(j.batched for j in jobs)
+        assert svc.metrics["padded_frames"] == 5  # bucket 8, 3 live
+        assert jobs[0].image.shape == (16, 16, 3)
+        # single job: the frame's rows sharded across the mesh
+        js = svc.submit(vortex_scene)
+        job = svc.wait(js)
+        assert job.state == DONE, job.error
+        assert int(job.image.sum()) > 0
+    finally:
+        svc.stop()
+
+
 def test_flythrough_job(vortex_scene):
     """An orbit fly-through served as one batched launch; frames match the
     direct render_flythrough call and the GIF encoder round-trips."""
