@@ -29,6 +29,9 @@ so everything the CLI and library can render is servable. Endpoints:
   POST   /render            scene dict (or {"scene": {...}}) -> {"job": id}
   POST   /flythrough        {"scene": {...}, "frames": N, "orbit_deg": D}
                             -> orbit animation, ONE batched launch
+  POST   /morph             {"scene": {...}, "target_galaxy": {...},
+                            "frames": N, "ease": "smoothstep"|"linear"}
+                            -> parameter-space morph animation
   GET    /job/<id>          state/progress/timing
   GET    /job/<id>/image.png       finished (or abort-partial) frame
   GET    /job/<id>/animation.gif   fly-through result
@@ -70,9 +73,9 @@ class Job:
     batched: bool = False
     error: Optional[str] = None
     image: Optional[np.ndarray] = None  # uint8 (size, size, 3); partial if aborted
-    frames: Optional[np.ndarray] = None  # uint8 (B, size, size, 3) fly-through
-    n_frames: int = 0    # >0 marks a fly-through job
-    orbit_deg: float = 360.0
+    frames: Optional[np.ndarray] = None  # uint8 (B, size, size, 3) animation
+    anim_scenes: Optional[list] = None  # per-frame Scenes (fly-through/morph)
+    n_frames: int = 0    # >0 marks an animation job
     submitted: float = field(default_factory=time.time)
     started: Optional[float] = None
     finished: Optional[float] = None
@@ -170,38 +173,74 @@ class RenderService:
             self._cond.notify()
         return job.id
 
-    def submit_flythrough(self, scene, n_frames: int,
-                          orbit_deg: float = 360.0) -> int:
-        """Queue an orbit fly-through: ``n_frames`` cameras around the
-        scene, rendered as ONE batched kernel launch (engine/batch) —
-        animation as a service. Returns the job id; the result is the
-        (B, size, size, 3) frame stack (GIF over HTTP)."""
-        from .engine.scene_prep import flatten_scene
+    def _coerce_scene(self, scene):
         from .scene.schema import Scene, scene_from_dict
 
         if isinstance(scene, dict):
             scene = scene_from_dict(scene)
         if not isinstance(scene, Scene):
             raise ValueError(f"expected Scene or scene dict, got {type(scene)}")
-        n_frames = int(n_frames)
-        if not 1 <= n_frames <= 1024:
-            raise ValueError(f"frames must be in [1, 1024], got {n_frames}")
-        flatten_scene(scene)  # validate at submission
+        return scene
+
+    def _enqueue_animation(self, scene, anim_scenes: list) -> int:
+        from .engine.scene_prep import flatten_scene
+
+        flatten_scene(anim_scenes[0])  # validate at submission
         with self._cond:
             if self.max_queue is not None and len(self._queue) >= self.max_queue:
                 self.metrics["jobs_rejected"] += 1
                 raise QueueFull(
                     f"queue is full ({self.max_queue} jobs); retry later")
-            # a unique key: a fly-through is already one batched launch and
+            # a unique key: an animation is already one batched launch and
             # never merges with other requests
-            job = Job(id=self._next_id, scene=scene, key=("fly", self._next_id),
-                      n_frames=n_frames, orbit_deg=float(orbit_deg))
+            job = Job(id=self._next_id, scene=scene,
+                      key=("anim", self._next_id), anim_scenes=anim_scenes,
+                      n_frames=len(anim_scenes))
             self._next_id += 1
             self.jobs[job.id] = job
             self._queue.append(job)
             self.metrics["jobs_submitted"] += 1
             self._cond.notify()
         return job.id
+
+    def submit_flythrough(self, scene, n_frames: int,
+                          orbit_deg: float = 360.0) -> int:
+        """Queue an orbit fly-through: ``n_frames`` cameras around the
+        scene, rendered as ONE batched kernel launch (engine/batch) —
+        animation as a service. Returns the job id; the result is the
+        (B, size, size, 3) frame stack (GIF over HTTP)."""
+        import dataclasses
+
+        from .scene.cameracontrols import orbit_path
+
+        scene = self._coerce_scene(scene)
+        n_frames = int(n_frames)
+        if not 1 <= n_frames <= 1024:
+            raise ValueError(f"frames must be in [1, 1024], got {n_frames}")
+        cams = orbit_path(scene.camera, n_frames, float(orbit_deg))
+        return self._enqueue_animation(
+            scene, [dataclasses.replace(scene, camera=c) for c in cams])
+
+    def submit_morph(self, scene, target_galaxy, n_frames: int,
+                     ease: str = "smoothstep") -> int:
+        """Queue a parameter-space morph of the scene's galaxy toward
+        ``target_galaxy`` (a GalaxyData or galaxy dict): ``n_frames``
+        interpolated scenes rendered as ONE batched launch. Structure
+        incompatibility is rejected at submission (scene/morph.py)."""
+        from .scene.morph import morph_scenes
+        from .scene.schema import GalaxyData, galaxy_from_dict
+
+        scene = self._coerce_scene(scene)
+        if isinstance(target_galaxy, dict):
+            target_galaxy = galaxy_from_dict(target_galaxy)
+        if not isinstance(target_galaxy, GalaxyData):
+            raise ValueError(
+                f"expected GalaxyData or galaxy dict, got {type(target_galaxy)}")
+        n_frames = int(n_frames)
+        if not 2 <= n_frames <= 1024:
+            raise ValueError(f"frames must be in [2, 1024], got {n_frames}")
+        return self._enqueue_animation(
+            scene, morph_scenes(scene, target_galaxy, n_frames, ease))
 
     def abort(self, job_id: int) -> bool:
         """Request cancellation. Queued jobs cancel immediately; a running
@@ -310,8 +349,8 @@ class RenderService:
                 j.state = RUNNING
                 j.started = t0
             try:
-                if head.n_frames > 0:
-                    self._render_flythrough(head)
+                if head.anim_scenes is not None:
+                    self._render_animation(head)
                 elif len(batch) > 1:
                     self._render_batch(batch)
                 else:
@@ -351,17 +390,19 @@ class RenderService:
             j.image = np.asarray(frame)
             self._finish(j, DONE)
 
-    def _render_flythrough(self, job: Job) -> None:
-        """One batched launch for the whole orbit (BASELINE config 4)."""
-        from .engine.batch import render_flythrough
-        from .scene.cameracontrols import orbit_path
+    def _render_animation(self, job: Job) -> None:
+        """One batched launch for a whole fly-through/morph (BASELINE
+        config 4), padded to the power-of-two bucket like request batches
+        (the bucket is a multiple of the mesh, so sharding always tiles)."""
+        from .engine.batch import render_batch
 
-        cams = orbit_path(job.scene.camera, job.n_frames, job.orbit_deg)
-        mesh = self._batch_mesh()
-        if mesh is not None and job.n_frames % mesh.devices.size:
-            mesh = None  # an indivisible orbit renders single-device
-        job.frames = np.asarray(
-            render_flythrough(job.scene, cams, mesh=mesh))
+        n_dev = 1 if self.mesh is None else int(self.mesh.devices.size)
+        scenes = list(job.anim_scenes)
+        bucket = _bucket(len(scenes), multiple_of=n_dev)
+        self.metrics["padded_frames"] += bucket - len(scenes)
+        scenes = scenes + [scenes[-1]] * (bucket - len(scenes))
+        frames = np.asarray(render_batch(scenes, mesh=self._batch_mesh()))
+        job.frames = frames[: job.n_frames]
         job.image = job.frames[0]
         self.metrics["frames_rendered"] += job.n_frames - 1  # +1 in _finish
         self._finish(job, DONE)
@@ -432,7 +473,7 @@ def make_handler(service: RenderService):
 
         def do_POST(self):
             path = urllib.parse.urlparse(self.path).path
-            if path not in ("/render", "/flythrough"):
+            if path not in ("/render", "/flythrough", "/morph"):
                 return self._json(404, {"error": "not found"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
@@ -442,6 +483,11 @@ def make_handler(service: RenderService):
                     job_id = service.submit_flythrough(
                         scene, payload.get("frames", 16),
                         payload.get("orbit_deg", 360.0))
+                elif path == "/morph":
+                    job_id = service.submit_morph(
+                        scene, payload.get("target_galaxy"),
+                        payload.get("frames", 16),
+                        payload.get("ease", "smoothstep"))
                 else:
                     job_id = service.submit(scene)
                 self._json(202, {"job": job_id})

@@ -246,6 +246,38 @@ def test_flythrough_job(vortex_scene):
         svc.stop()
 
 
+def test_morph_job(vortex_scene):
+    """A parameter-space morph served as one batched launch; incompatible
+    structures are rejected at submission."""
+    import copy
+
+    from gamer_tpu.engine.batch import render_batch
+    from gamer_tpu.scene.morph import morph_scenes
+
+    target = copy.deepcopy(vortex_scene.instances[0].galaxy)
+    for c in target.components:
+        c.strength *= 1.6
+    svc = RenderService()
+    try:
+        jid = svc.submit_morph(vortex_scene, target, 3)
+        job = svc.wait(jid)
+        assert job.state == DONE, job.error
+        assert job.frames.shape == (3, 16, 16, 3)
+        assert svc.metrics["padded_frames"] == 1  # bucket 4, 3 live frames
+        scenes = morph_scenes(vortex_scene, target, 3)
+        direct = render_batch(scenes + [scenes[-1]])[:3]
+        np.testing.assert_array_equal(job.frames, direct)
+        # endpoints differ, so the animation actually morphs
+        assert not np.array_equal(job.frames[0], job.frames[-1])
+
+        bad = copy.deepcopy(target)
+        bad.components = bad.components[:1]
+        with pytest.raises(ValueError, match="morph-compatible"):
+            svc.submit_morph(vortex_scene, bad, 3)
+    finally:
+        svc.stop()
+
+
 def test_queue_backpressure(vortex_scene):
     from gamer_tpu.serve import QueueFull
 
