@@ -209,6 +209,12 @@ def _optimize(loss_fn, params, mask, *, steps, lr, optimizer, on_step,
                              best_params)
         if resumed is not None:
             start, params, opt_state, losses, best_loss, best_params = resumed
+            if start > steps:
+                raise ValueError(
+                    f"checkpoint {checkpoint_path} already holds {start} "
+                    f"steps but only {steps} were requested — increase "
+                    f"steps to extend the run, or delete the checkpoint "
+                    f"to start over")
     for i in range(start, steps):
         new_params, opt_state, loss = step_fn(params, opt_state)
         losses.append(float(loss))
@@ -232,16 +238,18 @@ def _optimize(loss_fn, params, mask, *, steps, lr, optimizer, on_step,
 
 
 def _fit_fingerprint(kind: str, fit_fields, lr, march, size, params,
-                     target, extra: str = "") -> str:
+                     target, extra: str = "", aux=()) -> str:
     """Identity of a fit setup for checkpoint-resume validation: the same
     (loss surface, fitted leaves, step rule) — steps excluded so a resume
     may extend a run. ``extra`` carries per-call loss-shape knobs (pool,
-    noise LOD) that distinguish multiscale rungs."""
+    noise LOD); ``aux`` carries every remaining numeric input of the loss
+    (camera pose, step sizes, post knobs, trip bound, held-constant galaxy
+    params) so a checkpoint cannot silently resume a DIFFERENT problem."""
     import hashlib
 
     h = hashlib.sha256()
-    for leaf in jax.tree_util.tree_leaves(params):
-        h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+    for leaf in jax.tree_util.tree_leaves((params, list(aux))):
+        h.update(np.ascontiguousarray(np.asarray(leaf, np.float64)).tobytes())
     h.update(np.ascontiguousarray(np.asarray(target)).tobytes())
     return (f"{kind}|{','.join(sorted(fit_fields))}|{lr:g}|{march}|{size}|"
             f"{extra}|{h.hexdigest()[:16]}")
@@ -450,7 +458,10 @@ def fit_scene(
         checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
         fingerprint=_fit_fingerprint(
             "scene", fit_fields, lr, march, size, params, target,
-            extra=f"pool{pool}|lod{cfg.noise_octaves}"),
+            extra=f"pool{pool}|lod{cfg.noise_octaves}",
+            aux=(scene.camera.camera, scene.camera.target, scene.camera.up,
+                 scene.camera.fov, cfg.ray_step, cfg.min_ray_step,
+                 cfg.exposure, cfg.gamma, cfg.saturation, trip_bound)),
     )
 
     fitted = jax.tree_util.tree_map(np.asarray, best_params)
@@ -595,8 +606,13 @@ def fit_pose(
         on_step=on_step, project_fn=project,
         checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
         fingerprint=_fit_fingerprint(
-            "pose", fit_fields, lr, march, size, pose, target,
-            extra=f"pool{pool}|lod{cfg.noise_octaves}|norm{int(normalize)}"),
+            "pose", fit_fields, lr, march, size,
+            # the held-constant galaxy params ARE the pose loss surface —
+            # a checkpoint from a different .gax must not resume
+            {"pose": pose, "galaxy": gal_params}, target,
+            extra=f"pool{pool}|lod{cfg.noise_octaves}|norm{int(normalize)}",
+            aux=(scene.camera.up, cfg.ray_step, cfg.min_ray_step,
+                 cfg.exposure, cfg.gamma, cfg.saturation, trip_bound)),
     )
 
     fitted_pose = jax.tree_util.tree_map(np.asarray, best_pose)

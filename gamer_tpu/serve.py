@@ -94,13 +94,14 @@ class Job:
 
 
 def _bucket(n: int, multiple_of: int = 1) -> int:
-    """Smallest power-of-two >= n that is a multiple of ``multiple_of``."""
+    """Smallest (power-of-two x multiple_of) >= n: few distinct shapes (so
+    compiled executables are reused) that always tile a ``multiple_of``-way
+    mesh — including non-power-of-two meshes (e.g. 24 devices)."""
+    units = -(-n // multiple_of)
     b = 1
-    while b < n:
+    while b < units:
         b *= 2
-    while b % multiple_of:
-        b *= 2
-    return b
+    return b * multiple_of
 
 
 class RenderService:
@@ -112,15 +113,21 @@ class RenderService:
     queued). bands: progress granularity for single jobs. max_queue:
     backpressure — submissions beyond this many queued jobs raise
     QueueFull (HTTP 429) instead of growing the queue without bound.
+    max_finished: finished jobs retained for retrieval; beyond that the
+    oldest finished job (and its frame buffers) is evicted — a long-running
+    service must not grow ~MB per served frame forever.
     """
 
     def __init__(self, batch_window_s: float = 0.0, bands: int = 8,
                  mesh=None, autostart: bool = True,
-                 max_queue: Optional[int] = 256):
+                 max_queue: Optional[int] = 256,
+                 max_finished: Optional[int] = 512):
         self.batch_window_s = batch_window_s
         self.bands = bands
         self.mesh = mesh
         self.max_queue = max_queue
+        self.max_finished = max_finished
+        self._finished_order: deque[int] = deque()
         self.jobs: Dict[int, Job] = {}
         self._queue: deque[Job] = deque()
         self._cond = threading.Condition()
@@ -130,8 +137,8 @@ class RenderService:
         self.metrics = {
             "jobs_submitted": 0, "frames_rendered": 0, "jobs_failed": 0,
             "jobs_aborted": 0, "batches": 0, "batched_frames": 0,
-            "padded_frames": 0, "jobs_rejected": 0, "render_seconds": 0.0,
-            "started_at": time.time(),
+            "padded_frames": 0, "jobs_rejected": 0, "jobs_evicted": 0,
+            "render_seconds": 0.0, "started_at": time.time(),
         }
         # A TPU-runtime crash poisons the whole client process (tunneled
         # workers especially — see bench.py's subprocess isolation): after
@@ -152,20 +159,20 @@ class RenderService:
         scene — invalid requests fail at submission, not on the worker.
         """
         from .engine.scene_prep import flatten_scene
-        from .scene.schema import Scene, scene_from_dict
 
-        if isinstance(scene, dict):
-            scene = scene_from_dict(scene)
-        if not isinstance(scene, Scene):
-            raise ValueError(f"expected Scene or scene dict, got {type(scene)}")
+        scene = self._coerce_scene(scene)
         static, _ = flatten_scene(scene)  # validates; also the batching key
         key = (static, scene.config.size, scene.config.supersample)
+        return self._enqueue(Job(id=0, scene=scene, key=key))
+
+    def _enqueue(self, job: Job) -> int:
+        """Backpressure check + id allocation + FIFO append, under the lock."""
         with self._cond:
             if self.max_queue is not None and len(self._queue) >= self.max_queue:
                 self.metrics["jobs_rejected"] += 1
                 raise QueueFull(
                     f"queue is full ({self.max_queue} jobs); retry later")
-            job = Job(id=self._next_id, scene=scene, key=key)
+            job.id = self._next_id
             self._next_id += 1
             self.jobs[job.id] = job
             self._queue.append(job)
@@ -186,22 +193,11 @@ class RenderService:
         from .engine.scene_prep import flatten_scene
 
         flatten_scene(anim_scenes[0])  # validate at submission
-        with self._cond:
-            if self.max_queue is not None and len(self._queue) >= self.max_queue:
-                self.metrics["jobs_rejected"] += 1
-                raise QueueFull(
-                    f"queue is full ({self.max_queue} jobs); retry later")
-            # a unique key: an animation is already one batched launch and
-            # never merges with other requests
-            job = Job(id=self._next_id, scene=scene,
-                      key=("anim", self._next_id), anim_scenes=anim_scenes,
-                      n_frames=len(anim_scenes))
-            self._next_id += 1
-            self.jobs[job.id] = job
-            self._queue.append(job)
-            self.metrics["jobs_submitted"] += 1
-            self._cond.notify()
-        return job.id
+        # a unique key: an animation is already one batched launch and
+        # never merges with other requests
+        return self._enqueue(Job(id=0, scene=scene, key=("anim", object()),
+                                 anim_scenes=anim_scenes,
+                                 n_frames=len(anim_scenes)))
 
     def submit_flythrough(self, scene, n_frames: int,
                           orbit_deg: float = 360.0) -> int:
@@ -300,17 +296,29 @@ class RenderService:
             self._worker.join(timeout)
 
     def _finish(self, job: Job, state: str, error: str | None = None) -> None:
-        job.state = state
-        job.error = error
-        job.finished = time.time()
-        if state == DONE:
-            job.progress = 1.0
-            self.metrics["frames_rendered"] += 1
-            self.consecutive_failures = 0
-        elif state == FAILED:
-            self.metrics["jobs_failed"] += 1
-        elif state == ABORTED:
-            self.metrics["jobs_aborted"] += 1
+        # under the lock: called from the worker AND from abort() on HTTP
+        # handler threads (Condition wraps an RLock, so the abort() caller
+        # that already holds it re-enters safely); counter += is a
+        # read-modify-write that would lose updates unsynchronized
+        with self._cond:
+            job.state = state
+            job.error = error
+            job.finished = time.time()
+            if state == DONE:
+                job.progress = 1.0
+                self.metrics["frames_rendered"] += 1
+                self.consecutive_failures = 0
+            elif state == FAILED:
+                self.metrics["jobs_failed"] += 1
+            elif state == ABORTED:
+                self.metrics["jobs_aborted"] += 1
+            # bounded retention: evict the oldest finished job beyond the
+            # cap, frame buffers included
+            self._finished_order.append(job.id)
+            while (self.max_finished is not None
+                   and len(self._finished_order) > self.max_finished):
+                self.jobs.pop(self._finished_order.popleft(), None)
+                self.metrics["jobs_evicted"] += 1
 
     def healthy(self) -> bool:
         return self.consecutive_failures < self.max_consecutive_failures
@@ -341,7 +349,9 @@ class RenderService:
             if head.abort.is_set():
                 self._finish(head, ABORTED)
                 continue
-            if self.batch_window_s > 0:
+            if self.batch_window_s > 0 and head.anim_scenes is None:
+                # animations never merge with other requests — don't pay
+                # the batching window for them
                 time.sleep(self.batch_window_s)
             batch = self._drain_compatible(head)
             t0 = time.time()
@@ -356,11 +366,13 @@ class RenderService:
                 else:
                     self._render_single(head)
             except Exception as e:  # noqa: BLE001 — job isolation
-                self.consecutive_failures += 1
+                with self._cond:
+                    self.consecutive_failures += 1
                 for j in batch:
                     if j.state == RUNNING:
                         self._finish(j, FAILED, f"{type(e).__name__}: {e}")
-            self.metrics["render_seconds"] += time.time() - t0
+            with self._cond:
+                self.metrics["render_seconds"] += time.time() - t0
 
     def _batch_mesh(self):
         """The service mesh re-axed for batched work: frames are
@@ -380,11 +392,12 @@ class RenderService:
         n_dev = 1 if self.mesh is None else int(self.mesh.devices.size)
         scenes = [j.scene for j in batch]
         bucket = _bucket(len(scenes), multiple_of=n_dev)
-        self.metrics["padded_frames"] += bucket - len(scenes)
         scenes = scenes + [scenes[-1]] * (bucket - len(scenes))
         frames = render_batch(scenes, mesh=self._batch_mesh())
-        self.metrics["batches"] += 1
-        self.metrics["batched_frames"] += len(batch)
+        with self._cond:
+            self.metrics["padded_frames"] += bucket - len(batch)
+            self.metrics["batches"] += 1
+            self.metrics["batched_frames"] += len(batch)
         for j, frame in zip(batch, frames):
             j.batched = True
             j.image = np.asarray(frame)
@@ -399,12 +412,13 @@ class RenderService:
         n_dev = 1 if self.mesh is None else int(self.mesh.devices.size)
         scenes = list(job.anim_scenes)
         bucket = _bucket(len(scenes), multiple_of=n_dev)
-        self.metrics["padded_frames"] += bucket - len(scenes)
         scenes = scenes + [scenes[-1]] * (bucket - len(scenes))
         frames = np.asarray(render_batch(scenes, mesh=self._batch_mesh()))
         job.frames = frames[: job.n_frames]
         job.image = job.frames[0]
-        self.metrics["frames_rendered"] += job.n_frames - 1  # +1 in _finish
+        with self._cond:
+            self.metrics["padded_frames"] += bucket - job.n_frames
+            self.metrics["frames_rendered"] += job.n_frames - 1  # +1 in _finish
         self._finish(job, DONE)
 
     def _render_single(self, job: Job) -> None:

@@ -411,6 +411,20 @@ def test_fit_checkpoint_rejects_mismatched_setup(tmp_path):
     with pytest.raises(ValueError, match="different fit"):
         gfit.fit_scene(scene, target, fit_fields=("strength",),
                        steps=1, lr=1e-2, checkpoint_path=ckpt)
+    # a changed CAMERA is a different loss surface too (the fingerprint
+    # covers every numeric input, not just the fitted leaves)
+    import dataclasses
+
+    moved = dataclasses.replace(
+        scene, camera=dataclasses.replace(scene.camera, camera=(0.6, 0, 0)))
+    with pytest.raises(ValueError, match="different fit"):
+        gfit.fit_scene(moved, target, fit_fields=("strength",),
+                       steps=1, lr=5e-2, checkpoint_path=ckpt)
+    # shrinking steps below the checkpoint is an error, not a silent
+    # return of the longer run
+    with pytest.raises(ValueError, match="already holds"):
+        gfit.fit_scene(scene, target, fit_fields=("strength",),
+                       steps=0, lr=5e-2, checkpoint_path=ckpt)
 
 
 def test_fit_pose_checkpoint_resume(tmp_path):

@@ -34,6 +34,10 @@ def test_bucket_padding():
     assert [_bucket(n) for n in (1, 2, 3, 5, 8, 9)] == [1, 2, 4, 8, 8, 16]
     assert _bucket(3, multiple_of=8) == 8
     assert _bucket(9, multiple_of=8) == 16
+    # non-power-of-two meshes (e.g. 3x8 = 24 devices) must terminate and tile
+    assert _bucket(5, multiple_of=3) == 6
+    assert _bucket(24, multiple_of=24) == 24
+    assert _bucket(25, multiple_of=24) == 48
 
 
 def test_single_job_lifecycle(vortex_scene):
@@ -301,6 +305,23 @@ def test_submit_rejects_invalid_payload():
         with pytest.raises(ValueError):
             svc.submit(42)
         assert svc.metrics["jobs_submitted"] == 0
+    finally:
+        svc.stop()
+
+
+def test_finished_job_eviction(vortex_scene):
+    """Bounded retention: a long-running service evicts the oldest finished
+    job (and its frame buffers) beyond max_finished."""
+    svc = RenderService(max_finished=2)
+    try:
+        jids = []
+        for _ in range(3):  # sequential: wait each out so none batch
+            jid = svc.submit(vortex_scene)
+            assert svc.wait(jid).state == DONE
+            jids.append(jid)
+        assert jids[0] not in svc.jobs
+        assert jids[1] in svc.jobs and jids[2] in svc.jobs
+        assert svc.metrics["jobs_evicted"] == 1
     finally:
         svc.stop()
 
