@@ -32,6 +32,11 @@ so everything the CLI and library can render is servable. Endpoints:
   POST   /morph             {"scene": {...}, "target_galaxy": {...},
                             "frames": N, "ease": "smoothstep"|"linear"}
                             -> parameter-space morph animation
+  POST   /fit               {"scene": {...}, "target_png": base64,
+                            "fields": [...], "steps": N, "lr": x,
+                            "multiscale": bool} -> inverse rendering:
+                            gradient-fit the galaxy to the target image
+  GET    /job/<id>/result.json     fitted scene dict + loss trace
   GET    /job/<id>          state/progress/timing
   GET    /job/<id>/image.png       finished (or abort-partial) frame
   GET    /job/<id>/animation.gif   fly-through result
@@ -76,6 +81,8 @@ class Job:
     frames: Optional[np.ndarray] = None  # uint8 (B, size, size, 3) animation
     anim_scenes: Optional[list] = None  # per-frame Scenes (fly-through/morph)
     n_frames: int = 0    # >0 marks an animation job
+    fit_spec: Optional[dict] = None     # inverse-rendering job parameters
+    fit_result: Optional[dict] = None   # fitted scene dict + loss trace
     submitted: float = field(default_factory=time.time)
     started: Optional[float] = None
     finished: Optional[float] = None
@@ -238,6 +245,50 @@ class RenderService:
         return self._enqueue_animation(
             scene, morph_scenes(scene, target_galaxy, n_frames, ease))
 
+    def submit_fit(self, scene, target_image, fit_fields=("strength", "r0", "z0"),
+                   steps: int = 100, lr: float = 2e-2,
+                   multiscale: bool = False) -> int:
+        """Queue an inverse-rendering fit: optimize ``fit_fields`` of the
+        scene's galaxy until its render matches ``target_image`` (a
+        (size, size, 3) uint8 array, or base64-encoded PNG over HTTP) —
+        training as a service, with per-step progress on the job. The
+        result is the fitted scene dict + loss trace (GET
+        /job/<id>/result.json) and a render of the fitted scene
+        (/image.png)."""
+        import base64
+        import io as _io
+
+        scene = self._coerce_scene(scene)
+        if isinstance(target_image, str):
+            from PIL import Image
+
+            target_image = np.asarray(Image.open(
+                _io.BytesIO(base64.b64decode(target_image))).convert("RGB"))
+        target_image = np.asarray(target_image)
+        size = scene.config.size
+        if target_image.shape != (size, size, 3):
+            raise ValueError(
+                f"target image must be ({size}, {size}, 3) to match the "
+                f"scene size, got {target_image.shape}")
+        steps = int(steps)
+        if not 1 <= steps <= 100_000:
+            raise ValueError(f"steps must be in [1, 100000], got {steps}")
+        fit_fields = tuple(fit_fields)
+        from .engine.fit import FITTABLE_FIELDS
+
+        unknown = set(fit_fields) - set(FITTABLE_FIELDS)
+        if unknown:
+            raise ValueError(f"unknown fit fields {sorted(unknown)}")
+        from .engine.fit import _reject_supersample
+        from .engine.scene_prep import flatten_scene
+
+        flatten_scene(scene)  # validate at submission
+        _reject_supersample(scene, "submit_fit")
+        spec = dict(target=target_image, fit_fields=fit_fields, steps=steps,
+                    lr=float(lr), multiscale=bool(multiscale))
+        return self._enqueue(Job(id=0, scene=scene, key=("fit", object()),
+                                 fit_spec=spec))
+
     def abort(self, job_id: int) -> bool:
         """Request cancellation. Queued jobs cancel immediately; a running
         single job stops at the next band boundary (keeping the partial
@@ -359,7 +410,9 @@ class RenderService:
                 j.state = RUNNING
                 j.started = t0
             try:
-                if head.anim_scenes is not None:
+                if head.fit_spec is not None:
+                    self._run_fit(head)
+                elif head.anim_scenes is not None:
                     self._render_animation(head)
                 elif len(batch) > 1:
                     self._render_batch(batch)
@@ -419,6 +472,31 @@ class RenderService:
         with self._cond:
             self.metrics["padded_frames"] += bucket - job.n_frames
             self.metrics["frames_rendered"] += job.n_frames - 1  # +1 in _finish
+        self._finish(job, DONE)
+
+    def _run_fit(self, job: Job) -> None:
+        """Inverse rendering on the worker: gradient steps with per-step
+        progress; the fitted scene dict + loss trace is the result, plus a
+        render of the fitted scene for /image.png."""
+        from .engine.fit import fit_scene, fit_scene_multiscale
+        from .engine.pallas_render import render_scene_pallas
+        from .scene.schema import scene_to_dict
+
+        spec = job.fit_spec
+        total = spec["steps"] * (3 if spec["multiscale"] else 1)
+
+        def on_step(i, loss):
+            job.progress = min(1.0, (i + 1) / total)
+
+        fitter = fit_scene_multiscale if spec["multiscale"] else fit_scene
+        result = fitter(job.scene, spec["target"], spec["fit_fields"],
+                        steps=spec["steps"], lr=spec["lr"], on_step=on_step)
+        job.fit_result = {
+            "scene": scene_to_dict(result.scene),
+            "losses": [float(v) for v in result.losses],
+            "fit_fields": list(result.fit_fields),
+        }
+        job.image = np.asarray(render_scene_pallas(result.scene))
         self._finish(job, DONE)
 
     def _render_single(self, job: Job) -> None:
@@ -487,7 +565,7 @@ def make_handler(service: RenderService):
 
         def do_POST(self):
             path = urllib.parse.urlparse(self.path).path
-            if path not in ("/render", "/flythrough", "/morph"):
+            if path not in ("/render", "/flythrough", "/morph", "/fit"):
                 return self._json(404, {"error": "not found"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
@@ -502,6 +580,13 @@ def make_handler(service: RenderService):
                         scene, payload.get("target_galaxy"),
                         payload.get("frames", 16),
                         payload.get("ease", "smoothstep"))
+                elif path == "/fit":
+                    job_id = service.submit_fit(
+                        scene, payload.get("target_png"),
+                        tuple(payload.get("fields",
+                                          ("strength", "r0", "z0"))),
+                        payload.get("steps", 100), payload.get("lr", 2e-2),
+                        payload.get("multiscale", False))
                 else:
                     job_id = service.submit(scene)
                 self._json(202, {"job": job_id})
@@ -543,6 +628,15 @@ def make_handler(service: RenderService):
                 jobs = [j.info() for j in
                         sorted(service.jobs.values(), key=lambda j: -j.id)]
                 self._json(200, {"jobs": jobs})
+            elif path.startswith("/job/") and path.endswith("/result.json"):
+                job = self._job(path)
+                if job is None:
+                    self._json(404, {"error": "no such job"})
+                elif job.fit_result is None:
+                    self._json(409, {"error": f"job is {job.state} or not "
+                                     "a fit", **(job.info() if job else {})})
+                else:
+                    self._json(200, job.fit_result)
             elif path.startswith("/job/") and path.endswith("/animation.gif"):
                 job = self._job(path)
                 if job is None:

@@ -282,6 +282,38 @@ def test_morph_job(vortex_scene):
         svc.stop()
 
 
+def test_fit_job(vortex_scene):
+    """Inverse rendering as a service: the fitted scene descends the loss
+    and round-trips through the result dict."""
+    import copy
+
+    from gamer_tpu.engine.render import render_scene
+    from gamer_tpu.scene.schema import scene_from_dict
+
+    target_img = render_scene(vortex_scene)
+    start = copy.deepcopy(vortex_scene)
+    start.instances[0].galaxy.components[0].strength *= 0.5
+
+    svc = RenderService()
+    try:
+        jid = svc.submit_fit(start, target_img, ("strength",), steps=3,
+                             lr=5e-2)
+        job = svc.wait(jid, timeout=900)
+        assert job.state == DONE, job.error
+        res = job.fit_result
+        assert res["fit_fields"] == ["strength"]
+        assert len(res["losses"]) == 4  # 3 steps + final evaluation
+        assert res["losses"][-1] < res["losses"][0]
+        assert scene_from_dict(res["scene"]).config.size == 16
+        assert job.image.shape == (16, 16, 3)  # render of the fitted scene
+        with pytest.raises(ValueError, match="unknown fit fields"):
+            svc.submit_fit(start, target_img, ("orientation",), steps=1)
+        with pytest.raises(ValueError, match="target image"):
+            svc.submit_fit(start, np.zeros((8, 8, 3), np.uint8), steps=1)
+    finally:
+        svc.stop()
+
+
 def test_queue_backpressure(vortex_scene):
     from gamer_tpu.serve import QueueFull
 
