@@ -60,7 +60,7 @@ Commands:
    fitpose <camera x y z> <target x y z> <up x y z> <fov> <exposure> <gamma>
        <saturation> <ray step> <gax file> <target image> <out scene.json>
        [steps=80] [lr=0.01] [noise LOD=3 | multiscale] [ckpt=FILE]
-   serve [port=8100] [batch window s=0.05] [bands=8]
+   serve [port=8100] [batch window s=0.05] [bands=8] [mesh]
    viewer [port=8000] [size=256] [gax dir]
 <method>: omp | thread | pallas (TPU kernel) | xla | oracle | sharded
 """
@@ -601,14 +601,25 @@ def _backend_desc(method: str) -> str:
 
 def cmd_serve(argv) -> int:
     """HTTP render service (POST /render with a scene dict; concurrent
-    requests sharing a structure batch into ONE device launch — serve.py)."""
+    requests sharing a structure batch into ONE device launch — serve.py).
+    A trailing 'mesh' serves over ALL attached devices: single frames
+    row-sharded, batches/animations sharded on the batch axis."""
     from .serve import serve
 
     args = argv[1:]
+    use_mesh = bool(args) and args[-1].lower() == "mesh"
+    if use_mesh:
+        args = args[:-1]
     port = int(args[0]) if len(args) > 0 else 8100
     window = float(args[1]) if len(args) > 1 else 0.05
     bands = int(args[2]) if len(args) > 2 else 8
-    serve(port, window, bands)
+    mesh = None
+    if use_mesh:
+        from .parallel import make_pixel_mesh
+
+        mesh = make_pixel_mesh()
+        print(f"serving over a {mesh.devices.size}-device mesh")
+    serve(port, window, bands, mesh=mesh)
     return 0
 
 

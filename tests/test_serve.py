@@ -370,6 +370,32 @@ def test_metrics_text_format(vortex_scene):
         svc.stop()
 
 
+def test_cli_serve_args(monkeypatch):
+    """`gamer-tpu serve [port] [window] [bands] [mesh]` arg plumbing."""
+    import gamer_tpu.cli as cli
+    import gamer_tpu.parallel
+    import gamer_tpu.serve
+
+    calls = {}
+    monkeypatch.setattr(
+        gamer_tpu.serve, "serve",
+        lambda port, w, b, mesh=None: calls.update(
+            port=port, w=w, b=b, mesh=mesh))
+    assert cli.cmd_serve(["serve", "9000", "0.1", "4"]) == 0
+    assert calls == dict(port=9000, w=0.1, b=4, mesh=None)
+    class FakeMesh:
+        devices = np.zeros(8)
+
+    fake = FakeMesh()
+    monkeypatch.setattr(gamer_tpu.parallel, "make_pixel_mesh", lambda: fake)
+    calls.clear()
+    assert cli.cmd_serve(["serve", "9000", "0.1", "4", "mesh"]) == 0
+    assert calls["mesh"] is fake
+    calls.clear()
+    assert cli.cmd_serve(["serve"]) == 0
+    assert calls == dict(port=8100, w=0.05, b=8, mesh=None)
+
+
 def test_http_surface(vortex_scene):
     httpd = serve(port=0, poll=False)
     port = httpd.server_address[1]
