@@ -74,10 +74,41 @@ print(json.dumps({"ok": True, "size": size, "dt": dt,
 """
 
 
-def _try_size(size: int, kernel: str, timeout_s: int):
+_PROBE_SNIPPET = r"""
+import json
+import jax
+print(json.dumps({"platform": jax.devices()[0].platform,
+                  "n": len(jax.devices())}))
+"""
+
+_CPU_CHILD_PREFIX = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+"""
+
+
+def _probe_devices(timeout_s: int = 180):
+    """Which backend will the children get? Over the axon tunnel a dead
+    link HANGS device init rather than failing, so probe it in a bounded
+    subprocess before spending the full ladder's timeouts on it."""
     try:
         proc = subprocess.run(
-            [sys.executable, "-c", _CHILD_SNIPPET, str(size), kernel],
+            [sys.executable, "-c", _PROBE_SNIPPET],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                return json.loads(line)
+    except subprocess.TimeoutExpired:
+        pass
+    return None
+
+
+def _try_size(size: int, kernel: str, timeout_s: int, force_cpu: bool = False):
+    snippet = (_CPU_CHILD_PREFIX if force_cpu else "") + _CHILD_SNIPPET
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", snippet, str(size), kernel],
             capture_output=True, text=True, timeout=timeout_s,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
@@ -110,12 +141,26 @@ def main() -> None:
     samples_per_px = otim.samples / otim.pixels
     oracle_msps = otim.msamples_per_sec
 
+    # A dead tunnel HANGS device init in every child; detect it up front
+    # and fall back to a CPU-forced measurement instead of spending the
+    # whole ladder's timeouts discovering it (the tunnel has been observed
+    # down for hours at a stretch).
+    probe = _probe_devices()
+    force_cpu = probe is None
+    if force_cpu:
+        print("bench: device init unresponsive (tunnel down?); "
+              "falling back to the CPU backend", file=sys.stderr)
+    ladder = ((4096, 580), (2048, 540), (1024, 420), (512, 360),
+              (256, 300), (128, 240), (64, 210))
+    if force_cpu or (probe or {}).get("platform") == "cpu":
+        # CPU interpret mode: the big rungs would only burn their timeouts
+        ladder = ((128, 420), (64, 300), (32, 240))
+
     best = None
     for kernel in ("pallas", "xla"):
         successes = 0
-        for size, budget in ((4096, 580), (2048, 540), (1024, 420),
-                             (512, 360), (256, 300), (128, 240), (64, 210)):
-            r = _try_size(size, kernel, budget)
+        for size, budget in ladder:
+            r = _try_size(size, kernel, budget, force_cpu=force_cpu)
             if r and r.get("ok"):
                 msps = samples_per_px * size * size / r["dt"] / 1e6
                 if best is None or msps > best["msps"]:
@@ -148,6 +193,8 @@ def main() -> None:
         "frame_px": best["size"],
         "frame_time_s": round(best["dt"], 4),
         "kernel": best["kernel"],
+        "backend": "cpu-fallback" if force_cpu else
+                   (probe or {}).get("platform", "unknown"),
         "oracle_msamples_per_sec": round(oracle_msps, 3),
     }))
 
