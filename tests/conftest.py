@@ -32,6 +32,24 @@ FIXTURES = REFERENCE / "publish" / "data" / "galaxies"
 sys.path.insert(0, str(REPO))
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free jax's compiled-executable caches at each module boundary.
+
+    The full suite (~180 tests) has twice segfaulted inside XLA:CPU around
+    test ~160 / hour ~2 of a single process — different tests each time,
+    both green standalone — i.e. a process-longevity failure, not a test
+    bug. Dropping the accumulated executables between modules keeps the
+    per-process live-compilation count bounded. (Module-level lru_cache
+    wrappers in the engine keep their already-compiled callables, which
+    remain valid — only jax's internal caches are cleared.)
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def fixtures_dir() -> Path:
     if not FIXTURES.is_dir():
