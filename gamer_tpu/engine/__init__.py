@@ -8,7 +8,8 @@ def __getattr__(name):
     # Lazy: the differentiable path + fitting pull in extra deps (optax)
     # that plain rendering never needs.
     if name in ("fit_scene", "fit_pose", "fit_scene_multiscale",
-                "fit_pose_multiscale", "apply_fit_to_scene", "FitResult"):
+                "fit_pose_multiscale", "fit_scene_batch",
+                "apply_fit_to_scene", "FitResult", "BatchFitResult"):
         from . import fit
 
         return getattr(fit, name)

@@ -123,7 +123,8 @@ def _ckpt_save(path: str, fingerprint: str, i: int, params, opt_state,
     np.savez(tmp, __fingerprint__=np.frombuffer(
         fingerprint.encode(), np.uint8), __step__=np.int64(i),
         __losses__=np.asarray(losses, np.float64),
-        __best_loss__=np.float64(best_loss), **leaves)
+        # scalar for fit_scene/fit_pose, a (K,) vector for fit_scene_batch
+        __best_loss__=np.asarray(best_loss, np.float64), **leaves)
     os.replace(tmp + (".npz" if not tmp.endswith(".npz") else ""), path)
 
 
@@ -151,13 +152,14 @@ def _ckpt_load(path: str, fingerprint: str, params, opt_state, best_params):
 
         return (int(z["__step__"]), restore("p", params),
                 restore("o", opt_state), list(z["__losses__"]),
-                float(z["__best_loss__"]), restore("b", best_params))
+                np.asarray(z["__best_loss__"]), restore("b", best_params))
 
 
 def _optimize(loss_fn, params, mask, *, steps, lr, optimizer, on_step,
               project_fn=None, checkpoint_path=None, checkpoint_every=1,
-              fingerprint=""):
-    """The shared masked-Adam loop of fit_scene and fit_pose.
+              fingerprint="", batch: int = 0):
+    """The shared masked-Adam loop of fit_scene, fit_pose and
+    fit_scene_batch.
 
     - Gradients are nan_to_num-sanitized and masked to the fitted leaves.
     - With the default optimizer, updates are scaled by each leaf's initial
@@ -173,6 +175,11 @@ def _optimize(loss_fn, params, mask, *, steps, lr, optimizer, on_step,
       the end (appended to losses), so the best (loss, params) pair is
       chosen over every iterate including the last — the loss is noisy
       near convergence and a final step can overshoot.
+    - ``batch`` = K > 0 means ``loss_fn`` returns a (K,) per-scene loss
+      vector (fit_scene_batch): gradients descend the SUM, every leaf
+      carries a leading K axis, and the best iterate is tracked PER SCENE
+      (each scene keeps the best of its own trajectory, exactly as K
+      independent fits would).
     """
     import optax
 
@@ -188,9 +195,23 @@ def _optimize(loss_fn, params, mask, *, steps, lr, optimizer, on_step,
         )
     opt_state = opt.init(params)
 
+    if batch:
+        # SUM, not mean: the gradient of the sum w.r.t. scene k's leaves IS
+        # scene k's independent gradient, so each scene's Adam trajectory
+        # matches its standalone fit exactly (a mean's 1/K rescaling is
+        # Adam-invariant only while gradients dominate Adam's eps — it
+        # visibly bends trajectories of scenes near their minimum).
+        def value_fn(p):
+            lv = loss_fn(p)
+            return jnp.sum(lv), lv
+    else:
+        def value_fn(p):
+            loss = loss_fn(p)
+            return loss, loss
+
     @jax.jit
     def step_fn(p, s):
-        loss, grads = jax.value_and_grad(loss_fn)(p)
+        (_, loss), grads = jax.value_and_grad(value_fn, has_aux=True)(p)
         grads = jax.tree_util.tree_map(
             lambda g, m: jnp.nan_to_num(g) * m, grads, mask
         )
@@ -201,14 +222,33 @@ def _optimize(loss_fn, params, mask, *, steps, lr, optimizer, on_step,
             p = project_fn(p)
         return p, s, loss
 
+    def improve(loss_now, params_now):
+        """Fold one iterate into the running (best_loss, best_params)."""
+        nonlocal best_loss, best_params
+        if not batch:
+            if loss_now < best_loss:
+                best_loss, best_params = loss_now, params_now
+            return
+        imp = np.asarray(loss_now) < np.asarray(best_loss)
+        if imp.any():
+            impj = jnp.asarray(imp)
+            best_params = jax.tree_util.tree_map(
+                lambda b, c: jnp.where(
+                    impj.reshape(imp.shape + (1,) * (jnp.ndim(c) - 1)), c, b),
+                best_params, params_now)
+            best_loss = np.where(imp, np.asarray(loss_now),
+                                 np.asarray(best_loss))
+
     losses: List[float] = []
-    best_loss, best_params = np.inf, params
+    best_params = params
+    best_loss = np.full((batch,), np.inf) if batch else np.inf
     start = 0
     if checkpoint_path:
         resumed = _ckpt_load(checkpoint_path, fingerprint, params, opt_state,
                              best_params)
         if resumed is not None:
-            start, params, opt_state, losses, best_loss, best_params = resumed
+            start, params, opt_state, losses, bl, best_params = resumed
+            best_loss = np.asarray(bl) if batch else float(bl)
             if start > steps:
                 raise ValueError(
                     f"checkpoint {checkpoint_path} already holds {start} "
@@ -217,9 +257,8 @@ def _optimize(loss_fn, params, mask, *, steps, lr, optimizer, on_step,
                     f"to start over")
     for i in range(start, steps):
         new_params, opt_state, loss = step_fn(params, opt_state)
-        losses.append(float(loss))
-        if losses[-1] < best_loss:
-            best_loss, best_params = losses[-1], params
+        losses.append(np.asarray(loss) if batch else float(loss))
+        improve(losses[-1], params)
         params = new_params
         if checkpoint_path and ((i + 1) % max(1, checkpoint_every) == 0
                                 or i + 1 == steps):
@@ -230,10 +269,9 @@ def _optimize(loss_fn, params, mask, *, steps, lr, optimizer, on_step,
         if on_step is not None:
             on_step(i, losses[-1])
     # the final iterate's loss was never seen by the loop above
-    final_loss = float(jax.jit(loss_fn)(params))
-    losses.append(final_loss)
-    if final_loss < best_loss:
-        best_params = params
+    final_loss = jax.jit(loss_fn)(params)
+    losses.append(np.asarray(final_loss) if batch else float(final_loss))
+    improve(losses[-1], params)
     return best_params, losses
 
 
@@ -469,6 +507,201 @@ def fit_scene(
         scene=apply_fit_to_scene(scene, fitted, fit_fields),
         params=fitted,
         losses=losses,
+        fit_fields=tuple(fit_fields),
+    )
+
+
+@dataclass
+class BatchFitResult:
+    """Outcome of fit_scene_batch: K fitted scenes + per-scene traces."""
+
+    scenes: List[Scene]      # K deep copies with fitted values written back
+    params: object           # batched params pytree (leading K axis)
+    losses: "np.ndarray"     # (steps+1, K) per-scene loss trace
+    fit_fields: Tuple[str, ...] = ()
+
+
+def fit_scene_batch(
+    scenes,
+    target_images,
+    fit_fields: Sequence[str] = DEFAULT_FIT_FIELDS,
+    *,
+    steps: int = 100,
+    lr: float = 2e-2,
+    max_steps: Optional[int] = None,
+    optimizer=None,
+    on_step: Optional[Callable[[int, object], None]] = None,
+    march: str = "tensor",
+    pool: int = 1,
+    mesh=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 10,
+) -> BatchFitResult:
+    """Fit K independent scenes to K targets in ONE vmapped optimization —
+    inverse rendering at dataset scale.
+
+    The reference has no batch story at all (one Qt editor, one galaxy);
+    here the scene-structure/parameter split (engine/scene_prep) makes K
+    fits of the SAME structure a single program: parameters gain a leading
+    K axis, the forward model vmaps over (params_k, target_k), gradients
+    descend the SUM of the per-scene losses (whose gradient w.r.t. scene
+    k's leaves is exactly scene k's independent gradient), Adam runs
+    elementwise, and the best iterate is tracked PER SCENE — each scene's
+    trajectory is what its standalone fit_scene would produce, in one
+    program.
+
+    ``scenes``: one template Scene (every fit starts from the same initial
+    parameters) or a sequence of K Scenes sharing the same compiled
+    STRUCTURE, camera pose and render config (each fit starts from its own
+    initial values). ``target_images``: (K, size, size, 3) uint8/float
+    stack in [0, 255] image space.
+
+    ``mesh`` (a 1-D jax.sharding.Mesh) shards the BATCH axis across
+    devices (scene-level data parallelism — each device fits K/n_dev
+    scenes with no cross-device traffic except the scalar mean loss), the
+    natural multi-chip axis for catalog-scale fitting; K must divide the
+    mesh. This is the complement of fit_scene's pixel-row sharding (one
+    big fit across chips) — here many small fits pack the chips instead.
+
+    ``checkpoint_path``: exact-replay resume of the whole batch, as in
+    fit_scene. ``on_step(i, loss_vec)`` sees the (K,) per-scene losses.
+
+    Returns a BatchFitResult; ``scenes[k]`` re-renders at its own fitted
+    loss and round-trips to .gax / scene-dict form.
+    """
+    if isinstance(scenes, Scene):
+        scene_list = None
+        template = scenes
+    else:
+        scene_list = list(scenes)
+        if not scene_list:
+            raise ValueError("fit_scene_batch needs at least one scene")
+        template = scene_list[0]
+
+    targets = np.asarray(target_images, np.float32)
+    if targets.ndim != 4 or targets.shape[-1] != 3 \
+            or targets.shape[1] != targets.shape[2]:
+        raise ValueError(
+            f"target_images must be (K, N, N, 3), got {targets.shape}")
+    K = targets.shape[0]
+    size = targets.shape[1]
+    if size != template.config.size:
+        raise ValueError(
+            f"target size {size} != scene.config.size {template.config.size}")
+    if scene_list is not None and len(scene_list) != K:
+        raise ValueError(
+            f"{len(scene_list)} scenes but {K} targets")
+    if pool < 1 or size % pool != 0:
+        raise ValueError(f"pool {pool} must divide the size {size}")
+    _reject_supersample(template, "fit_scene_batch")
+    _check_march_fields(march, fit_fields)
+
+    cfg = template.config
+    static, params0 = flatten_scene(template)
+    if scene_list is None:
+        # one template: every scene starts from the same initial values
+        params = jax.tree_util.tree_map(
+            lambda leaf: jnp.repeat(jnp.asarray(leaf)[None], K, axis=0),
+            params0)
+    else:
+        flats = []
+        for k, sc in enumerate(scene_list):
+            st_k, p_k = flatten_scene(sc)
+            if st_k != static:
+                raise ValueError(
+                    f"scene {k} has a different compiled structure than "
+                    f"scene 0 — fit_scene_batch requires one structure "
+                    f"(same components/arms/LOD/dither) across the batch")
+            if tuple(sc.camera.camera) != tuple(template.camera.camera) or \
+                    tuple(sc.camera.target) != tuple(template.camera.target) or \
+                    tuple(sc.camera.up) != tuple(template.camera.up) or \
+                    sc.camera.fov != template.camera.fov:
+                raise ValueError(
+                    f"scene {k} has a different camera pose — the batch "
+                    f"shares one ray grid; fit poses with fit_pose")
+            flats.append(p_k)
+        params = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack([jnp.asarray(v) for v in leaves]),
+            *flats)
+
+    target = jnp.asarray(targets / 255.0)
+
+    def _pooled(img):
+        if pool > 1:
+            o = size // pool
+            img = img.reshape(o, pool, o, pool, 3).mean(axis=(1, 3))
+        return img
+
+    target_pooled = jax.vmap(_pooled)(target)
+
+    camera = jnp.asarray(template.camera.camera, jnp.float32)
+    inv_vp = jnp.asarray(cam_ops.inv_view_projection_host(
+        np.asarray(template.camera.camera, np.float32),
+        template.camera.target, template.camera.up, template.camera.fov,
+    ))
+    dirs = cam_ops.ray_grid(size, inv_vp)
+    if mesh is not None:
+        if len(mesh.axis_names) != 1:
+            raise ValueError(
+                f"need a 1-D mesh, got axes {mesh.axis_names}")
+        n_dev = mesh.devices.size
+        if K % n_dev:
+            raise ValueError(
+                f"fit_scene_batch: batch size {K} must divide the mesh "
+                f"({n_dev} devices) so every device owns whole scenes")
+        shard = lambda a: jax.device_put(  # noqa: E731
+            a, _pixel_sharding(mesh, jnp.ndim(a)))
+        target_pooled = shard(target_pooled)
+        params = jax.tree_util.tree_map(shard, params)
+
+    trip_bound = (max_steps if max_steps is not None
+                  else step_bound_for_scene(template))
+    f = jnp.float32
+    march_fn = _march_fn(march)
+
+    def per_scene_loss(p, t):
+        linear = march_fn(
+            static, p, dirs, camera, f(cfg.ray_step), f(cfg.min_ray_step),
+            trip_bound,
+        )
+        img = post_process_float(
+            linear, f(cfg.exposure), f(cfg.gamma), f(cfg.saturation)
+        ) / 255.0
+        return jnp.mean((_pooled(img) - t) ** 2)
+
+    def loss_fn(p):
+        return jax.vmap(per_scene_loss)(p, target_pooled)
+
+    mask = _fit_mask(params, fit_fields)
+    params = _project_bounds(params, fit_fields)
+    best_params, losses = _optimize(
+        loss_fn, params, mask, steps=steps, lr=lr, optimizer=optimizer,
+        on_step=on_step,
+        project_fn=lambda p: _project_bounds(p, fit_fields),
+        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+        fingerprint=_fit_fingerprint(
+            "batch", fit_fields, lr, march, size, params, targets,
+            extra=f"pool{pool}|lod{cfg.noise_octaves}|K{K}",
+            aux=(template.camera.camera, template.camera.target,
+                 template.camera.up, template.camera.fov, cfg.ray_step,
+                 cfg.min_ray_step, cfg.exposure, cfg.gamma, cfg.saturation,
+                 trip_bound)),
+        batch=K,
+    )
+
+    fitted = jax.tree_util.tree_map(np.asarray, best_params)
+    base_scenes = scene_list if scene_list is not None else [template] * K
+    out_scenes = [
+        apply_fit_to_scene(
+            base_scenes[k],
+            jax.tree_util.tree_map(lambda leaf: leaf[k], fitted),
+            fit_fields)
+        for k in range(K)
+    ]
+    return BatchFitResult(
+        scenes=out_scenes,
+        params=fitted,
+        losses=np.stack([np.asarray(v) for v in losses]),
         fit_fields=tuple(fit_fields),
     )
 

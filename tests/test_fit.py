@@ -450,3 +450,113 @@ def test_fit_pose_checkpoint_resume(tmp_path):
                                   np.asarray(straight.losses))
     np.testing.assert_array_equal(resumed.params["camera"],
                                   straight.params["camera"])
+
+
+# ---------------------------------------------------------------------------
+# fit_scene_batch: K independent fits as one vmapped optimization
+# ---------------------------------------------------------------------------
+
+
+def _batch_setup(size=12, k_strengths=(3.0, 6.0)):
+    """K truths differing in disk strength, their rendered targets, and a
+    common perturbed starting template."""
+    from gamer_tpu.engine.render import render_scene
+
+    truths, targets = [], []
+    for s in k_strengths:
+        g = default_galaxy()
+        g.components[1].strength = g.components[1].strength * s / 4.0
+        sc = _scene(g, size)
+        truths.append(sc)
+        targets.append(render_scene(sc))
+    start = default_galaxy()
+    start.components[1].strength *= 0.5
+    return truths, np.stack(targets), _scene(start, size)
+
+
+def test_fit_scene_batch_matches_individual_fits():
+    """Each scene in the batch follows (to fp/Adam-epsilon tolerance) the
+    trajectory its own fit_scene run would produce: the vmapped mean-loss
+    formulation is K independent fits in one program."""
+    truths, targets, template = _batch_setup()
+    kw = dict(fit_fields=("strength",), steps=6, lr=5e-2)
+
+    batch = gfit.fit_scene_batch(template, targets, **kw)
+    assert batch.losses.shape == (7, 2)  # steps + final-iterate row
+
+    for k in range(2):
+        single = gfit.fit_scene(template, targets[k], **kw)
+        np.testing.assert_allclose(batch.losses[:, k], single.losses,
+                                   rtol=5e-3, atol=1e-8)
+        f_b = batch.scenes[k].instances[0].galaxy.components[1].strength
+        f_s = single.scene.instances[0].galaxy.components[1].strength
+        np.testing.assert_allclose(f_b, f_s, rtol=5e-3)
+    # the two fits genuinely diverged toward their own targets
+    s0 = batch.scenes[0].instances[0].galaxy.components[1].strength
+    s1 = batch.scenes[1].instances[0].galaxy.components[1].strength
+    assert s1 > s0
+
+
+def test_fit_scene_batch_per_scene_initials_and_validation():
+    truths, targets, template = _batch_setup()
+    # per-scene initial values: a list of scenes sharing one structure
+    import copy
+
+    starts = [copy.deepcopy(template), copy.deepcopy(template)]
+    starts[1].instances[0].galaxy.components[1].strength *= 1.5
+    res = gfit.fit_scene_batch(starts, targets, fit_fields=("strength",),
+                               steps=4, lr=5e-2)
+    assert len(res.scenes) == 2
+    assert (res.losses[-1] < res.losses[0]).all()
+
+    with pytest.raises(ValueError, match=r"\(K, N, N, 3\)"):
+        gfit.fit_scene_batch(template, targets[0], steps=1)
+    with pytest.raises(ValueError, match="scenes but"):
+        gfit.fit_scene_batch(starts[:1], targets, steps=1)
+
+    import dataclasses
+
+    moved = dataclasses.replace(
+        copy.deepcopy(template),
+        camera=dataclasses.replace(template.camera, camera=(0.6, 0, 0)))
+    with pytest.raises(ValueError, match="different camera"):
+        gfit.fit_scene_batch([template, moved], targets, steps=1)
+
+    other = copy.deepcopy(template)
+    other.instances[0].galaxy.components[1].active = 0
+    with pytest.raises(ValueError, match="different compiled structure"):
+        gfit.fit_scene_batch([template, other], targets, steps=1)
+
+
+def test_fit_scene_batch_mesh_matches_single_device():
+    """mesh= shards the BATCH axis (scene-level data parallelism): the
+    sharded run reproduces the unsharded per-scene trajectories."""
+    from gamer_tpu.parallel import make_pixel_mesh
+
+    truths, targets2, template = _batch_setup()
+    targets = np.concatenate([targets2] * 4)  # K=8 over 8 devices
+    kw = dict(fit_fields=("strength",), steps=3, lr=5e-2)
+    res_plain = gfit.fit_scene_batch(template, targets, **kw)
+    mesh = make_pixel_mesh()
+    res_mesh = gfit.fit_scene_batch(template, targets, mesh=mesh, **kw)
+    np.testing.assert_allclose(res_mesh.losses, res_plain.losses,
+                               rtol=2e-3, atol=1e-8)
+
+    with pytest.raises(ValueError, match="divide the mesh"):
+        gfit.fit_scene_batch(template, targets[:6], mesh=mesh, **kw)
+
+
+def test_fit_scene_batch_checkpoint_resume(tmp_path):
+    truths, targets, template = _batch_setup()
+    kw = dict(fit_fields=("strength",), lr=5e-2)
+    straight = gfit.fit_scene_batch(template, targets, steps=4, **kw)
+    ckpt = str(tmp_path / "batch.ckpt")
+    gfit.fit_scene_batch(template, targets, steps=2, checkpoint_path=ckpt,
+                         checkpoint_every=1, **kw)
+    resumed = gfit.fit_scene_batch(template, targets, steps=4,
+                                   checkpoint_path=ckpt, checkpoint_every=1,
+                                   **kw)
+    np.testing.assert_array_equal(resumed.losses, straight.losses)
+    np.testing.assert_array_equal(
+        resumed.params[0]["comps"][1]["strength"],
+        straight.params[0]["comps"][1]["strength"])
