@@ -98,8 +98,13 @@ def _probe_devices(timeout_s: int = 180):
         )
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
-                return json.loads(line)
-    except subprocess.TimeoutExpired:
+                try:
+                    return json.loads(line)
+                except json.JSONDecodeError:
+                    continue  # diagnostic noise from the tunnel plugin
+    except (subprocess.TimeoutExpired, OSError):
+        # a flaky tunnel can also kill the child mid-write — any unusable
+        # probe means CPU fallback, not a bench crash
         pass
     return None
 
@@ -117,7 +122,10 @@ def _try_size(size: int, kernel: str, timeout_s: int, force_cpu: bool = False):
         return None
     for line in proc.stdout.splitlines():
         if line.startswith("{"):
-            return json.loads(line)
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue  # diagnostic noise from the tunnel plugin
     err = (proc.stderr or "").strip().splitlines()
     print(f"bench: size {size} ({kernel}) failed: "
           f"{err[-1] if err else 'no output'}", file=sys.stderr)

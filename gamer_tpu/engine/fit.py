@@ -145,10 +145,22 @@ def _ckpt_load(path: str, fingerprint: str, params, opt_state, best_params):
                 f"another path")
 
         def restore(tag, tree):
-            treedef = jax.tree_util.tree_structure(tree)
-            n = treedef.num_leaves
-            return jax.tree_util.tree_unflatten(
-                treedef, [jnp.asarray(z[f"{tag}{k}"]) for k in range(n)])
+            # restore each leaf onto the LIVE leaf's sharding: a resumed
+            # mesh run (fit_scene_batch mesh=) must keep its batch-axis
+            # partitioning instead of silently landing on the default
+            # device. Leaves whose live sharding is single-device (e.g.
+            # optax's scalar step count) stay UNCOMMITTED — device_put
+            # would pin them to device 0, and jit rejects a computation
+            # mixing device-0-committed and mesh-committed arguments.
+            live, treedef = jax.tree_util.tree_flatten(tree)
+            out = []
+            for k, ref in enumerate(live):
+                a = jnp.asarray(z[f"{tag}{k}"])
+                sharding = getattr(ref, "sharding", None)
+                if sharding is not None and len(sharding.device_set) > 1:
+                    a = jax.device_put(a, sharding)
+                out.append(a)
+            return jax.tree_util.tree_unflatten(treedef, out)
 
         return (int(z["__step__"]), restore("p", params),
                 restore("o", opt_state), list(z["__losses__"]),
@@ -166,6 +178,8 @@ def _optimize(loss_fn, params, mask, *, steps, lr, optimizer, on_step,
       magnitude (relative stepping: galaxy knobs span ~4 orders of
       magnitude, so lr becomes a per-step relative change).
     - ``project_fn(params)`` re-applies domain constraints after each step.
+    - ``on_step(i, loss)`` returning False aborts the loop cooperatively
+      (any other return value, including None, continues).
     - ``checkpoint_path`` persists (params, optimizer state, loss trace)
       every ``checkpoint_every`` steps and resumes from it when present;
       the relative-step scales derive from the CALLER's initial params, so
@@ -266,8 +280,11 @@ def _optimize(loss_fn, params, mask, *, steps, lr, optimizer, on_step,
             # extendable (rerun with larger steps resumes, not restarts)
             _ckpt_save(checkpoint_path, fingerprint, i + 1, params, opt_state,
                        losses, best_loss, best_params)
-        if on_step is not None:
-            on_step(i, losses[-1])
+        if on_step is not None and on_step(i, losses[-1]) is False:
+            # cooperative abort (serve.py DELETE /job): stop after the
+            # current step; best-so-far params are still returned below,
+            # mirroring the render path's partial-frame-on-abort contract
+            break
     # the final iterate's loss was never seen by the loop above
     final_loss = jax.jit(loss_fn)(params)
     losses.append(np.asarray(final_loss) if batch else float(final_loss))
@@ -619,6 +636,15 @@ def fit_scene_batch(
                 raise ValueError(
                     f"scene {k} has a different camera pose — the batch "
                     f"shares one ray grid; fit poses with fit_pose")
+            for fld in ("size", "ray_step", "min_ray_step", "exposure",
+                        "gamma", "saturation", "supersample"):
+                if getattr(sc.config, fld) != getattr(template.config, fld):
+                    raise ValueError(
+                        f"scene {k} has config.{fld}="
+                        f"{getattr(sc.config, fld)!r} but scene 0 has "
+                        f"{getattr(template.config, fld)!r} — the batch "
+                        f"shares ONE forward model (ray grid, march step, "
+                        f"post chain), so render configs must match")
             flats.append(p_k)
         params = jax.tree_util.tree_map(
             lambda *leaves: jnp.stack([jnp.asarray(v) for v in leaves]),
@@ -654,8 +680,27 @@ def fit_scene_batch(
         target_pooled = shard(target_pooled)
         params = jax.tree_util.tree_map(shard, params)
 
-    trip_bound = (max_steps if max_steps is not None
-                  else step_bound_for_scene(template))
+    if max_steps is not None:
+        trip_bound = max_steps
+    else:
+        # bound over EVERY scene's geometry, not just the template's: a
+        # batch member whose axes exceed the template's would otherwise
+        # march with a too-small static trip count (silent truncation)
+        bound_scenes = scene_list if scene_list is not None else [template]
+        trip_bound = max(step_bound_for_scene(sc) for sc in bound_scenes)
+        if "axis" in fit_fields:
+            # same 2x growth headroom as fit_scene: the trip bound is
+            # static but the chord scales with the fitted axis
+            from .diff import conservative_step_bound
+
+            max_axis = max(
+                (max(gi.galaxy.params.axis)
+                 for sc in bound_scenes for gi in sc.instances),
+                default=1.0,
+            )
+            trip_bound = conservative_step_bound(
+                cfg.ray_step, cfg.min_ray_step, 2.0 * max_axis
+            )
     f = jnp.float32
     march_fn = _march_fn(march)
 
@@ -906,6 +951,7 @@ def fit_pose_multiscale(
     all_losses: List[float] = []
     result: Optional[FitResult] = None
     base = 0
+    aborted = False
     for lod, pool in schedule:
         pool = int(pool)
         while pool > 1 and size % pool:
@@ -919,7 +965,14 @@ def fit_pose_multiscale(
                 noise_octaves=int(lod) if int(lod) >= 1 else None))
         rung_cb = None
         if on_step is not None:
-            rung_cb = (lambda i, loss, b=base: on_step(b + i, loss))
+            # forward the cooperative-abort return value AND remember it,
+            # so an abort inside a rung also stops the ladder
+            def rung_cb(i, loss, b=base):
+                nonlocal aborted
+                r = on_step(b + i, loss)
+                if r is False:
+                    aborted = True
+                return r
         result = fit_pose(
             rung_scene, target_image, fit_fields, steps=steps, lr=lr,
             max_steps=max_steps, optimizer=optimizer, on_step=rung_cb,
@@ -933,6 +986,8 @@ def fit_pose_multiscale(
         current = result.scene
         all_losses.extend(result.losses)
         base += steps
+        if aborted:
+            break
     final_scene = dataclasses.replace(
         result.scene,
         config=dataclasses.replace(result.scene.config,
@@ -990,6 +1045,7 @@ def fit_scene_multiscale(
     all_losses: List[float] = []
     result: Optional[FitResult] = None
     base = 0
+    aborted = False
     for s in schedule:
         s = int(s)
         while s > 1 and size % s:
@@ -1003,7 +1059,14 @@ def fit_scene_multiscale(
             config=dataclasses.replace(current.config, size=rsize))
         rung_cb = None
         if on_step is not None:
-            rung_cb = (lambda i, loss, b=base: on_step(b + i, loss))
+            # forward the cooperative-abort return value AND remember it,
+            # so an abort inside a rung also stops the ladder
+            def rung_cb(i, loss, b=base):
+                nonlocal aborted
+                r = on_step(b + i, loss)
+                if r is False:
+                    aborted = True
+                return r
         result = fit_scene(
             rung_scene, rung_target, fit_fields, steps=steps, lr=lr,
             max_steps=max_steps, optimizer=optimizer, on_step=rung_cb,
@@ -1015,6 +1078,8 @@ def fit_scene_multiscale(
         current = result.scene
         all_losses.extend(result.losses)
         base += steps
+        if aborted:
+            break
     final_scene = dataclasses.replace(
         result.scene,
         config=dataclasses.replace(result.scene.config, size=size))

@@ -292,7 +292,9 @@ class RenderService:
     def abort(self, job_id: int) -> bool:
         """Request cancellation. Queued jobs cancel immediately; a running
         single job stops at the next band boundary (keeping the partial
-        frame); a job already inside a batched launch finishes with it."""
+        frame); a running fit stops after the current optimizer step
+        (keeping the best-so-far fit); a job already inside a batched
+        launch finishes with it."""
         job = self.jobs.get(job_id)
         if job is None:
             return False
@@ -400,9 +402,11 @@ class RenderService:
             if head.abort.is_set():
                 self._finish(head, ABORTED)
                 continue
-            if self.batch_window_s > 0 and head.anim_scenes is None:
-                # animations never merge with other requests — don't pay
-                # the batching window for them
+            if self.batch_window_s > 0 and head.anim_scenes is None \
+                    and head.fit_spec is None:
+                # animations and fit jobs never merge with other requests
+                # (a fit's key is unique by construction) — don't pay the
+                # batching window for them
                 time.sleep(self.batch_window_s)
             batch = self._drain_compatible(head)
             t0 = time.time()
@@ -478,26 +482,49 @@ class RenderService:
         """Inverse rendering on the worker: gradient steps with per-step
         progress; the fitted scene dict + loss trace is the result, plus a
         render of the fitted scene for /image.png."""
-        from .engine.fit import fit_scene, fit_scene_multiscale
+        from .engine.fit import (DEFAULT_SCENE_SCHEDULE, fit_scene,
+                                 fit_scene_multiscale)
         from .engine.pallas_render import render_scene_pallas
         from .scene.schema import scene_to_dict
 
         spec = job.fit_spec
-        total = spec["steps"] * (3 if spec["multiscale"] else 1)
+        rungs = len(DEFAULT_SCENE_SCHEDULE) if spec["multiscale"] else 1
+        total = spec["steps"] * rungs
 
         def on_step(i, loss):
             job.progress = min(1.0, (i + 1) / total)
+            # cooperative abort: DELETE /job/<id> stops the fit after the
+            # current step; the best-so-far fit is still returned below
+            return not job.abort.is_set()
 
         fitter = fit_scene_multiscale if spec["multiscale"] else fit_scene
         result = fitter(job.scene, spec["target"], spec["fit_fields"],
-                        steps=spec["steps"], lr=spec["lr"], on_step=on_step)
+                        steps=spec["steps"], lr=spec["lr"], on_step=on_step,
+                        mesh=self._fit_mesh(job.scene, spec["multiscale"]))
         job.fit_result = {
             "scene": scene_to_dict(result.scene),
             "losses": [float(v) for v in result.losses],
             "fit_fields": list(result.fit_fields),
         }
         job.image = np.asarray(render_scene_pallas(result.scene))
-        self._finish(job, DONE)
+        self._finish(job, ABORTED if job.abort.is_set() else DONE)
+
+    def _fit_mesh(self, scene, multiscale: bool):
+        """The service mesh if every fit rung's pixel rows tile it, else
+        None (fit_scene's row sharding needs rows % n_dev == 0; multiscale
+        rungs render at size//s). Falling back to single-device keeps odd
+        sizes serviceable instead of failing the job."""
+        if self.mesh is None:
+            return None
+        from .engine.fit import DEFAULT_SCENE_SCHEDULE
+
+        n_dev = int(self.mesh.devices.size)
+        size = int(scene.config.size)
+        divisors = DEFAULT_SCENE_SCHEDULE if multiscale else (1,)
+        if all(size % s == 0 and (size // s) % n_dev == 0
+               for s in divisors):
+            return self.mesh
+        return None
 
     def _render_single(self, job: Job) -> None:
         from .engine.pallas_render import (render_progressive_pallas,

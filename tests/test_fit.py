@@ -560,3 +560,102 @@ def test_fit_scene_batch_checkpoint_resume(tmp_path):
     np.testing.assert_array_equal(
         resumed.params[0]["comps"][1]["strength"],
         straight.params[0]["comps"][1]["strength"])
+
+
+# ---------------------------------------------------------------------------
+# cooperative abort (serve.py DELETE /job semantics) + batch bound/validation
+# ---------------------------------------------------------------------------
+
+
+def test_fit_cooperative_abort():
+    """on_step returning False stops the loop after the current step and
+    still returns the best-so-far fit."""
+    from gamer_tpu.engine.render import render_scene
+
+    scene = _scene(default_galaxy(), 12)
+    target = render_scene(scene)
+    start = _scene(default_galaxy(), 12)
+    start.instances[0].galaxy.components[1].strength *= 0.5
+    seen = []
+
+    def on_step(i, loss):
+        seen.append(i)
+        return i < 2  # False at i == 2 -> stop after 3 steps
+
+    res = gfit.fit_scene(start, target, fit_fields=("strength",),
+                         steps=50, lr=5e-2, on_step=on_step)
+    assert seen == [0, 1, 2]
+    assert len(res.losses) == 4  # 3 loop entries + the final-iterate eval
+    assert res.scene.instances[0].galaxy.components[1].strength > 0
+
+
+def test_fit_multiscale_abort_stops_ladder():
+    """An abort inside a rung also stops the multiscale ladder (no later
+    rung starts)."""
+    from gamer_tpu.engine.render import render_scene
+
+    scene = _scene(default_galaxy(), 12)
+    target = render_scene(scene)
+    start = _scene(default_galaxy(), 12)
+    start.instances[0].galaxy.components[1].strength *= 0.5
+
+    res = gfit.fit_scene_multiscale(
+        start, target, fit_fields=("strength",), steps=6, lr=5e-2,
+        schedule=(2, 1), on_step=lambda i, loss: i < 1)
+    # rung 0 ran 2 loop steps + its final eval; rung 1 never started
+    assert len(res.losses) == 3
+    assert res.scene.config.size == 12  # caller's size restored
+
+
+def test_fit_scene_batch_rejects_mismatched_config():
+    import copy
+    import dataclasses
+
+    truths, targets, template = _batch_setup()
+    bright = copy.deepcopy(template)
+    bright.config = dataclasses.replace(bright.config, exposure=2.0)
+    with pytest.raises(ValueError, match="config.exposure"):
+        gfit.fit_scene_batch([template, bright], targets, steps=1)
+    coarse = copy.deepcopy(template)
+    coarse.config = dataclasses.replace(coarse.config, ray_step=0.05)
+    with pytest.raises(ValueError, match="config.ray_step"):
+        gfit.fit_scene_batch([template, coarse], targets, steps=1)
+
+
+def test_fit_scene_batch_bound_covers_largest_scene():
+    """The static trip bound derives from EVERY scene's geometry: a batch
+    member whose axes exceed the template's marches untruncated, so its
+    loss trace matches its own standalone fit_scene run."""
+    import copy
+
+    from gamer_tpu.engine.render import render_scene
+
+    truths, targets, template = _batch_setup()
+    big = copy.deepcopy(template)
+    gp = big.instances[0].galaxy.params
+    gp.axis = tuple(3.0 * a for a in gp.axis)
+    targets = np.stack([targets[0], render_scene(truths[1])])
+    kw = dict(fit_fields=("strength",), steps=3, lr=5e-2)
+    batch = gfit.fit_scene_batch([template, big], targets, **kw)
+    single = gfit.fit_scene(big, targets[1], **kw)
+    np.testing.assert_allclose(batch.losses[:, 1], single.losses,
+                               rtol=5e-3, atol=1e-8)
+
+
+def test_fit_scene_batch_checkpoint_resume_on_mesh(tmp_path):
+    """Resume restores each leaf onto the LIVE sharding: a checkpointed
+    mesh run replays the uninterrupted mesh trajectory exactly."""
+    from gamer_tpu.parallel import make_pixel_mesh
+
+    truths, targets2, template = _batch_setup()
+    targets = np.concatenate([targets2] * 4)  # K=8 over 8 devices
+    mesh = make_pixel_mesh()
+    kw = dict(fit_fields=("strength",), lr=5e-2, mesh=mesh)
+    straight = gfit.fit_scene_batch(template, targets, steps=4, **kw)
+    ckpt = str(tmp_path / "bm.ckpt")
+    gfit.fit_scene_batch(template, targets, steps=2, checkpoint_path=ckpt,
+                         checkpoint_every=1, **kw)
+    resumed = gfit.fit_scene_batch(template, targets, steps=4,
+                                   checkpoint_path=ckpt, checkpoint_every=1,
+                                   **kw)
+    np.testing.assert_array_equal(resumed.losses, straight.losses)

@@ -461,3 +461,50 @@ def test_http_surface(vortex_scene):
     finally:
         httpd.shutdown()
         httpd.service.stop()
+
+
+def test_fit_job_abort_returns_best_so_far(vortex_scene):
+    """DELETE /job on a RUNNING fit stops it after the current optimizer
+    step — the worker is not monopolized for the full step budget, and the
+    best-so-far fit is kept (partial-frame-on-abort semantics)."""
+    import copy
+
+    from gamer_tpu.engine.render import render_scene
+
+    target_img = render_scene(vortex_scene)
+    start = copy.deepcopy(vortex_scene)
+    start.instances[0].galaxy.components[0].strength *= 0.5
+
+    svc = RenderService()
+    try:
+        jid = svc.submit_fit(start, target_img, ("strength",),
+                             steps=10_000, lr=5e-2)
+        job = svc.jobs[jid]
+        deadline = time.time() + 900
+        while job.progress == 0.0 and time.time() < deadline:
+            time.sleep(0.005)
+        assert job.progress > 0.0  # the fit is genuinely running
+        assert svc.abort(jid)
+        job = svc.wait(jid, timeout=900)
+        assert job.state == ABORTED
+        assert job.fit_result is not None       # best-so-far fit kept
+        assert job.image is not None            # render of that fit
+        assert len(job.fit_result["losses"]) < 10_000  # it really stopped
+    finally:
+        svc.stop()
+
+
+def test_fit_mesh_falls_back_when_rows_dont_tile(vortex_scene):
+    """_run_fit row-shards over the service mesh only when every rung's
+    pixel rows tile it; otherwise it falls back to single-device instead
+    of failing the job."""
+    from gamer_tpu.parallel import make_pixel_mesh
+
+    svc = RenderService(autostart=False, mesh=make_pixel_mesh())  # 8 dev
+    try:
+        # 16 rows % 8 == 0: the direct fit can use the mesh
+        assert svc._fit_mesh(vortex_scene, multiscale=False) is svc.mesh
+        # multiscale's coarsest rung renders 16//4 = 4 rows < 8 devices
+        assert svc._fit_mesh(vortex_scene, multiscale=True) is None
+    finally:
+        svc.stop()
