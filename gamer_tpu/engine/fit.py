@@ -96,17 +96,23 @@ def _check_mesh_divides(mesh, size: int, pool: int, who: str) -> None:
             f"({n_dev} devices) so every device owns whole output rows")
 
 
-def _reject_supersample(scene: Scene, who: str) -> None:
-    """The differentiable forward model renders 1 ray/pixel; silently
-    fitting a supersampled scene (or against an AA target) would bake the
-    sampling mismatch into the fitted parameters as bias."""
-    if scene.config.supersample > 1:
-        raise ValueError(
-            f"{who} does not support supersample="
-            f"{scene.config.supersample}: the differentiable forward model "
-            "renders 1 ray/pixel. Fit with supersample=1 (render the final "
-            "result with AA afterwards)."
-        )
+def _ss_setup(scene: Scene, size: int):
+    """Supersampling for the differentiable forward model.
+
+    Returns ``(ss, pool_linear)``: the forward renders ss² rays per pixel
+    (a ``size*ss`` ray grid) and ``pool_linear`` box-averages them in
+    LINEAR space before the nonlinear post chain — the same semantics as
+    render.render_frame_ss, so fitting against an AA-rendered target
+    carries no sampling-mismatch bias (the forward model and the target
+    see the same pixel integral)."""
+    ss = int(scene.config.supersample)
+    if ss <= 1:
+        return 1, (lambda linear: linear)
+
+    def pool_linear(linear):
+        return linear.reshape(size, ss, size, ss, 3).mean(axis=(1, 3))
+
+    return ss, pool_linear
 
 
 def _ckpt_save(path: str, fingerprint: str, i: int, params, opt_state,
@@ -443,7 +449,7 @@ def fit_scene(
         )
     if pool < 1 or size % pool != 0:
         raise ValueError(f"pool {pool} must divide the size {size}")
-    _reject_supersample(scene, "fit_scene")
+    ss, _linear_pooled = _ss_setup(scene, size)
 
     def _pooled(img):
         if pool > 1:
@@ -461,7 +467,7 @@ def fit_scene(
         np.asarray(scene.camera.camera, np.float32),
         scene.camera.target, scene.camera.up, scene.camera.fov,
     ))
-    dirs = cam_ops.ray_grid(size, inv_vp)
+    dirs = cam_ops.ray_grid(size * ss, inv_vp)
     if mesh is not None:
         _check_mesh_divides(mesh, size, pool, "fit_scene")
         # committing the ray grid and target rows to the mesh is the only
@@ -493,10 +499,10 @@ def fit_scene(
     march_fn = _march_fn(march)
 
     def loss_fn(p):
-        linear = march_fn(
+        linear = _linear_pooled(march_fn(
             static, p, dirs, camera, f(cfg.ray_step), f(cfg.min_ray_step),
             trip_bound,
-        )
+        ))
         img = post_process_float(
             linear, f(cfg.exposure), f(cfg.gamma), f(cfg.saturation)
         ) / 255.0
@@ -513,7 +519,8 @@ def fit_scene(
         checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
         fingerprint=_fit_fingerprint(
             "scene", fit_fields, lr, march, size, params, target,
-            extra=f"pool{pool}|lod{cfg.noise_octaves}",
+            extra=(f"pool{pool}|lod{cfg.noise_octaves}"
+                   + (f"|ss{ss}" if ss > 1 else "")),
             aux=(scene.camera.camera, scene.camera.target, scene.camera.up,
                  scene.camera.fov, cfg.ray_step, cfg.min_ray_step,
                  cfg.exposure, cfg.gamma, cfg.saturation, trip_bound)),
@@ -610,7 +617,7 @@ def fit_scene_batch(
             f"{len(scene_list)} scenes but {K} targets")
     if pool < 1 or size % pool != 0:
         raise ValueError(f"pool {pool} must divide the size {size}")
-    _reject_supersample(template, "fit_scene_batch")
+    ss, _linear_pooled = _ss_setup(template, size)
     _check_march_fields(march, fit_fields)
 
     cfg = template.config
@@ -665,7 +672,7 @@ def fit_scene_batch(
         np.asarray(template.camera.camera, np.float32),
         template.camera.target, template.camera.up, template.camera.fov,
     ))
-    dirs = cam_ops.ray_grid(size, inv_vp)
+    dirs = cam_ops.ray_grid(size * ss, inv_vp)
     if mesh is not None:
         if len(mesh.axis_names) != 1:
             raise ValueError(
@@ -705,10 +712,10 @@ def fit_scene_batch(
     march_fn = _march_fn(march)
 
     def per_scene_loss(p, t):
-        linear = march_fn(
+        linear = _linear_pooled(march_fn(
             static, p, dirs, camera, f(cfg.ray_step), f(cfg.min_ray_step),
             trip_bound,
-        )
+        ))
         img = post_process_float(
             linear, f(cfg.exposure), f(cfg.gamma), f(cfg.saturation)
         ) / 255.0
@@ -726,7 +733,8 @@ def fit_scene_batch(
         checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
         fingerprint=_fit_fingerprint(
             "batch", fit_fields, lr, march, size, params, targets,
-            extra=f"pool{pool}|lod{cfg.noise_octaves}|K{K}",
+            extra=(f"pool{pool}|lod{cfg.noise_octaves}|K{K}"
+                   + (f"|ss{ss}" if ss > 1 else "")),
             aux=(template.camera.camera, template.camera.target,
                  template.camera.up, template.camera.fov, cfg.ray_step,
                  cfg.min_ray_step, cfg.exposure, cfg.gamma, cfg.saturation,
@@ -823,7 +831,7 @@ def fit_pose(
         )
     if pool < 1 or size % pool != 0:
         raise ValueError(f"pool {pool} must divide the size {size}")
-    _reject_supersample(scene, "fit_pose")
+    ss, _linear_pooled = _ss_setup(scene, size)
 
     def _prep(img):
         if pool > 1:
@@ -858,13 +866,13 @@ def fit_pose(
     def loss_fn(p):
         inv_vp = cam_ops.inv_view_projection(p["camera"], p["target"], up,
                                              p["fov"])
-        dirs = cam_ops.ray_grid(size, inv_vp)
+        dirs = cam_ops.ray_grid(size * ss, inv_vp)
         if dirs_sharding is not None:
             dirs = jax.lax.with_sharding_constraint(dirs, dirs_sharding)
-        linear = march_fn(
+        linear = _linear_pooled(march_fn(
             static, gal_params, dirs, p["camera"], f(cfg.ray_step),
             f(cfg.min_ray_step), trip_bound,
-        )
+        ))
         img = post_process_float(
             linear, f(cfg.exposure), f(cfg.gamma), f(cfg.saturation)
         ) / 255.0
@@ -888,7 +896,9 @@ def fit_pose(
             # the held-constant galaxy params ARE the pose loss surface —
             # a checkpoint from a different .gax must not resume
             {"pose": pose, "galaxy": gal_params}, target,
-            extra=f"pool{pool}|lod{cfg.noise_octaves}|norm{int(normalize)}",
+            extra=(f"pool{pool}|lod{cfg.noise_octaves}"
+                   f"|norm{int(normalize)}"
+                   + (f"|ss{ss}" if ss > 1 else "")),
             aux=(scene.camera.up, cfg.ray_step, cfg.min_ray_step,
                  cfg.exposure, cfg.gamma, cfg.saturation, trip_bound)),
     )

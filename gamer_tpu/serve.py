@@ -279,11 +279,11 @@ class RenderService:
         unknown = set(fit_fields) - set(FITTABLE_FIELDS)
         if unknown:
             raise ValueError(f"unknown fit fields {sorted(unknown)}")
-        from .engine.fit import _reject_supersample
         from .engine.scene_prep import flatten_scene
 
-        flatten_scene(scene)  # validate at submission
-        _reject_supersample(scene, "submit_fit")
+        flatten_scene(scene)  # validate at submission (supersampled scenes
+        # are fittable: the diff forward pools ss² rays/pixel in linear
+        # space, engine/fit._ss_setup)
         spec = dict(target=target_image, fit_fields=fit_fields, steps=steps,
                     lr=float(lr), multiscale=bool(multiscale))
         return self._enqueue(Job(id=0, scene=scene, key=("fit", object()),

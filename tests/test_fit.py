@@ -235,19 +235,58 @@ def test_pose_fit_rejects_unknown_fields():
                       fit_fields=("up",), steps=1)
 
 
-def test_fit_rejects_supersample():
-    """ADVICE round 1: the diff forward model renders 1 ray/pixel, so a
-    supersampled scene must be rejected, not silently mis-fitted."""
+def _ss_scene(size=12, ss=2):
     import dataclasses
 
-    scene = _scene(default_galaxy(), 16)
-    scene = dataclasses.replace(
-        scene, config=dataclasses.replace(scene.config, supersample=2))
-    tgt = np.zeros((16, 16, 3), np.uint8)
-    with pytest.raises(ValueError, match="supersample"):
-        gfit.fit_scene(scene, tgt, steps=1)
-    with pytest.raises(ValueError, match="supersample"):
-        gfit.fit_pose(scene, tgt, ("camera",), steps=1)
+    scene = _scene(default_galaxy(), size)
+    return dataclasses.replace(
+        scene, config=dataclasses.replace(scene.config, supersample=ss))
+
+
+def test_fit_forward_matches_supersampled_render():
+    """The diff forward model honors config.supersample (ss² rays/pixel,
+    linear-space box average — render_frame_ss semantics): at the true
+    parameters, the loss against the scene's own AA render sits at the
+    uint8 quantization floor, not at an AA-mismatch plateau."""
+    from gamer_tpu.engine.render import render_scene
+
+    scene = _ss_scene()
+    target = render_scene(scene)
+    res = gfit.fit_scene(scene, target, fit_fields=("strength",),
+                         steps=0, march="scan")
+    # truncation to uint8 bounds the per-channel error by 1/255:
+    # MSE <= mean of U[0,1)^2 / 255^2 ~ 5.1e-6
+    assert res.losses[0] < 1e-5
+
+
+def test_fit_scene_supersample_recovers():
+    """Fitting a supersampled scene against its AA target converges just
+    like the 1-ray/pixel path does."""
+    from gamer_tpu.engine.render import render_scene
+
+    scene = _ss_scene()
+    target = render_scene(scene)
+    start = _ss_scene()
+    start.instances[0].galaxy.components[1].strength *= 0.5
+    res = gfit.fit_scene(start, target, fit_fields=("strength",),
+                         steps=12, lr=5e-2)
+    assert res.losses[-1] < 0.2 * res.losses[0]
+    truth = scene.instances[0].galaxy.components[1].strength
+    fitted = res.scene.instances[0].galaxy.components[1].strength
+    start_v = start.instances[0].galaxy.components[1].strength
+    assert abs(fitted - truth) < abs(start_v - truth)
+
+
+def test_fit_pose_supersample_floor():
+    """fit_pose's in-graph forward supersamples too: at the true pose the
+    normalized loss against the AA target is at the quantization floor."""
+    from gamer_tpu.engine.render import render_scene
+
+    scene = _ss_scene()
+    target = render_scene(scene)
+    res = gfit.fit_pose(scene, target, ("camera",), steps=0,
+                        normalize=False)
+    assert res.losses[0] < 1e-5
 
 
 def test_fit_warns_winding_fields_on_tensor_march():

@@ -508,3 +508,28 @@ def test_fit_mesh_falls_back_when_rows_dont_tile(vortex_scene):
         assert svc._fit_mesh(vortex_scene, multiscale=True) is None
     finally:
         svc.stop()
+
+
+def test_fit_job_accepts_supersampled_scene(vortex_scene):
+    """A supersampled scene is fittable as a service: the diff forward
+    pools ss² rays/pixel in linear space, so the fit of an AA scene
+    against its own AA render starts at the quantization floor."""
+    import copy
+    import dataclasses
+
+    from gamer_tpu.engine.render import render_scene
+
+    scene = copy.deepcopy(vortex_scene)
+    scene = dataclasses.replace(
+        scene, config=dataclasses.replace(scene.config, supersample=2))
+    target_img = render_scene(scene)
+
+    svc = RenderService()
+    try:
+        jid = svc.submit_fit(scene, target_img, ("strength",), steps=1)
+        job = svc.wait(jid, timeout=900)
+        assert job.state == DONE
+        assert job.fit_result["scene"]["config"]["supersample"] == 2
+        assert job.fit_result["losses"][0] < 1e-5
+    finally:
+        svc.stop()
