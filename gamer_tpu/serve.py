@@ -34,8 +34,9 @@ so everything the CLI and library can render is servable. Endpoints:
                             -> parameter-space morph animation
   POST   /fit               {"scene": {...}, "target_png": base64,
                             "fields": [...], "steps": N, "lr": x,
-                            "multiscale": bool} -> inverse rendering:
-                            gradient-fit the galaxy to the target image
+                            "multiscale": bool, "pose": bool} -> inverse
+                            rendering: gradient-fit the galaxy (or, with
+                            "pose": true, the camera) to the target image
   GET    /job/<id>/result.json     fitted scene dict + loss trace
   GET    /job/<id>          state/progress/timing
   GET    /job/<id>/image.png       finished (or abort-partial) frame
@@ -245,16 +246,22 @@ class RenderService:
         return self._enqueue_animation(
             scene, morph_scenes(scene, target_galaxy, n_frames, ease))
 
-    def submit_fit(self, scene, target_image, fit_fields=("strength", "r0", "z0"),
+    def submit_fit(self, scene, target_image, fit_fields=None,
                    steps: int = 100, lr: float = 2e-2,
-                   multiscale: bool = False) -> int:
+                   multiscale: bool = False, pose: bool = False) -> int:
         """Queue an inverse-rendering fit: optimize ``fit_fields`` of the
         scene's galaxy until its render matches ``target_image`` (a
         (size, size, 3) uint8 array, or base64-encoded PNG over HTTP) —
         training as a service, with per-step progress on the job. The
         result is the fitted scene dict + loss trace (GET
         /job/<id>/result.json) and a render of the fitted scene
-        (/image.png)."""
+        (/image.png).
+
+        ``pose=True`` fits the camera (engine/fit.fit_pose) instead of
+        galaxy parameters: fields are from POSE_FITTABLE (default
+        ("camera",)), and ``multiscale`` runs the LOD->exact pose ladder
+        (the recommended mode — single-LOD pose fits need a hand-picked
+        noise LOD, see fit_pose's docstring)."""
         import base64
         import io as _io
 
@@ -273,19 +280,25 @@ class RenderService:
         steps = int(steps)
         if not 1 <= steps <= 100_000:
             raise ValueError(f"steps must be in [1, 100000], got {steps}")
-        fit_fields = tuple(fit_fields)
-        from .engine.fit import FITTABLE_FIELDS
+        from .engine.fit import FITTABLE_FIELDS, POSE_FITTABLE
 
-        unknown = set(fit_fields) - set(FITTABLE_FIELDS)
+        if fit_fields is None:
+            fit_fields = ("camera",) if pose else ("strength", "r0", "z0")
+        fit_fields = tuple(fit_fields)
+        allowed = POSE_FITTABLE if pose else FITTABLE_FIELDS
+        unknown = set(fit_fields) - set(allowed)
         if unknown:
-            raise ValueError(f"unknown fit fields {sorted(unknown)}")
+            raise ValueError(
+                f"unknown {'pose ' if pose else ''}fit fields "
+                f"{sorted(unknown)}; valid: {sorted(allowed)}")
         from .engine.scene_prep import flatten_scene
 
         flatten_scene(scene)  # validate at submission (supersampled scenes
         # are fittable: the diff forward pools ss² rays/pixel in linear
         # space, engine/fit._ss_setup)
         spec = dict(target=target_image, fit_fields=fit_fields, steps=steps,
-                    lr=float(lr), multiscale=bool(multiscale))
+                    lr=float(lr), multiscale=bool(multiscale),
+                    pose=bool(pose))
         return self._enqueue(Job(id=0, scene=scene, key=("fit", object()),
                                  fit_spec=spec))
 
@@ -482,13 +495,17 @@ class RenderService:
         """Inverse rendering on the worker: gradient steps with per-step
         progress; the fitted scene dict + loss trace is the result, plus a
         render of the fitted scene for /image.png."""
-        from .engine.fit import (DEFAULT_SCENE_SCHEDULE, fit_scene,
+        from .engine.fit import (DEFAULT_POSE_SCHEDULE,
+                                 DEFAULT_SCENE_SCHEDULE, fit_pose,
+                                 fit_pose_multiscale, fit_scene,
                                  fit_scene_multiscale)
         from .engine.pallas_render import render_scene_pallas
         from .scene.schema import scene_to_dict
 
         spec = job.fit_spec
-        rungs = len(DEFAULT_SCENE_SCHEDULE) if spec["multiscale"] else 1
+        pose = spec.get("pose", False)
+        schedule = DEFAULT_POSE_SCHEDULE if pose else DEFAULT_SCENE_SCHEDULE
+        rungs = len(schedule) if spec["multiscale"] else 1
         total = spec["steps"] * rungs
 
         def on_step(i, loss):
@@ -497,30 +514,44 @@ class RenderService:
             # current step; the best-so-far fit is still returned below
             return not job.abort.is_set()
 
-        fitter = fit_scene_multiscale if spec["multiscale"] else fit_scene
+        fitter = ((fit_pose_multiscale if spec["multiscale"] else fit_pose)
+                  if pose else
+                  (fit_scene_multiscale if spec["multiscale"] else fit_scene))
         result = fitter(job.scene, spec["target"], spec["fit_fields"],
                         steps=spec["steps"], lr=spec["lr"], on_step=on_step,
-                        mesh=self._fit_mesh(job.scene, spec["multiscale"]))
+                        mesh=self._fit_mesh(job.scene, spec["multiscale"],
+                                            pose))
         job.fit_result = {
             "scene": scene_to_dict(result.scene),
             "losses": [float(v) for v in result.losses],
             "fit_fields": list(result.fit_fields),
         }
+        if pose:
+            # the fitted pose, explicitly (it also lives in scene.camera)
+            job.fit_result["pose"] = {
+                k: (v.tolist() if np.ndim(v) else float(v))
+                for k, v in result.params.items()}
         job.image = np.asarray(render_scene_pallas(result.scene))
         self._finish(job, ABORTED if job.abort.is_set() else DONE)
 
-    def _fit_mesh(self, scene, multiscale: bool):
+    def _fit_mesh(self, scene, multiscale: bool, pose: bool = False):
         """The service mesh if every fit rung's pixel rows tile it, else
-        None (fit_scene's row sharding needs rows % n_dev == 0; multiscale
-        rungs render at size//s). Falling back to single-device keeps odd
-        sizes serviceable instead of failing the job."""
+        None. Scene-fit rungs render at size//s (DEFAULT_SCENE_SCHEDULE);
+        pose rungs render at full size but pool the loss by the schedule's
+        pool factor, and fit_pose requires (size // pool) % n_dev == 0.
+        Falling back to single-device keeps odd sizes serviceable instead
+        of failing the job."""
         if self.mesh is None:
             return None
-        from .engine.fit import DEFAULT_SCENE_SCHEDULE
+        from .engine.fit import DEFAULT_POSE_SCHEDULE, DEFAULT_SCENE_SCHEDULE
 
         n_dev = int(self.mesh.devices.size)
         size = int(scene.config.size)
-        divisors = DEFAULT_SCENE_SCHEDULE if multiscale else (1,)
+        if pose:
+            divisors = ([p for _, p in DEFAULT_POSE_SCHEDULE]
+                        if multiscale else [1])
+        else:
+            divisors = list(DEFAULT_SCENE_SCHEDULE) if multiscale else [1]
         if all(size % s == 0 and (size // s) % n_dev == 0
                for s in divisors):
             return self.mesh
@@ -608,12 +639,13 @@ def make_handler(service: RenderService):
                         payload.get("frames", 16),
                         payload.get("ease", "smoothstep"))
                 elif path == "/fit":
+                    fields = payload.get("fields")
                     job_id = service.submit_fit(
                         scene, payload.get("target_png"),
-                        tuple(payload.get("fields",
-                                          ("strength", "r0", "z0"))),
+                        tuple(fields) if fields is not None else None,
                         payload.get("steps", 100), payload.get("lr", 2e-2),
-                        payload.get("multiscale", False))
+                        payload.get("multiscale", False),
+                        payload.get("pose", False))
                 else:
                     job_id = service.submit(scene)
                 self._json(202, {"job": job_id})

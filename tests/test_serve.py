@@ -533,3 +533,62 @@ def test_fit_job_accepts_supersampled_scene(vortex_scene):
         assert job.fit_result["losses"][0] < 1e-5
     finally:
         svc.stop()
+
+
+def test_fit_job_pose(vortex_scene):
+    """'pose': true fits the camera instead of galaxy parameters; the
+    result carries the fitted pose explicitly and in scene.camera."""
+    import copy
+    import dataclasses
+
+    from gamer_tpu.engine.render import render_scene
+
+    # pose fits need a noise LOD (see fit_pose docstring); target at truth
+    scene = dataclasses.replace(
+        vortex_scene,
+        config=dataclasses.replace(vortex_scene.config, noise_octaves=3))
+    target_img = render_scene(scene)
+    start = copy.deepcopy(scene)
+    start.camera.camera = (0.52, 0.01, 0.0)
+
+    svc = RenderService()
+    try:
+        jid = svc.submit_fit(start, target_img, steps=2, pose=True)
+        job = svc.wait(jid, timeout=900)
+        assert job.state == DONE
+        assert job.fit_result["fit_fields"] == ["camera"]  # pose default
+        pose = job.fit_result["pose"]
+        assert len(pose["camera"]) == 3 and isinstance(pose["fov"], float)
+        np.testing.assert_allclose(
+            pose["camera"], job.fit_result["scene"]["camera"]["camera"],
+            rtol=1e-6)
+        assert job.image is not None
+    finally:
+        svc.stop()
+
+
+def test_fit_job_pose_rejects_galaxy_fields(vortex_scene):
+    svc = RenderService(autostart=False)
+    try:
+        tgt = np.zeros((16, 16, 3), np.uint8)
+        with pytest.raises(ValueError, match="pose fit fields"):
+            svc.submit_fit(vortex_scene, tgt, ("strength",), pose=True)
+        with pytest.raises(ValueError, match="fit fields"):
+            svc.submit_fit(vortex_scene, tgt, ("camera",), pose=False)
+    finally:
+        svc.stop()
+
+
+def test_fit_mesh_pose_divisors(vortex_scene):
+    """Pose-fit mesh eligibility checks the POSE schedule's loss pools
+    (full-size renders, pooled rows must tile the mesh)."""
+    from gamer_tpu.parallel import make_pixel_mesh
+
+    svc = RenderService(autostart=False, mesh=make_pixel_mesh())  # 8 dev
+    try:
+        # direct pose fit: 16 rows % 8 == 0 -> mesh usable
+        assert svc._fit_mesh(vortex_scene, False, pose=True) is svc.mesh
+        # multiscale pose: coarsest rung pools 4 -> 4 rows < 8 devices
+        assert svc._fit_mesh(vortex_scene, True, pose=True) is None
+    finally:
+        svc.stop()
