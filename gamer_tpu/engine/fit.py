@@ -759,6 +759,150 @@ def fit_scene_batch(
     )
 
 
+def fit_scene_multiview(
+    scene: Scene,
+    targets,
+    cameras: Sequence,
+    fit_fields: Sequence[str] = DEFAULT_FIT_FIELDS,
+    *,
+    steps: int = 100,
+    lr: float = 2e-2,
+    max_steps: Optional[int] = None,
+    optimizer=None,
+    on_step: Optional[Callable[[int, float], None]] = None,
+    pool: int = 1,
+    march: str = "tensor",
+    mesh=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 10,
+) -> FitResult:
+    """Fit ONE galaxy's parameters against K views of it at once.
+
+    ``targets``: (K, size, size, 3) uint8/float renders of the same galaxy
+    from K known camera poses (``cameras``: K CameraParams). The loss is
+    the mean of the per-view MSEs, so gradients triangulate: a single view
+    cannot distinguish (e.g.) a thicker disk from a brighter one along the
+    line of sight, but views from different directions constrain the 3-D
+    structure jointly. No analog exists in the reference — its editor
+    matches one view by hand (mainwindow.cpp parameter tabs).
+
+    TPU mapping: the forward model is one vmap over the view axis (each
+    view is the same march with its own ray grid and camera origin);
+    ``mesh`` (1-D) shards the VIEW axis across devices (K must divide the
+    mesh), parameters stay replicated and their gradients all-reduce via
+    GSPMD — the same pattern as fit_scene_batch's scene axis.
+
+    The scene's own camera is untouched (it is not one of the views unless
+    passed in ``cameras``). ``pool``/``march``/``checkpoint_path`` behave
+    exactly as in fit_scene; config.supersample is honored per view
+    (ss² rays/pixel pooled in linear space). Poses are held fixed — refine
+    an uncertain pose per view with fit_pose first.
+    """
+    targets = jnp.asarray(targets, jnp.float32) / 255.0
+    size = int(scene.config.size)
+    if targets.ndim != 4 or targets.shape[1:] != (size, size, 3):
+        raise ValueError(
+            f"targets must be (K, {size}, {size}, 3), got {targets.shape}")
+    K = int(targets.shape[0])
+    cameras = list(cameras)
+    if len(cameras) != K:
+        raise ValueError(
+            f"{K} target views but {len(cameras)} cameras")
+    if pool < 1 or size % pool != 0:
+        raise ValueError(f"pool {pool} must divide the size {size}")
+    ss, _linear_pooled = _ss_setup(scene, size)
+
+    def _pooled(img):
+        if pool > 1:
+            o = size // pool
+            img = img.reshape(o, pool, o, pool, 3).mean(axis=(1, 3))
+        return img
+
+    targets_pooled = jax.vmap(_pooled)(targets)
+
+    cfg = scene.config
+    static, params0 = flatten_scene(scene)
+    params = jax.tree_util.tree_map(jnp.asarray, params0)
+    inv_vps = cam_ops.inv_view_projection_host_batch(
+        np.asarray([c.camera for c in cameras], np.float32),
+        np.asarray([c.target for c in cameras], np.float32),
+        np.asarray([c.up for c in cameras], np.float32),
+        np.asarray([c.fov for c in cameras], np.float32))
+    dirs = jax.vmap(lambda m: cam_ops.ray_grid(size * ss, m))(
+        jnp.asarray(inv_vps))
+    cam_pos = jnp.asarray([c.camera for c in cameras], jnp.float32)
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        if K % n_dev:
+            raise ValueError(
+                f"fit_scene_multiview: {K} views must divide the mesh "
+                f"({n_dev} devices) so every device owns whole views")
+        shard = lambda a: jax.device_put(  # noqa: E731
+            a, _pixel_sharding(mesh, jnp.ndim(a)))
+        dirs = shard(dirs)
+        cam_pos = shard(cam_pos)
+        targets_pooled = shard(targets_pooled)
+    if max_steps is not None:
+        trip_bound = max_steps
+    else:
+        trip_bound = step_bound_for_scene(scene)
+        if "axis" in fit_fields:
+            # static trip bound vs fitted chord growth: same 2x headroom
+            # as fit_scene
+            from .diff import conservative_step_bound
+
+            max_axis = max(
+                (max(gi.galaxy.params.axis) for gi in scene.instances),
+                default=1.0,
+            )
+            trip_bound = conservative_step_bound(
+                cfg.ray_step, cfg.min_ray_step, 2.0 * max_axis
+            )
+    f = jnp.float32
+
+    _check_march_fields(march, fit_fields)
+    march_fn = _march_fn(march)
+
+    def view_loss(p, dirs_v, cam_v, t_v):
+        linear = _linear_pooled(march_fn(
+            static, p, dirs_v, cam_v, f(cfg.ray_step), f(cfg.min_ray_step),
+            trip_bound,
+        ))
+        img = post_process_float(
+            linear, f(cfg.exposure), f(cfg.gamma), f(cfg.saturation)
+        ) / 255.0
+        return jnp.mean((_pooled(img) - t_v) ** 2)
+
+    def loss_fn(p):
+        losses = jax.vmap(view_loss, in_axes=(None, 0, 0, 0))(
+            p, dirs, cam_pos, targets_pooled)
+        return jnp.mean(losses)
+
+    mask = _fit_mask(params, fit_fields)
+    params = _project_bounds(params, fit_fields)
+    best_params, losses = _optimize(
+        loss_fn, params, mask, steps=steps, lr=lr, optimizer=optimizer,
+        on_step=on_step,
+        project_fn=lambda p: _project_bounds(p, fit_fields),
+        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+        fingerprint=_fit_fingerprint(
+            "mview", fit_fields, lr, march, size, params, targets,
+            extra=(f"pool{pool}|lod{cfg.noise_octaves}|K{K}"
+                   + (f"|ss{ss}" if ss > 1 else "")),
+            aux=(tuple((c.camera, c.target, c.up, c.fov) for c in cameras),
+                 cfg.ray_step, cfg.min_ray_step, cfg.exposure, cfg.gamma,
+                 cfg.saturation, trip_bound)),
+    )
+
+    fitted = jax.tree_util.tree_map(np.asarray, best_params)
+    return FitResult(
+        scene=apply_fit_to_scene(scene, fitted, fit_fields),
+        params=fitted,
+        losses=losses,
+        fit_fields=tuple(fit_fields),
+    )
+
+
 POSE_FITTABLE = ("camera", "target", "fov")
 
 

@@ -698,3 +698,70 @@ def test_fit_scene_batch_checkpoint_resume_on_mesh(tmp_path):
                                    checkpoint_path=ckpt, checkpoint_every=1,
                                    **kw)
     np.testing.assert_array_equal(resumed.losses, straight.losses)
+
+
+# ---------------------------------------------------------------------------
+# multi-view fitting (fit_scene_multiview)
+# ---------------------------------------------------------------------------
+
+
+def _mview_setup(size=12, n_views=2):
+    """A truth scene, K orbit views of it, and their rendered targets."""
+    import dataclasses
+
+    from gamer_tpu.engine.render import render_scene
+    from gamer_tpu.scene.cameracontrols import orbit_path
+
+    truth = _scene(default_galaxy(), size)
+    cams = orbit_path(truth.camera, n_views, 90.0 * (n_views - 1) / n_views
+                      if n_views > 1 else 0.0)
+    targets = np.stack([
+        render_scene(dataclasses.replace(truth, camera=c)) for c in cams])
+    return truth, cams, targets
+
+
+def test_fit_multiview_floor_and_converges():
+    """At the true parameters the multi-view loss sits at the uint8
+    quantization floor; from a perturbed start it converges back."""
+    truth, cams, targets = _mview_setup()
+    res0 = gfit.fit_scene_multiview(truth, targets, cams,
+                                    fit_fields=("strength",), steps=0)
+    assert res0.losses[0] < 1e-5
+
+    start = _scene(default_galaxy(), 12)
+    start.instances[0].galaxy.components[1].strength *= 0.5
+    res = gfit.fit_scene_multiview(start, targets, cams,
+                                   fit_fields=("strength",), steps=12,
+                                   lr=5e-2)
+    assert res.losses[-1] < 0.2 * res.losses[0]
+    t = truth.instances[0].galaxy.components[1].strength
+    s = start.instances[0].galaxy.components[1].strength
+    fitted = res.scene.instances[0].galaxy.components[1].strength
+    assert abs(fitted - t) < abs(s - t)
+
+
+def test_fit_multiview_validation():
+    truth, cams, targets = _mview_setup()
+    with pytest.raises(ValueError, match="cameras"):
+        gfit.fit_scene_multiview(truth, targets, cams[:1], steps=1)
+    with pytest.raises(ValueError, match="targets"):
+        gfit.fit_scene_multiview(truth, targets[0], cams, steps=1)
+
+
+def test_fit_multiview_mesh_matches_single_device():
+    """View-axis sharding over the mesh replays the single-device
+    trajectory (params replicated, grads all-reduced by GSPMD)."""
+    from gamer_tpu.parallel import make_pixel_mesh
+
+    truth, cams, targets = _mview_setup(n_views=8)
+    start = _scene(default_galaxy(), 12)
+    start.instances[0].galaxy.components[1].strength *= 0.5
+    kw = dict(fit_fields=("strength",), steps=3, lr=5e-2)
+    plain = gfit.fit_scene_multiview(start, targets, cams, **kw)
+    mesh = make_pixel_mesh()
+    sharded = gfit.fit_scene_multiview(start, targets, cams, mesh=mesh, **kw)
+    np.testing.assert_allclose(sharded.losses, plain.losses,
+                               rtol=5e-5, atol=1e-9)
+    with pytest.raises(ValueError, match="views must divide"):
+        gfit.fit_scene_multiview(start, targets[:6], cams[:6], mesh=mesh,
+                                 steps=1)
