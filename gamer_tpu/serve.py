@@ -36,7 +36,11 @@ so everything the CLI and library can render is servable. Endpoints:
                             "fields": [...], "steps": N, "lr": x,
                             "multiscale": bool, "pose": bool} -> inverse
                             rendering: gradient-fit the galaxy (or, with
-                            "pose": true, the camera) to the target image
+                            "pose": true, the camera) to the target image.
+                            With "views": [{"camera": [...], "target_png":
+                            base64, ...}, ...] instead of "target_png",
+                            fit ONE galaxy against K posed views at once
+                            (fit_scene_multiview)
   GET    /job/<id>/result.json     fitted scene dict + loss trace
   GET    /job/<id>          state/progress/timing
   GET    /job/<id>/image.png       finished (or abort-partial) frame
@@ -302,6 +306,64 @@ class RenderService:
         return self._enqueue(Job(id=0, scene=scene, key=("fit", object()),
                                  fit_spec=spec))
 
+    def submit_fit_multiview(self, scene, views, fit_fields=None,
+                             steps: int = 100, lr: float = 2e-2) -> int:
+        """Queue a multi-view fit (engine/fit.fit_scene_multiview): one
+        galaxy optimized against K views at once. ``views`` is a list of
+        {"camera": [x,y,z], "target": [x,y,z], "up": [x,y,z], "fov": f,
+        "target_png": base64-PNG-or-array} dicts — per-view poses are
+        known and held fixed; gradients triangulate the 3-D structure."""
+        import base64
+        import io as _io
+
+        from .scene.schema import CameraParams
+
+        scene = self._coerce_scene(scene)
+        size = scene.config.size
+        if not views:
+            raise ValueError("views must be a non-empty list")
+        cams, targets = [], []
+        for k, v in enumerate(views):
+            try:
+                cams.append(CameraParams(
+                    camera=tuple(v["camera"]),
+                    target=tuple(v.get("target", (0.0, 0.0, 0.0))),
+                    up=tuple(v.get("up", (0.0, 1.0, 0.0))),
+                    fov=float(v.get("fov", scene.camera.fov))))
+            except (KeyError, TypeError) as e:
+                raise ValueError(f"view {k}: bad camera pose ({e})")
+            t = v.get("target_png")
+            if isinstance(t, str):
+                from PIL import Image
+
+                t = np.asarray(Image.open(
+                    _io.BytesIO(base64.b64decode(t))).convert("RGB"))
+            t = np.asarray(t)
+            if t.shape != (size, size, 3):
+                raise ValueError(
+                    f"view {k}: target must be ({size}, {size}, 3), "
+                    f"got {t.shape}")
+            targets.append(t)
+        steps = int(steps)
+        if not 1 <= steps <= 100_000:
+            raise ValueError(f"steps must be in [1, 100000], got {steps}")
+        from .engine.fit import FITTABLE_FIELDS
+
+        if fit_fields is None:
+            fit_fields = ("strength", "r0", "z0")
+        fit_fields = tuple(fit_fields)
+        unknown = set(fit_fields) - set(FITTABLE_FIELDS)
+        if unknown:
+            raise ValueError(f"unknown fit fields {sorted(unknown)}")
+        from .engine.scene_prep import flatten_scene
+
+        flatten_scene(scene)  # validate at submission
+        spec = dict(target=np.stack(targets), cameras=cams,
+                    fit_fields=fit_fields, steps=steps, lr=float(lr),
+                    multiscale=False, pose=False)
+        return self._enqueue(Job(id=0, scene=scene, key=("fit", object()),
+                                 fit_spec=spec))
+
     def abort(self, job_id: int) -> bool:
         """Request cancellation. Queued jobs cancel immediately; a running
         single job stops at the next band boundary (keeping the partial
@@ -498,7 +560,7 @@ class RenderService:
         from .engine.fit import (DEFAULT_POSE_SCHEDULE,
                                  DEFAULT_SCENE_SCHEDULE, fit_pose,
                                  fit_pose_multiscale, fit_scene,
-                                 fit_scene_multiscale)
+                                 fit_scene_multiscale, fit_scene_multiview)
         from .engine.pallas_render import render_scene_pallas
         from .scene.schema import scene_to_dict
 
@@ -514,13 +576,28 @@ class RenderService:
             # current step; the best-so-far fit is still returned below
             return not job.abort.is_set()
 
-        fitter = ((fit_pose_multiscale if spec["multiscale"] else fit_pose)
-                  if pose else
-                  (fit_scene_multiscale if spec["multiscale"] else fit_scene))
-        result = fitter(job.scene, spec["target"], spec["fit_fields"],
-                        steps=spec["steps"], lr=spec["lr"], on_step=on_step,
-                        mesh=self._fit_mesh(job.scene, spec["multiscale"],
-                                            pose))
+        if spec.get("cameras") is not None:
+            # multi-view: the view axis shards over the service mesh when
+            # it tiles (K % n_dev == 0), else single-device
+            mesh = self.mesh
+            if mesh is not None and \
+                    len(spec["cameras"]) % int(mesh.devices.size):
+                mesh = None
+            result = fit_scene_multiview(
+                job.scene, spec["target"], spec["cameras"],
+                spec["fit_fields"], steps=spec["steps"], lr=spec["lr"],
+                on_step=on_step, mesh=mesh)
+        else:
+            fitter = ((fit_pose_multiscale if spec["multiscale"]
+                       else fit_pose)
+                      if pose else
+                      (fit_scene_multiscale if spec["multiscale"]
+                       else fit_scene))
+            result = fitter(job.scene, spec["target"], spec["fit_fields"],
+                            steps=spec["steps"], lr=spec["lr"],
+                            on_step=on_step,
+                            mesh=self._fit_mesh(job.scene,
+                                                spec["multiscale"], pose))
         job.fit_result = {
             "scene": scene_to_dict(result.scene),
             "losses": [float(v) for v in result.losses],
@@ -640,12 +717,23 @@ def make_handler(service: RenderService):
                         payload.get("ease", "smoothstep"))
                 elif path == "/fit":
                     fields = payload.get("fields")
-                    job_id = service.submit_fit(
-                        scene, payload.get("target_png"),
-                        tuple(fields) if fields is not None else None,
-                        payload.get("steps", 100), payload.get("lr", 2e-2),
-                        payload.get("multiscale", False),
-                        payload.get("pose", False))
+                    fields = tuple(fields) if fields is not None else None
+                    if payload.get("views") is not None:
+                        if payload.get("pose") or payload.get("multiscale"):
+                            raise ValueError(
+                                "multi-view fits take neither 'pose' nor "
+                                "'multiscale'")
+                        job_id = service.submit_fit_multiview(
+                            scene, payload["views"], fields,
+                            payload.get("steps", 100),
+                            payload.get("lr", 2e-2))
+                    else:
+                        job_id = service.submit_fit(
+                            scene, payload.get("target_png"), fields,
+                            payload.get("steps", 100),
+                            payload.get("lr", 2e-2),
+                            payload.get("multiscale", False),
+                            payload.get("pose", False))
                 else:
                     job_id = service.submit(scene)
                 self._json(202, {"job": job_id})

@@ -592,3 +592,38 @@ def test_fit_mesh_pose_divisors(vortex_scene):
         assert svc._fit_mesh(vortex_scene, True, pose=True) is None
     finally:
         svc.stop()
+
+
+def test_fit_job_multiview(vortex_scene):
+    """'views' fits one galaxy against K posed views in one job."""
+    import copy
+    import dataclasses
+
+    from gamer_tpu.engine.render import render_scene
+    from gamer_tpu.scene.cameracontrols import orbit_path
+
+    cams = orbit_path(vortex_scene.camera, 2, 45.0)
+    views = []
+    for c in cams:
+        img = render_scene(dataclasses.replace(vortex_scene, camera=c))
+        views.append({"camera": list(c.camera), "target": list(c.target),
+                      "up": list(c.up), "fov": c.fov, "target_png": img})
+    start = copy.deepcopy(vortex_scene)
+    start.instances[0].galaxy.components[0].strength *= 0.5
+
+    svc = RenderService()
+    try:
+        jid = svc.submit_fit_multiview(start, views, ("strength",), steps=3)
+        job = svc.wait(jid, timeout=900)
+        assert job.state == DONE
+        losses = job.fit_result["losses"]
+        assert losses[-1] < losses[0]
+        assert job.image is not None
+        # validation: wrong-size view target fails at submission
+        bad = dict(views[0], target_png=np.zeros((8, 8, 3), np.uint8))
+        with pytest.raises(ValueError, match="view 0"):
+            svc.submit_fit_multiview(start, [bad], steps=1)
+        with pytest.raises(ValueError, match="non-empty"):
+            svc.submit_fit_multiview(start, [], steps=1)
+    finally:
+        svc.stop()
