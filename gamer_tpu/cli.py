@@ -57,6 +57,8 @@ Commands:
    fit <camera x y z> <target x y z> <up x y z> <fov> <exposure> <gamma>
        <saturation> <ray step> <gax file> <target image> <out gax>
        [steps=100] [lr=0.02] [fields=strength,r0,z0] [multiscale] [ckpt=FILE]
+       [march=tensor|scan|frozen]  (frozen: noise precomputed once — the
+       fastest and most accurate gradients when fields don't feed the noise)
    fitpose <camera x y z> <target x y z> <up x y z> <fov> <exposure> <gamma>
        <saturation> <ray step> <gax file> <target image> <out scene.json>
        [steps=80] [lr=0.01] [noise LOD=3 | multiscale] [ckpt=FILE]
@@ -436,7 +438,10 @@ def cmd_fit(argv) -> int:
     """
     ckpt = next((a[len("ckpt="):] for a in argv if a.startswith("ckpt=")),
                 None)
-    argv = [a for a in argv if not a.startswith("ckpt=")]
+    march = next((a[len("march="):] for a in argv if a.startswith("march=")),
+                 "tensor")
+    argv = [a for a in argv
+            if not (a.startswith("ckpt=") or a.startswith("march="))]
     multiscale = bool(argv) and argv[-1].lower() == "multiscale"
     if multiscale:
         argv = argv[:-1]
@@ -489,7 +494,7 @@ def cmd_fit(argv) -> int:
                   end="", flush=True)
 
         result = fit_scene_multiscale(scene, target, fields, steps=steps,
-                                      lr=lr, on_step=on_step,
+                                      lr=lr, on_step=on_step, march=march,
                                       checkpoint_path=ckpt)
     else:
         def on_step(i, loss):
@@ -497,7 +502,8 @@ def cmd_fit(argv) -> int:
                   end="", flush=True)
 
         result = fit_scene(scene, target, fields, steps=steps, lr=lr,
-                           on_step=on_step, checkpoint_path=ckpt)
+                           on_step=on_step, march=march,
+                           checkpoint_path=ckpt)
     print(f"\nloss {result.losses[0]:.6f} -> {result.losses[-1]:.6f} in "
           f"{format_ms((time.perf_counter() - t0) * 1000.0)}")
     gax.save(result.scene.instances[0].galaxy, out_file)

@@ -8,12 +8,18 @@ exists in the reference — its only workflow for matching a look is
 hand-tuning in the Qt editor (mainwindow.cpp parameter tabs); this module
 turns every one of those tab knobs into a differentiable degree of freedom.
 
-Two march backends (``march=``): "tensor" (default — engine/tensor_march,
+Three march backends (``march=``): "tensor" (default — engine/tensor_march,
 the reassociated parallel formulation; measured v5e-1 64^2 LOD4 fit step
-0.34 s vs round 1's 3.5 s, 128^2 1.1 s) and "scan" (engine/diff — forward
-bit-exact vs the production while-loop march; use it when the fitted field
-set leans on winding-driven gradients, where the two valid fp
-linearizations diverge).
+0.34 s vs round 1's 3.5 s, 128^2 1.1 s), "frozen" (fit_scene/multiscale
+only — tensor march with the raw fractal-noise fields precomputed ONCE per
+fit and stop_gradient'ed; valid whenever the fitted fields do not feed the
+noise (check_frozen_fields), which holds for the default strength/r0/z0
+set; per-step cost drops to the differentiable algebra AND the gradients
+land closer to the sequential linearization, because the noise-VJP terms —
+zero a.e. in exact arithmetic for these fields — otherwise pollute every
+leaf at the ~1% level), and "scan" (engine/diff — forward bit-exact vs the
+production while-loop march; use it when the fitted field set leans on
+winding-driven gradients, where the reassociated linearizations diverge).
 
 Design notes:
   - The scene STRUCTURE stays fixed (same compiled render serves every
@@ -373,7 +379,13 @@ def _march_fn(march: str):
         from .tensor_march import render_rays_tensor
 
         return render_rays_tensor
-    raise ValueError(f"unknown march backend {march!r}; use 'scan' or 'tensor'")
+    if march == "frozen":
+        raise ValueError(
+            "march='frozen' is only supported by fit_scene / "
+            "fit_scene_multiscale (fixed camera, per-call noise "
+            "precompute); use march='tensor' here")
+    raise ValueError(
+        f"unknown march backend {march!r}; use 'scan', 'tensor' or 'frozen'")
 
 
 # fields whose gradients flow through the spiral winding angle — the one
@@ -496,7 +508,27 @@ def fit_scene(
     f = jnp.float32
 
     _check_march_fields(march, fit_fields)
-    march_fn = _march_fn(march)
+    if march == "frozen":
+        # Precompute the fractal noise fields ONCE (engine/tensor_march):
+        # valid because check_frozen_fields rejects any fitted field that
+        # feeds the raw noise — per step only the cheap differentiable
+        # algebra around the frozen fields runs.
+        from .tensor_march import (
+            check_frozen_fields,
+            precompute_frozen,
+            render_rays_tensor_frozen,
+        )
+
+        check_frozen_fields(static, fit_fields)
+        frozen = jax.jit(precompute_frozen, static_argnums=(0, 6))(
+            static, params, dirs, camera, f(cfg.ray_step),
+            f(cfg.min_ray_step), trip_bound)
+        frozen = jax.block_until_ready(frozen)
+
+        def march_fn(st, p, d, c, rs, ms, tb):
+            return render_rays_tensor_frozen(st, p, d, c, rs, ms, tb, frozen)
+    else:
+        march_fn = _march_fn(march)
 
     def loss_fn(p):
         linear = _linear_pooled(march_fn(

@@ -100,6 +100,75 @@ def _is_absorber(cs: CompStatic) -> bool:
     return cs.cid in (CID_DUST, CID_DUST2)
 
 
+def _sample_gates(cs: CompStatic, pr, cp, p, active, winding):
+    """Shared per-sample geometry + gating pipeline, up to and including
+    the winding carry (rasterizer.cpp:460-462, galaxycomponent.cpp:45-88).
+
+    Runs for every non-bulge component (the reference's calculateIntensity
+    executes it before the class dispatch). Returns
+    (gates, z, radius, intensity, P, winding') — P is the in-plane
+    projection, winding' the updated carry. Factored out so the
+    frozen-noise precompute (engine/tensor_march) replays the exact same
+    expressions the march uses — any drift between the two would
+    desynchronize the frozen noise from the live gates.
+    """
+    orientation = pr["orientation"]
+    dott = dot3(p, orientation)
+    P = p - orientation * dott[..., None]
+    radius = norm3(P) / pr["axis"][0]
+    h = jnp.abs(dott / cp["z0"])
+    # sech evaluated on min(h, 3): bit-identical for every lane the h > 2
+    # cutoff keeps, while capping exp(h) so overflowing discarded lanes
+    # (inf -> 0*inf = NaN) cannot poison reverse-mode gradients.
+    hs = jnp.minimum(h, 3.0)
+    sech = 1.0 / ((jnp.exp(hs) + jnp.exp(-hs)) / 2.0)
+    z = jnp.where(h > 2.0, 0.0, sech * sech)
+
+    # Gating pipeline (galaxycomponent.cpp:45-88).
+    ri = jnp.exp(-radius / (cp["r0"] * 0.5))
+    intensity = qt_clamp(ri - 0.01, 0.0, 1.0)
+    intensity = jnp.where(intensity > 0.1, 0.1, intensity)
+    gates = active & (z > 0.01) & (intensity > 0.001)
+
+    if cs.arm_enabled and cs.winding_enabled:
+        new_wind = _get_winding(radius, pr["winding_b"], pr["winding_n"]) * cp["winding"]
+    else:
+        new_wind = jnp.zeros_like(radius)
+    winding = jnp.where(gates, new_wind, winding)
+    return gates, z, radius, intensity, P, winding
+
+
+def _component_noise(cs: CompStatic, pr, cp, p, winding):
+    """The component's raw fractal-noise field(s) at sample positions ``p``
+    with the (already updated) winding carry — the expensive part of
+    _component_sample, factored so the frozen-noise fit path
+    (engine/tensor_march) can precompute it once. Returns a tuple
+    (possibly empty) whose layout each _component_sample branch consumes
+    positionally. Everything *after* these raw fields (abs/pow/offset
+    shaping) stays in _component_sample so it remains differentiable."""
+    twirl_axis = pr["twirl_axis"]
+    if cs.cid == CID_DISK:
+        return (_perlin_cloud(p, winding, cs.oct(10), cp["scale"], cp["ks"], twirl_axis),)
+    if cs.cid == CID_DUST:
+        return (_perlin_cloud(p, winding, cs.oct(9), cp["scale"], cp["ks"], twirl_axis),)
+    if cs.cid in (CID_DUST2, CID_DUST_POSITIVE):
+        r = _twirl(p, winding, twirl_axis) * cp["scale"]
+        return (jnoise.ridged_mf(
+            r[..., 0], r[..., 1], r[..., 2],
+            cp["ks"], cs.oct(9), 2.5, cp["noise_offset"], cp["noise_tilt"],
+        ),)
+    if cs.cid == CID_STARS:
+        freq = (0.01 * cp["scale"]) * 100.0
+        base = jnoise.octave_noise_3d(
+            cs.oct(10), cp["ks"], freq, p[..., 0], p[..., 1], p[..., 2])
+        if cs.star_extra:
+            c1 = _perlin_cloud(p, winding, cs.oct(4), 2.0, -2.0, twirl_axis)
+            c2 = _perlin_cloud(p, winding * 0.5, cs.oct(4), 4.0, -2.0, twirl_axis)
+            return (base, c1, c2)
+        return (base,)
+    return ()
+
+
 def _component_sample(
     cs: CompStatic,
     st: InstanceStatic,
@@ -111,6 +180,7 @@ def _component_sample(
     ray_step,
     winding,
     pow_fn=jnp.power,
+    noise=None,
 ):
     """Pure per-sample effect of one component: the component's action on
     the accumulator is ``I -> I * exp(att_exp) + emit``.
@@ -129,9 +199,13 @@ def _component_sample(
     ``pow_fn`` is ``jnp.power`` on the conformance path; the differentiable
     paths pass a gradient-safe pow whose primal is identical but whose
     cotangents are zeroed where the true derivative is non-finite.
+
+    ``noise`` optionally supplies this component's raw fractal field(s)
+    (the _component_noise tuple, evaluated at the same positions/winding) —
+    the frozen-noise fit path precomputes them once and passes them back
+    under stop_gradient. None computes them inline (identical expressions,
+    bit-identical conformance path).
     """
-    orientation = pr["orientation"]
-    twirl_axis = pr["twirl_axis"]
     iscale = pr["intensity_scale"]
     zero3 = jnp.zeros(p.shape[:-1] + (3,), p.dtype)
 
@@ -146,35 +220,17 @@ def _component_sample(
         add = cp["spec"] * (ival * ray_step)[..., None]
         return jnp.where(active[..., None], add, 0.0), zero3, winding
 
-    # Shared per-sample geometry (rasterizer.cpp:460-462).
-    dott = dot3(p, orientation)
-    P = p - orientation * dott[..., None]
-    radius = norm3(P) / pr["axis"][0]
-    h = jnp.abs(dott / cp["z0"])
-    # sech evaluated on min(h, 3): bit-identical for every lane the h > 2
-    # cutoff keeps, while capping exp(h) so overflowing discarded lanes
-    # (inf -> 0*inf = NaN) cannot poison reverse-mode gradients.
-    hs = jnp.minimum(h, 3.0)
-    sech = 1.0 / ((jnp.exp(hs) + jnp.exp(-hs)) / 2.0)
-    z = jnp.where(h > 2.0, 0.0, sech * sech)
-
-    # Gating pipeline (galaxycomponent.cpp:45-88).
-    ri = jnp.exp(-radius / (cp["r0"] * 0.5))
-    intensity = qt_clamp(ri - 0.01, 0.0, 1.0)
-    intensity = jnp.where(intensity > 0.1, 0.1, intensity)
-    gates = active & (z > 0.01) & (intensity > 0.001)
+    # Shared geometry + gates + winding carry (galaxycomponent.cpp:45-88).
+    gates, z, radius, intensity, P, winding = _sample_gates(
+        cs, pr, cp, p, active, winding)
+    if noise is None:
+        noise = _component_noise(cs, pr, cp, p, winding)
 
     scale_inner = jnp.power(qt_smoothstep(0.0, 1.0 * cp["inner"], radius), 4.0)
     if cs.arm_enabled:
         arm_val = _arm_value(st, pr, cp, radius, P, pow_fn)
-        if cs.winding_enabled:
-            new_wind = _get_winding(radius, pr["winding_b"], pr["winding_n"]) * cp["winding"]
-        else:
-            new_wind = jnp.zeros_like(radius)
     else:
         arm_val = jnp.ones_like(radius)
-        new_wind = jnp.zeros_like(radius)
-    winding = jnp.where(gates, new_wind, winding)
 
     val = cp["strength"] * scale_inner * arm_val * z * intensity * iscale
     emit = gates & (val * weight > 0.0005)
@@ -182,41 +238,31 @@ def _component_sample(
     spec = cp["spec"]
 
     if cs.cid == CID_DISK:
-        p2 = jnp.abs(_perlin_cloud(p, winding, cs.oct(10), cp["scale"], cp["ks"], twirl_axis))
+        p2 = jnp.abs(noise[0])
         p2 = jnp.maximum(p2, 0.01)
         p2 = pow_fn(p2, cp["noise_tilt"])
         p2 = p2 + cp["noise_offset"]
         add = spec * (ival * p2 * ray_step)[..., None]
         return jnp.where((emit & (p2 >= 0))[..., None], add, 0.0), zero3, winding
     if cs.cid == CID_DUST:
-        p2 = _perlin_cloud(p, winding, cs.oct(9), cp["scale"], cp["ks"], twirl_axis)
+        p2 = noise[0]
         p2 = jnp.maximum(p2 - cp["noise_offset"], 0.0)
         p2 = qt_clamp(pow_fn(5.0 * p2, cp["noise_tilt"]), -10.0, 10.0)
         e = -p2[..., None] * ival[..., None] * spec * 0.01
         return zero3, jnp.where(emit[..., None], e, 0.0), winding
     if cs.cid in (CID_DUST2, CID_DUST_POSITIVE):
-        r = _twirl(p, winding, twirl_axis) * cp["scale"]
-        p2 = jnoise.ridged_mf(
-            r[..., 0], r[..., 1], r[..., 2],
-            cp["ks"], cs.oct(9), 2.5, cp["noise_offset"], cp["noise_tilt"],
-        )
-        p2 = jnp.maximum(p2, 0.0)
+        p2 = jnp.maximum(noise[0], 0.0)
         if cs.cid == CID_DUST2:
             e = -p2[..., None] * ival[..., None] * spec * 0.01
             return zero3, jnp.where(emit[..., None], e, 0.0), winding
         add = spec * (ival * p2 * ray_step)[..., None]
         return jnp.where(emit[..., None], add, 0.0), zero3, winding
     if cs.cid == CID_STARS:
-        freq = (0.01 * cp["scale"]) * 100.0
-        perlin = jnp.abs(
-            jnoise.octave_noise_3d(cs.oct(10), cp["ks"], freq, p[..., 0], p[..., 1], p[..., 2])
-        )
+        perlin = jnp.abs(noise[0])
         add_n = 0.0
         if cs.star_extra:
-            add_n = cp["noise_offset"] * _perlin_cloud(p, winding, cs.oct(4), 2.0, -2.0, twirl_axis)
-            add_n = add_n + 0.5 * cp["noise_offset"] * _perlin_cloud(
-                p, winding * 0.5, cs.oct(4), 4.0, -2.0, twirl_axis
-            )
+            add_n = cp["noise_offset"] * noise[1]
+            add_n = add_n + 0.5 * cp["noise_offset"] * noise[2]
         v = jnp.abs(pow_fn(perlin + 1.0 + add_n, cp["noise_tilt"]))
         add = spec * (ival * v * ray_step)[..., None]
         return jnp.where(emit[..., None], add, 0.0), zero3, winding

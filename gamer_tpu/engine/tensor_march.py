@@ -65,13 +65,12 @@ from .scene_prep import InstanceStatic, SceneStatic
 STEP_CHUNK = 64
 
 
-def _march_instance_tensor(st: InstanceStatic, pr, dirs, camera, I,
-                           ray_step, min_step, max_steps: int,
-                           dither: bool = False,
-                           step_chunk: int = STEP_CHUNK):
-    """One instance's march as (schedule scan) + (parallel per-chunk
-    effects) + (affine chunk composition). dirs: (N, 3) unit rays;
-    I: (N, 3)."""
+def _schedule(pr, dirs, camera, ray_step, min_step, max_steps: int,
+              dither: bool, step_chunk: int):
+    """The per-ray march geometry + step schedule (param-dependent only
+    through guarded-constant leaves in the frozen path): returns
+    (origin, dir_m, ts, actives, weights, n_chunks) with the step arrays
+    shaped (n_chunks * step_chunk, N)."""
     o = camera - pr["position"]
     hit, isp1, isp2, t0, t1 = intersect_ellipsoid(o, dirs, pr["axis"])
     isp2 = jnp.where((t1 > 0)[..., None], o, isp2)
@@ -95,7 +94,7 @@ def _march_instance_tensor(st: InstanceStatic, pr, dirs, camera, I,
     safe = jnp.where(length == 0, 1.0, length)
     dir_m = diff / safe[..., None]
 
-    # 1. step schedule: t_k along the chord, per ray (cheap scalar scan)
+    # step schedule: t_k along the chord, per ray (cheap scalar scan)
     def tbody(carry, _):
         t, step_prev, done = carry
         done = done | (t >= length + step_prev)
@@ -112,15 +111,31 @@ def _march_instance_tensor(st: InstanceStatic, pr, dirs, camera, I,
     S = n_chunks * step_chunk
     init = (jnp.zeros_like(length), jnp.full_like(length, ray_step), ~alive)
     _, (ts, actives, weights) = jax.lax.scan(tbody, init, None, length=S)
+    return origin, dir_m, ts, actives, weights, n_chunks
 
-    def step_effects(P, actives, weights):
+
+def _march_instance_tensor(st: InstanceStatic, pr, dirs, camera, I,
+                           ray_step, min_step, max_steps: int,
+                           dither: bool = False,
+                           step_chunk: int = STEP_CHUNK,
+                           frozen_noise=None):
+    """One instance's march as (schedule scan) + (parallel per-chunk
+    effects) + (affine chunk composition). dirs: (N, 3) unit rays;
+    I: (N, 3). ``frozen_noise``: optional per-component noise-field
+    tuples shaped (n_chunks, step_chunk, N) from precompute_frozen —
+    consumed under stop_gradient in place of inline noise evaluation."""
+    origin, dir_m, ts, actives, weights, n_chunks = _schedule(
+        pr, dirs, camera, ray_step, min_step, max_steps, dither, step_chunk)
+
+    def step_effects(P, actives, weights, noise_c=None):
         E = jnp.zeros(P.shape[:-1] + (3,), P.dtype)  # log attenuation
         B = jnp.zeros_like(E)                        # in-step emission
         winding = jnp.zeros(P.shape[:-1], P.dtype)
-        for cs, cp in zip(st.comps, pr["comps"]):
+        for ci, (cs, cp) in enumerate(zip(st.comps, pr["comps"])):
+            noise = None if noise_c is None else noise_c[ci]
             emit, att_e, winding = _component_sample(
                 cs, st, pr, cp, P, actives, weights, ray_step, winding,
-                pow_fn=safe_pow,
+                pow_fn=safe_pow, noise=noise,
             )
             if _is_absorber(cs):
                 B = B * jnp.exp(att_e)
@@ -137,16 +152,27 @@ def _march_instance_tensor(st: InstanceStatic, pr, dirs, camera, I,
     # compose sequentially (each is I' = exp(Ec)*I + Bc). Rematerializing
     # per chunk bounds backward memory at O(step_chunk x rays).
     def chunk_body(I, inputs):
-        t_c, act_c, w_c = inputs  # (step_chunk, N)
+        t_c, act_c, w_c, noise_c = inputs  # (step_chunk, N)
         P = origin[None] - dir_m[None] * t_c[..., None]
-        E, B = step_effects(P, act_c, w_c)
+        E, B = step_effects(P, act_c, w_c, noise_c)
         incl = jnp.cumsum(E[::-1], axis=0)[::-1]  # sum_{j>=k} E_j
         suffix = incl - E                          # sum_{j>k}  E_j
         return I * jnp.exp(incl[0]) + jnp.sum(B * jnp.exp(suffix), axis=0), None
 
+    if frozen_noise is None:
+        # the scan body indexes noise_c per component; a literal None leaf
+        # per component keeps the xs pytree aligned without any arrays
+        noise_xs = tuple(None for _ in st.comps)
+    else:
+        # frozen fields are constants of the optimization: gradients
+        # through them are zero a.e. anyway (they vary only through
+        # discrete gate selections), so stop_gradient loses nothing —
+        # see precompute_frozen's guard for the field sets this holds for
+        noise_xs = jax.lax.stop_gradient(frozen_noise)
     chunks = (ts.reshape(n_chunks, step_chunk, -1),
               actives.reshape(n_chunks, step_chunk, -1),
-              weights.reshape(n_chunks, step_chunk, -1))
+              weights.reshape(n_chunks, step_chunk, -1),
+              noise_xs)
     I, _ = jax.lax.scan(jax.checkpoint(chunk_body), I, chunks)
     return I
 
@@ -165,6 +191,116 @@ def render_rays_tensor(static: SceneStatic, params, dirs, camera, ray_step,
         I = _march_instance_tensor(st, pr, dirs_f, camera, I, ray_step,
                                    min_step, max_steps,
                                    dither=static.dither)
+    I = I * (0.01 / ray_step)
+    return I.reshape(*shape, 3)
+
+
+# ---------------------------------------------------------------------------
+# Frozen-noise fitting: precompute the fractal fields once, fit pure algebra
+# ---------------------------------------------------------------------------
+#
+# Observation: for the common fit-field sets (strength/r0/z0/inner/delta/
+# arm/...), the fitted parameters enter the raw fractal noise ONLY through
+# discrete gate selections (the winding carry picks values where gates
+# pass), so the true autodiff gradient through the noise is zero almost
+# everywhere. The noise fields are therefore constants of the optimization:
+# evaluate them once at the starting parameters, stop_gradient them, and
+# every optimization step reduces to the cheap differentiable algebra
+# around them — the noise cost (~10 raw simplex evals per hot sample,
+# rasterizer.cpp:447-475 x simplexnoise.cpp:173+) is paid once per fit
+# instead of twice per step (forward + backward recompute).
+
+# leaves that invalidate the frozen fields: march geometry (positions /
+# schedule) or raw-noise inputs (frequency / persistence / twirl angle)
+_FROZEN_UNSAFE_ALWAYS = frozenset({
+    "axis", "position", "orientation", "twirl_axis", "rotmat",
+    "scale", "ks", "winding", "winding_b", "winding_n",
+})
+# ridged fractals take offset/tilt INSIDE the octave loop
+# (noise.cpp:81-128), so for dust2/"dust positive" they are noise inputs
+_FROZEN_UNSAFE_RIDGED = frozenset({"noise_offset", "noise_tilt"})
+
+
+def check_frozen_fields(static: SceneStatic, fit_fields) -> None:
+    """Raise if ``fit_fields`` would invalidate frozen noise fields."""
+    from ..scene.schema import CID_DUST2, CID_DUST_POSITIVE
+
+    fields = set(fit_fields)
+    bad = fields & _FROZEN_UNSAFE_ALWAYS
+    has_ridged = any(
+        cs.cid in (CID_DUST2, CID_DUST_POSITIVE)
+        for st in static.instances for cs in st.comps)
+    if has_ridged:
+        bad |= fields & _FROZEN_UNSAFE_RIDGED
+    if bad:
+        raise ValueError(
+            f"march='frozen' cannot fit {sorted(bad)}: these fields feed "
+            "the raw fractal noise (or the march geometry), which the "
+            "frozen path precomputes once. Use march='tensor' instead."
+        )
+
+
+def precompute_frozen(static: SceneStatic, params, dirs, camera, ray_step,
+                      min_step, max_steps: int,
+                      step_chunk: int = STEP_CHUNK):
+    """Evaluate every component's raw noise fields once, for every sample
+    of the march schedule. Returns a per-instance tuple of per-component
+    field tuples shaped (n_chunks, step_chunk, N) — the ``frozen`` input
+    of render_rays_tensor_frozen.
+
+    Replays the exact gating/winding-carry expressions of the march
+    (render._sample_gates) so the frozen fields match what the live march
+    would compute at these parameters bit-for-bit.
+    """
+    from .render import _component_noise, _sample_gates
+    from ..scene.schema import CID_BULGE
+
+    dirs_f = dirs.reshape(-1, 3)
+    out = []
+    for st, pr in zip(static.instances, params):
+        origin, dir_m, ts, actives, _w, n_chunks = _schedule(
+            pr, dirs_f, camera, ray_step, min_step, max_steps,
+            static.dither, step_chunk)
+
+        def chunk_fields(inputs, st=st, pr=pr, origin=origin, dir_m=dir_m):
+            t_c, act_c = inputs
+            P = origin[None] - dir_m[None] * t_c[..., None]
+            winding = jnp.zeros(P.shape[:-1], P.dtype)
+            fields = []
+            for cs, cp in zip(st.comps, pr["comps"]):
+                if cs.cid == CID_BULGE:
+                    fields.append(())
+                    continue
+                _g, _z, _r, _i, _P, winding = _sample_gates(
+                    cs, pr, cp, P, act_c, winding)
+                fields.append(_component_noise(cs, pr, cp, P, winding))
+            return tuple(fields)
+
+        # one chunk at a time bounds precompute memory at
+        # O(step_chunk x rays) temporaries, same as the march itself
+        fields = jax.lax.map(chunk_fields, (
+            ts.reshape(n_chunks, step_chunk, -1),
+            actives.reshape(n_chunks, step_chunk, -1),
+        ))
+        out.append(fields)
+    return tuple(out)
+
+
+def render_rays_tensor_frozen(static: SceneStatic, params, dirs, camera,
+                              ray_step, min_step, max_steps: int, frozen):
+    """render_rays_tensor with precomputed (frozen) noise fields — the
+    fast fit forward: bit-identical to the tensor march at the parameters
+    the fields were computed at, and exact in value whenever the fitted
+    fields pass check_frozen_fields (parameters that would move the noise
+    are excluded there)."""
+    shape = dirs.shape[:-1]
+    dirs_f = dirs.reshape(-1, 3)
+    I = jnp.zeros((dirs_f.shape[0], 3), dirs.dtype)
+    for st, pr, fz in zip(static.instances, params, frozen):
+        I = _march_instance_tensor(st, pr, dirs_f, camera, I, ray_step,
+                                   min_step, max_steps,
+                                   dither=static.dither,
+                                   frozen_noise=fz)
     I = I * (0.01 / ray_step)
     return I.reshape(*shape, 3)
 

@@ -169,3 +169,133 @@ def test_fit_scene_with_tensor_march(fixtures_dir):
     res = fit_scene(perturbed, target, ("strength",), steps=25, lr=3e-2,
                     march="tensor")
     assert min(res.losses) < res.losses[0] * 0.5, res.losses[:3] + res.losses[-3:]
+
+
+# ---------------------------------------------------------------------------
+# Frozen-noise path (precompute_frozen / render_rays_tensor_frozen)
+# ---------------------------------------------------------------------------
+
+
+def test_frozen_forward_bitwise_matches_tensor(fixtures_dir):
+    """With the noise fields precomputed by the same expressions the march
+    uses, the frozen forward is BIT-identical to the tensor march at the
+    precompute parameters (same graph, same values, only stop_gradient
+    inserted)."""
+    from gamer_tpu.engine.tensor_march import (
+        precompute_frozen,
+        render_rays_tensor_frozen,
+    )
+
+    static, params, camera, dirs, bound = _setup(fixtures_dir, "Spiral",
+                                                 size=16)
+    f = jnp.float32
+    args = (static, params, dirs, camera, f(0.025), f(0.01), bound)
+    lin_t = np.asarray(jax.jit(render_rays_tensor,
+                               static_argnums=(0, 6))(*args))
+    frozen = jax.jit(precompute_frozen, static_argnums=(0, 6))(*args)
+    lin_f = np.asarray(jax.jit(render_rays_tensor_frozen,
+                               static_argnums=(0, 6))(*args, frozen))
+    np.testing.assert_array_equal(lin_t, lin_f)
+
+
+def test_frozen_gradients_match_scan(fixtures_dir):
+    """The frozen gradients sit CLOSER to the sequential (scan)
+    linearization than the tensor march's own autodiff: stop_gradient cuts
+    the noise-VJP terms, whose true value on the safe fields is zero a.e.
+    (the fields enter noise only through discrete gate selections) but
+    whose reassociated evaluation pollutes every leaf at the ~1% level
+    (measured; the f64 finite difference of the tensor forward agrees with
+    the FROZEN gradient to 8 digits, not with the tensor autodiff)."""
+    from gamer_tpu.engine.tensor_march import (
+        precompute_frozen,
+        render_rays_tensor_frozen,
+    )
+    from gamer_tpu.engine.diff import render_rays_diff
+
+    static, params, camera, dirs, bound = _setup(fixtures_dir, "Spiral",
+                                                 size=12)
+    f = jnp.float32
+    args = (static, params, dirs, camera, f(0.025), f(0.01), bound)
+    frozen = precompute_frozen(*args)
+    target = jnp.asarray(np.asarray(render_rays_tensor(*args)) * 1.2)
+
+    def mkloss(fn, extra=()):
+        def L(p):
+            lin = fn(static, p, dirs, camera, f(0.025), f(0.01), bound,
+                     *extra)
+            return jnp.mean((lin - target) ** 2)
+        return L
+
+    g_scan = jax.grad(mkloss(render_rays_diff))(params)
+    g_froz = jax.grad(mkloss(render_rays_tensor_frozen, (frozen,)))(params)
+    for ci, comp in enumerate(g_scan[0]["comps"]):
+        for leaf in ("strength", "r0", "z0"):
+            a = float(np.asarray(comp[leaf]))
+            b = float(np.asarray(g_froz[0]["comps"][ci][leaf]))
+            denom = max(abs(a), 1e-3)
+            assert abs(a - b) / denom < 0.05, (ci, leaf, a, b)
+
+
+def test_frozen_guard_rejects_noise_fields(fixtures_dir):
+    """check_frozen_fields rejects fields that feed the raw fractal noise;
+    fit_scene(march='frozen') surfaces the same error; other fit entry
+    points reject march='frozen' outright."""
+    from gamer_tpu.engine.fit import fit_scene, fit_pose
+    from gamer_tpu.engine.tensor_march import check_frozen_fields
+
+    static, params, camera, dirs, bound = _setup(fixtures_dir, "Spiral",
+                                                 size=12)
+    for bad in ("scale", "ks", "winding", "winding_b", "axis"):
+        with pytest.raises(ValueError, match="frozen"):
+            check_frozen_fields(static, (bad, "strength"))
+    # Spiral has a ridged component (dust2/dust positive) -> offset/tilt
+    # are noise inputs there
+    from gamer_tpu.scene.schema import CID_DUST2, CID_DUST_POSITIVE
+
+    if any(cs.cid in (CID_DUST2, CID_DUST_POSITIVE)
+           for st in static.instances for cs in st.comps):
+        with pytest.raises(ValueError, match="frozen"):
+            check_frozen_fields(static, ("noise_tilt",))
+    # safe set passes
+    check_frozen_fields(static, ("strength", "r0", "z0", "inner", "delta"))
+
+    scene = gamer_tpu.Scene(
+        camera=gamer_tpu.CameraParams(camera=(0.5, 0, 0), target=(0, 0, 0),
+                                      up=(0, 1, 0), fov=90.0),
+        instances=[gamer_tpu.GalaxyInstance(
+            galaxy=gax.load(fixtures_dir / "Spiral.gax"))],
+        config=gamer_tpu.RenderConfig(size=12, ray_step=0.025,
+                                      is_preview=True, noise_octaves=3),
+    )
+    from gamer_tpu.engine.render import render_scene
+
+    target = render_scene(scene)
+    with pytest.raises(ValueError, match="frozen"):
+        fit_scene(scene, target, ("scale",), steps=1, march="frozen")
+    with pytest.raises(ValueError, match="frozen"):
+        fit_pose(scene, target, steps=1, march="frozen")
+
+
+def test_fit_scene_with_frozen_march(fixtures_dir):
+    """fit_scene(march='frozen') recovers a perturbed strength — the
+    precompute-once path end-to-end."""
+    import copy
+
+    from gamer_tpu.engine.fit import fit_scene
+    from gamer_tpu.engine.render import render_scene
+
+    scene = gamer_tpu.Scene(
+        camera=gamer_tpu.CameraParams(camera=(0.5, 0, 0), target=(0, 0, 0),
+                                      up=(0, 1, 0), fov=90.0),
+        instances=[gamer_tpu.GalaxyInstance(
+            galaxy=gax.load(fixtures_dir / "Spiral.gax"))],
+        config=gamer_tpu.RenderConfig(size=16, ray_step=0.025,
+                                      is_preview=True, noise_octaves=3),
+    )
+    target = render_scene(scene)
+    perturbed = copy.deepcopy(scene)
+    for c in perturbed.instances[0].galaxy.components:
+        c.strength *= 1.6
+    res = fit_scene(perturbed, target, ("strength",), steps=25, lr=3e-2,
+                    march="frozen")
+    assert min(res.losses) < res.losses[0] * 0.5, res.losses[:3] + res.losses[-3:]
