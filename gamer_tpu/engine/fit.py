@@ -10,9 +10,11 @@ turns every one of those tab knobs into a differentiable degree of freedom.
 
 Three march backends (``march=``): "tensor" (default — engine/tensor_march,
 the reassociated parallel formulation; measured v5e-1 64^2 LOD4 fit step
-0.34 s vs round 1's 3.5 s, 128^2 1.1 s), "frozen" (fit_scene/multiscale
-only — tensor march with the raw fractal-noise fields precomputed ONCE per
-fit and stop_gradient'ed; valid whenever the fitted fields do not feed the
+0.34 s vs round 1's 3.5 s, 128^2 1.1 s), "frozen" (every fixed-camera fit
+— fit_scene / multiscale / batch / multiview; NOT fit_pose, which moves
+the noise inputs with the camera — tensor march with the raw fractal-noise
+fields precomputed ONCE per fit (per scene/view for batch/multiview) and
+stop_gradient'ed; valid whenever the fitted fields do not feed the
 noise (check_frozen_fields), which holds for the default strength/r0/z0
 set; per-step cost drops to the differentiable algebra AND the gradients
 land closer to the sequential linearization, because the noise-VJP terms —
@@ -382,8 +384,10 @@ def _march_fn(march: str):
     if march == "frozen":
         raise ValueError(
             "march='frozen' is only supported by fit_scene / "
-            "fit_scene_multiscale (fixed camera, per-call noise "
-            "precompute); use march='tensor' here")
+            "fit_scene_multiscale / fit_scene_batch / fit_scene_multiview "
+            "(fixed cameras, per-call noise precompute); fit_pose moves "
+            "the camera, which moves every noise input — use "
+            "march='tensor' there")
     raise ValueError(
         f"unknown march backend {march!r}; use 'scan', 'tensor' or 'frozen'")
 
@@ -741,20 +745,51 @@ def fit_scene_batch(
                 cfg.ray_step, cfg.min_ray_step, 2.0 * max_axis
             )
     f = jnp.float32
-    march_fn = _march_fn(march)
+    if march == "frozen":
+        # Per-scene frozen noise: the raw fractal fields depend on each
+        # scene's INITIAL parameter values (which differ across the batch),
+        # so the precompute vmaps over the K parameter stacks — one field
+        # set per scene, K x the single-fit precompute memory. Valid for
+        # the same reason as fit_scene: check_frozen_fields rejects any
+        # fitted field that feeds the noise inputs.
+        from .tensor_march import (
+            check_frozen_fields,
+            precompute_frozen,
+            render_rays_tensor_frozen,
+        )
 
-    def per_scene_loss(p, t):
-        linear = _linear_pooled(march_fn(
-            static, p, dirs, camera, f(cfg.ray_step), f(cfg.min_ray_step),
-            trip_bound,
-        ))
+        check_frozen_fields(static, fit_fields)
+        _pf = jax.vmap(lambda p_k: precompute_frozen(
+            static, p_k, dirs, camera, f(cfg.ray_step), f(cfg.min_ray_step),
+            trip_bound))
+        frozen = jax.block_until_ready(jax.jit(_pf)(params))
+
+        def march_scene(p, fz):
+            return render_rays_tensor_frozen(
+                static, p, dirs, camera, f(cfg.ray_step),
+                f(cfg.min_ray_step), trip_bound, fz)
+    else:
+        _march = _march_fn(march)
+        frozen = None
+
+        def march_scene(p, fz):
+            return _march(static, p, dirs, camera, f(cfg.ray_step),
+                          f(cfg.min_ray_step), trip_bound)
+
+    def per_scene_loss(p, t, *fz):
+        linear = _linear_pooled(
+            march_scene(p, fz[0] if fz else None))
         img = post_process_float(
             linear, f(cfg.exposure), f(cfg.gamma), f(cfg.saturation)
         ) / 255.0
         return jnp.mean((_pooled(img) - t) ** 2)
 
-    def loss_fn(p):
-        return jax.vmap(per_scene_loss)(p, target_pooled)
+    if frozen is not None:
+        def loss_fn(p):
+            return jax.vmap(per_scene_loss)(p, target_pooled, frozen)
+    else:
+        def loss_fn(p):
+            return jax.vmap(per_scene_loss)(p, target_pooled)
 
     mask = _fit_mask(params, fit_fields)
     params = _project_bounds(params, fit_fields)
@@ -893,21 +928,51 @@ def fit_scene_multiview(
     f = jnp.float32
 
     _check_march_fields(march, fit_fields)
-    march_fn = _march_fn(march)
+    if march == "frozen":
+        # Per-view frozen noise: each view has its own fixed ray grid and
+        # camera origin, so the precompute vmaps over the view axis — K
+        # field sets, K x the single-fit precompute memory. Under mesh=
+        # the vmapped precompute inherits the view sharding of dirs/
+        # cam_pos, so each device freezes only its own views.
+        from .tensor_march import (
+            check_frozen_fields,
+            precompute_frozen,
+            render_rays_tensor_frozen,
+        )
 
-    def view_loss(p, dirs_v, cam_v, t_v):
-        linear = _linear_pooled(march_fn(
-            static, p, dirs_v, cam_v, f(cfg.ray_step), f(cfg.min_ray_step),
-            trip_bound,
-        ))
+        check_frozen_fields(static, fit_fields)
+        _pf = jax.vmap(lambda d_v, c_v: precompute_frozen(
+            static, params, d_v, c_v, f(cfg.ray_step), f(cfg.min_ray_step),
+            trip_bound))
+        frozen = jax.block_until_ready(jax.jit(_pf)(dirs, cam_pos))
+
+        def march_view(p, dirs_v, cam_v, fz):
+            return render_rays_tensor_frozen(
+                static, p, dirs_v, cam_v, f(cfg.ray_step),
+                f(cfg.min_ray_step), trip_bound, fz)
+    else:
+        _march = _march_fn(march)
+        frozen = None
+
+        def march_view(p, dirs_v, cam_v, fz):
+            return _march(static, p, dirs_v, cam_v, f(cfg.ray_step),
+                          f(cfg.min_ray_step), trip_bound)
+
+    def view_loss(p, dirs_v, cam_v, t_v, *fz):
+        linear = _linear_pooled(
+            march_view(p, dirs_v, cam_v, fz[0] if fz else None))
         img = post_process_float(
             linear, f(cfg.exposure), f(cfg.gamma), f(cfg.saturation)
         ) / 255.0
         return jnp.mean((_pooled(img) - t_v) ** 2)
 
     def loss_fn(p):
-        losses = jax.vmap(view_loss, in_axes=(None, 0, 0, 0))(
-            p, dirs, cam_pos, targets_pooled)
+        if frozen is not None:
+            losses = jax.vmap(view_loss, in_axes=(None, 0, 0, 0, 0))(
+                p, dirs, cam_pos, targets_pooled, frozen)
+        else:
+            losses = jax.vmap(view_loss, in_axes=(None, 0, 0, 0))(
+                p, dirs, cam_pos, targets_pooled)
         return jnp.mean(losses)
 
     mask = _fit_mask(params, fit_fields)

@@ -34,9 +34,13 @@ so everything the CLI and library can render is servable. Endpoints:
                             -> parameter-space morph animation
   POST   /fit               {"scene": {...}, "target_png": base64,
                             "fields": [...], "steps": N, "lr": x,
-                            "multiscale": bool, "pose": bool} -> inverse
+                            "multiscale": bool, "pose": bool,
+                            "march": "tensor"|"scan"|"frozen"} -> inverse
                             rendering: gradient-fit the galaxy (or, with
                             "pose": true, the camera) to the target image.
+                            "frozen" precomputes the noise fields once per
+                            fit (fastest steps; fixed-camera fits whose
+                            fields don't feed the noise — 400 otherwise).
                             With "views": [{"camera": [...], "target_png":
                             base64, ...}, ...] instead of "target_png",
                             fit ONE galaxy against K posed views at once
@@ -252,7 +256,8 @@ class RenderService:
 
     def submit_fit(self, scene, target_image, fit_fields=None,
                    steps: int = 100, lr: float = 2e-2,
-                   multiscale: bool = False, pose: bool = False) -> int:
+                   multiscale: bool = False, pose: bool = False,
+                   march: str = "tensor") -> int:
         """Queue an inverse-rendering fit: optimize ``fit_fields`` of the
         scene's galaxy until its render matches ``target_image`` (a
         (size, size, 3) uint8 array, or base64-encoded PNG over HTTP) —
@@ -297,17 +302,38 @@ class RenderService:
                 f"{sorted(unknown)}; valid: {sorted(allowed)}")
         from .engine.scene_prep import flatten_scene
 
-        flatten_scene(scene)  # validate at submission (supersampled scenes
-        # are fittable: the diff forward pools ss² rays/pixel in linear
-        # space, engine/fit._ss_setup)
+        static, _ = flatten_scene(scene)  # validate at submission
+        # (supersampled scenes are fittable: the diff forward pools ss²
+        # rays/pixel in linear space, engine/fit._ss_setup)
+        march = self._check_march(march, pose, static, fit_fields)
         spec = dict(target=target_image, fit_fields=fit_fields, steps=steps,
                     lr=float(lr), multiscale=bool(multiscale),
-                    pose=bool(pose))
+                    pose=bool(pose), march=march)
         return self._enqueue(Job(id=0, scene=scene, key=("fit", object()),
                                  fit_spec=spec))
 
+    def _check_march(self, march, pose, static, fit_fields) -> str:
+        """Validate a fit job's march backend at SUBMISSION time, so a bad
+        request 400s instead of failing minutes later on the worker.
+        engine/fit re-checks the same conditions at run time."""
+        march = str(march)
+        if march not in ("tensor", "scan", "frozen"):
+            raise ValueError(
+                f"unknown march backend {march!r}; use 'tensor', 'scan' "
+                f"or 'frozen'")
+        if march == "frozen":
+            if pose:
+                raise ValueError(
+                    "march='frozen' cannot fit poses: moving the camera "
+                    "moves every noise input; use march='tensor'")
+            from .engine.tensor_march import check_frozen_fields
+
+            check_frozen_fields(static, fit_fields)
+        return march
+
     def submit_fit_multiview(self, scene, views, fit_fields=None,
-                             steps: int = 100, lr: float = 2e-2) -> int:
+                             steps: int = 100, lr: float = 2e-2,
+                             march: str = "tensor") -> int:
         """Queue a multi-view fit (engine/fit.fit_scene_multiview): one
         galaxy optimized against K views at once. ``views`` is a list of
         {"camera": [x,y,z], "target": [x,y,z], "up": [x,y,z], "fov": f,
@@ -357,10 +383,11 @@ class RenderService:
             raise ValueError(f"unknown fit fields {sorted(unknown)}")
         from .engine.scene_prep import flatten_scene
 
-        flatten_scene(scene)  # validate at submission
+        static, _ = flatten_scene(scene)  # validate at submission
+        march = self._check_march(march, False, static, fit_fields)
         spec = dict(target=np.stack(targets), cameras=cams,
                     fit_fields=fit_fields, steps=steps, lr=float(lr),
-                    multiscale=False, pose=False)
+                    multiscale=False, pose=False, march=march)
         return self._enqueue(Job(id=0, scene=scene, key=("fit", object()),
                                  fit_spec=spec))
 
@@ -586,7 +613,8 @@ class RenderService:
             result = fit_scene_multiview(
                 job.scene, spec["target"], spec["cameras"],
                 spec["fit_fields"], steps=spec["steps"], lr=spec["lr"],
-                on_step=on_step, mesh=mesh)
+                on_step=on_step, mesh=mesh,
+                march=spec.get("march", "tensor"))
         else:
             fitter = ((fit_pose_multiscale if spec["multiscale"]
                        else fit_pose)
@@ -596,6 +624,7 @@ class RenderService:
             result = fitter(job.scene, spec["target"], spec["fit_fields"],
                             steps=spec["steps"], lr=spec["lr"],
                             on_step=on_step,
+                            march=spec.get("march", "tensor"),
                             mesh=self._fit_mesh(job.scene,
                                                 spec["multiscale"], pose))
         job.fit_result = {
@@ -726,14 +755,16 @@ def make_handler(service: RenderService):
                         job_id = service.submit_fit_multiview(
                             scene, payload["views"], fields,
                             payload.get("steps", 100),
-                            payload.get("lr", 2e-2))
+                            payload.get("lr", 2e-2),
+                            payload.get("march", "tensor"))
                     else:
                         job_id = service.submit_fit(
                             scene, payload.get("target_png"), fields,
                             payload.get("steps", 100),
                             payload.get("lr", 2e-2),
                             payload.get("multiscale", False),
-                            payload.get("pose", False))
+                            payload.get("pose", False),
+                            payload.get("march", "tensor"))
                 else:
                     job_id = service.submit(scene)
                 self._json(202, {"job": job_id})

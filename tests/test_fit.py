@@ -765,3 +765,57 @@ def test_fit_multiview_mesh_matches_single_device():
     with pytest.raises(ValueError, match="views must divide"):
         gfit.fit_scene_multiview(start, targets[:6], cams[:6], mesh=mesh,
                                  steps=1)
+
+
+# ---------------------------------------------------------------------------
+# frozen-noise march in the batch and multi-view fits
+# ---------------------------------------------------------------------------
+
+
+def test_fit_scene_batch_frozen_matches_tensor_start():
+    """march='frozen' in the batch fit: the per-scene frozen precompute
+    (vmapped over the K initial parameter stacks) makes step 0 bitwise
+    equal to the tensor march, and the fit still converges."""
+    truths, targets, template = _batch_setup()
+    import copy
+
+    starts = [copy.deepcopy(template), copy.deepcopy(template)]
+    starts[1].instances[0].galaxy.components[1].strength *= 1.5
+    kw = dict(fit_fields=("strength",), steps=6, lr=5e-2)
+    tens = gfit.fit_scene_batch(starts, targets, march="tensor", **kw)
+    froz = gfit.fit_scene_batch(starts, targets, march="frozen", **kw)
+    # frozen forward == tensor forward at the precompute parameters, up to
+    # the last ulp: the vmapped separate-jit precompute fuses differently
+    # than the inline-noise tensor graph on CPU (the single-fit path IS
+    # bitwise — test_frozen_forward_bitwise_matches_tensor)
+    np.testing.assert_allclose(froz.losses[0], tens.losses[0],
+                               rtol=1e-5, atol=1e-9)
+    for k in range(2):
+        assert min(froz.losses[:, k]) < froz.losses[0, k] * 0.6, (
+            k, froz.losses[:, k])
+    # fitting a noise-input field is rejected up front
+    with pytest.raises(ValueError, match="frozen"):
+        gfit.fit_scene_batch(starts, targets, fit_fields=("scale",),
+                             steps=1, march="frozen")
+
+
+def test_fit_multiview_frozen_matches_tensor_start():
+    """march='frozen' in the multi-view fit: per-view frozen fields
+    (vmapped over the K ray grids / camera origins) reproduce the tensor
+    march at step 0 and converge from a perturbed start."""
+    truth, cams, targets = _mview_setup()
+    start = _scene(default_galaxy(), 12)
+    start.instances[0].galaxy.components[1].strength *= 0.5
+    kw = dict(fit_fields=("strength",), steps=8, lr=5e-2)
+    tens = gfit.fit_scene_multiview(start, targets, cams, march="tensor",
+                                    **kw)
+    froz = gfit.fit_scene_multiview(start, targets, cams, march="frozen",
+                                    **kw)
+    # last-ulp tolerance: see test_fit_scene_batch_frozen_matches_tensor_start
+    np.testing.assert_allclose(froz.losses[0], tens.losses[0],
+                               rtol=1e-5, atol=1e-9)
+    assert froz.losses[-1] < 0.5 * froz.losses[0]
+    with pytest.raises(ValueError, match="frozen"):
+        gfit.fit_scene_multiview(start, targets, cams,
+                                 fit_fields=("winding",), steps=1,
+                                 march="frozen")

@@ -310,6 +310,22 @@ def test_fit_job(vortex_scene):
             svc.submit_fit(start, target_img, ("orientation",), steps=1)
         with pytest.raises(ValueError, match="target image"):
             svc.submit_fit(start, np.zeros((8, 8, 3), np.uint8), steps=1)
+        # march plumbing: frozen runs end-to-end; bad requests 400 at
+        # submission, before any worker time is spent
+        jid = svc.submit_fit(start, target_img, ("strength",), steps=2,
+                             lr=5e-2, march="frozen")
+        job = svc.wait(jid, timeout=900)
+        assert job.state == DONE, job.error
+        assert job.fit_result["losses"][-1] < job.fit_result["losses"][0]
+        with pytest.raises(ValueError, match="march"):
+            svc.submit_fit(start, target_img, ("strength",), steps=1,
+                           march="warp")
+        with pytest.raises(ValueError, match="frozen"):
+            svc.submit_fit(start, target_img, ("scale",), steps=1,
+                           march="frozen")
+        with pytest.raises(ValueError, match="frozen"):
+            svc.submit_fit(start, target_img, ("camera",), steps=1,
+                           pose=True, march="frozen")
     finally:
         svc.stop()
 
