@@ -22,6 +22,14 @@ the baseline datum.
 Each frame size runs in a fresh subprocess: a TPU-runtime crash (the tunnel
 is occasionally unstable) poisons the whole client process, so in-process
 retries at smaller sizes would always fail.
+
+Compile-time volatility (the tunnel compiles the same program in 5 s or
+600 s depending on the hour) is neutralized by JAX's persistent compilation
+cache (.jax_cache next to this file): a WARM pass compiles the big rungs
+into the cache first, then the TIMED rungs run cache-hit (seconds of
+compile) with small budgets and one retry each. A timed-out timed rung is
+retried once — its own compile, even if the render was killed, usually
+landed in the cache.
 """
 
 from __future__ import annotations
@@ -30,12 +38,24 @@ import json
 import os
 import subprocess
 import sys
-import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE_DIR = os.path.join(_REPO, ".jax_cache")
+
+# Shared by every child: route all XLA compiles through the persistent
+# cache so one slow-compile hour cannot wipe the big rungs (VERDICT r2 #1).
+_CACHE_PREFIX = r"""
+import jax
+jax.config.update("jax_compilation_cache_dir", %r)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+""" % CACHE_DIR
 
 _CHILD_SNIPPET = r"""
 import json, sys, time
 size = int(sys.argv[1])
 kernel = sys.argv[2]
+mode = sys.argv[3] if len(sys.argv) > 3 else "timed"
 import gamer_tpu
 from gamer_tpu.scene import gax
 
@@ -62,7 +82,11 @@ if kernel == "pallas":
         return img
 else:
     from gamer_tpu.engine.render import render_scene as render
-render(scene)  # compile + warm
+img = render(scene)  # compile (cache-hit after the warm pass) + warm
+if mode == "warm":
+    # The warm pass only needs the executable in the persistent cache.
+    print(json.dumps({"ok": True, "size": size, "warmed": True}))
+    sys.exit(0)
 dt = float("inf")
 for _ in range(3):  # best-of-3: the tunneled link adds +-50% noise per call
     t0 = time.perf_counter()
@@ -109,16 +133,19 @@ def _probe_devices(timeout_s: int = 180):
     return None
 
 
-def _try_size(size: int, kernel: str, timeout_s: int, force_cpu: bool = False):
-    snippet = (_CPU_CHILD_PREFIX if force_cpu else "") + _CHILD_SNIPPET
+def _run_child(size: int, kernel: str, timeout_s: int, mode: str = "timed",
+               force_cpu: bool = False):
+    snippet = ((_CPU_CHILD_PREFIX if force_cpu else "")
+               + _CACHE_PREFIX + _CHILD_SNIPPET)
     try:
         proc = subprocess.run(
-            [sys.executable, "-c", snippet, str(size), kernel],
+            [sys.executable, "-c", snippet, str(size), kernel, mode],
             capture_output=True, text=True, timeout=timeout_s,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
+            cwd=_REPO,
         )
     except subprocess.TimeoutExpired:
-        print(f"bench: size {size} ({kernel}) timed out", file=sys.stderr)
+        print(f"bench: size {size} ({kernel}, {mode}) timed out",
+              file=sys.stderr)
         return None
     for line in proc.stdout.splitlines():
         if line.startswith("{"):
@@ -127,8 +154,21 @@ def _try_size(size: int, kernel: str, timeout_s: int, force_cpu: bool = False):
             except json.JSONDecodeError:
                 continue  # diagnostic noise from the tunnel plugin
     err = (proc.stderr or "").strip().splitlines()
-    print(f"bench: size {size} ({kernel}) failed: "
+    print(f"bench: size {size} ({kernel}, {mode}) failed: "
           f"{err[-1] if err else 'no output'}", file=sys.stderr)
+    return None
+
+
+def _try_size(size: int, kernel: str, timeout_s: int, force_cpu: bool = False,
+              retries: int = 0):
+    for attempt in range(retries + 1):
+        r = _run_child(size, kernel, timeout_s, "timed", force_cpu)
+        if r is not None:
+            return r
+        if attempt < retries:
+            # A timed-out attempt usually leaves its compile in the
+            # persistent cache, so the retry is cache-warm and cheap.
+            print(f"bench: size {size} retrying cache-warm", file=sys.stderr)
     return None
 
 
@@ -158,17 +198,41 @@ def main() -> None:
     if force_cpu:
         print("bench: device init unresponsive (tunnel down?); "
               "falling back to the CPU backend", file=sys.stderr)
-    ladder = ((4096, 580), (2048, 540), (1024, 420), (512, 360),
-              (256, 300), (128, 240), (64, 210))
-    if force_cpu or (probe or {}).get("platform") == "cpu":
+
+    on_cpu = force_cpu or (probe or {}).get("platform") == "cpu"
+    if on_cpu:
         # CPU interpret mode: the big rungs would only burn their timeouts
         ladder = ((128, 420), (64, 300), (32, 240))
+        warm_sizes = ()
+    else:
+        # (size, timed budget): budgets assume a cache-warm compile (a few
+        # seconds) + 4 renders (4096 measures ~5.5 s/frame) + tunnel slack.
+        ladder = ((4096, 300), (2048, 240), (1024, 180), (512, 150),
+                  (256, 120), (128, 120), (64, 120))
+        warm_sizes = (4096, 2048)
+
+    # WARM pass: compile the big rungs into the persistent cache under one
+    # generous budget each, largest first. A warm timeout is tolerated —
+    # the timed rung retries cover the residual risk — but a second warm
+    # attempt is taken once, since one slow-compile hour is exactly the
+    # failure mode that wiped r02's headline.
+    kernel = "pallas"
+    warmed = set()
+    for size in warm_sizes:
+        for attempt in range(2):
+            r = _run_child(size, kernel, 580, "warm")
+            if r and r.get("ok"):
+                warmed.add(size)
+                break
+        if size not in warmed:
+            print(f"bench: warm pass gave up on {size}", file=sys.stderr)
 
     best = None
     for kernel in ("pallas", "xla"):
         successes = 0
         for size, budget in ladder:
-            r = _try_size(size, kernel, budget, force_cpu=force_cpu)
+            r = _try_size(size, kernel, budget, force_cpu=force_cpu,
+                          retries=1 if not on_cpu else 0)
             if r and r.get("ok"):
                 msps = samples_per_px * size * size / r["dt"] / 1e6
                 if best is None or msps > best["msps"]:

@@ -662,6 +662,11 @@ COMMANDS = {
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     print("Welcome to gamer-tpu (GAMER-compatible TPU galaxy renderer)\n")
+    # Persistent compile cache: a slow-compile tunnel hour is paid at most
+    # once per program shape across all CLI invocations (VERDICT r2 #1).
+    from .utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     if not argv:
         print(USAGE)
         return 0

@@ -51,17 +51,21 @@ def _star_field_jit():
     return jax.jit(star_field_device, static_argnums=1)
 
 
-def _scene_rows(scenes: Sequence[Scene], dtype=jnp.float32):
-    """Flatten scenes sharing one structure into packed scalar rows."""
+def _scene_groups(scenes: Sequence[Scene], dtype=jnp.float32):
+    """Flatten scenes into packed scalar rows, GROUPED by static structure.
+
+    flatten_scene sorts each frame's instances far->near against that
+    frame's own camera (rasterizer.cpp:190-201 does this per render), so a
+    multi-instance orbit that crosses the instances' depth order yields a
+    different sorted structure on some frames. Frames are grouped by their
+    (sorted) static and each group renders as its own launch — within a
+    group the compile is shared, and absorption composites in the correct
+    per-frame order. Heterogeneous batches (different galaxies entirely)
+    fall out of the same mechanism.
+
+    Returns [(static, rows, original frame indices)].
+    """
     statics_params = [flatten_scene(s, dtype) for s in scenes]
-    static0 = statics_params[0][0]
-    for st, _ in statics_params[1:]:
-        if st != static0:
-            raise ValueError(
-                "all scenes in a batch must share the same component "
-                "structure (same classes/arm ladder/star-extra flags)"
-            )
-    lay = _build_layout(static0)
     # all camera matrices in ONE device dispatch (a per-scene dispatch costs
     # a full round trip each on tunneled backends — ~0.45 s of a 16-frame
     # fly-through before this)
@@ -70,38 +74,39 @@ def _scene_rows(scenes: Sequence[Scene], dtype=jnp.float32):
         [s.camera.target for s in scenes],
         [s.camera.up for s in scenes],
         [s.camera.fov for s in scenes], dtype=dtype)
-    rows = []
-    for scene, (st, params), inv_vp in zip(scenes, statics_params, inv_vps):
+    layouts = {}
+    groups: dict = {}  # static -> ([row], [frame idx]); insertion-ordered
+    for i, (scene, (st, params), inv_vp) in enumerate(
+            zip(scenes, statics_params, inv_vps)):
+        lay = layouts.get(st)
+        if lay is None:
+            lay = layouts[st] = _build_layout(st)
         camera = np.asarray(scene.camera.camera, dtype)
         cfg = scene.config
-        rows.append(_pack_scalars(
-            static0, lay, params, camera, inv_vp,
+        row = _pack_scalars(
+            st, lay, params, camera, inv_vp,
             np.asarray(cfg.ray_step, dtype),
             np.asarray(cfg.min_ray_step, dtype),
-        ))
-    return static0, np.concatenate(rows, axis=0)
+        )
+        rows_l, idx_l = groups.setdefault(st, ([], []))
+        rows_l.append(row)
+        idx_l.append(i)
+    return [(st, np.concatenate(rows_l, axis=0), np.asarray(idx_l))
+            for st, (rows_l, idx_l) in groups.items()]
 
 
-def render_batch(scenes: Sequence[Scene], mesh: Optional[Mesh] = None) -> np.ndarray:
-    """Render B scenes (same structure + size) -> (B, S, S, 3) uint8.
+def _render_group(static, sp_rows: np.ndarray, size: int, ss: int,
+                  mesh: Optional[Mesh]):
+    """One batched launch for one structure group -> (n, S, S, 3) linear.
 
-    With a mesh, the batch axis is sharded across its devices (B must
-    divide the mesh size).
-    """
-    size = scenes[0].config.size
-    ss = scenes[0].config.supersample
-    for s in scenes:
-        if s.config.size != size:
-            raise ValueError("all scenes in a batch must share the size")
-        if s.config.supersample != ss:
-            raise ValueError("all scenes in a batch must share the supersample")
-    static, sp_rows = _scene_rows(scenes)
+    On a mesh, the group is padded (repeating the last row — a no-op
+    render) up to the mesh's batch divisor and the pad frames sliced off;
+    padding only costs anything when a batch splits into uneven groups."""
     B = sp_rows.shape[0]
-
     if mesh is None:
         _, run = _compiled_batch(static, size * ss, B, ss)
-        linear = run(sp_rows)
-    elif len(mesh.axis_names) == 2:
+        return run(sp_rows)
+    if len(mesh.axis_names) == 2:
         # 2-D decomposition: frames over 'batch' (DCN), each frame's row
         # slabs over 'rows' (ICI) — parallel.pixel_tile_mesh_2d
         from .pallas_render import _compiled_batch_rowshard
@@ -111,28 +116,60 @@ def render_batch(scenes: Sequence[Scene], mesh: Optional[Mesh] = None) -> np.nda
                 f"2-D batch mesh must have axes ('batch', 'rows'), got "
                 f"{mesh.axis_names} — use parallel.pixel_tile_mesh_2d")
         n_b = mesh.shape["batch"]
-        if B % n_b != 0:
-            raise ValueError(
-                f"batch {B} not divisible by mesh batch axis {n_b}")
-        _, run2d = _compiled_batch_rowshard(static, size * ss, B // n_b,
-                                            mesh, ss)
-        linear = run2d(sp_rows)
+        pad = (-B) % n_b
+        if pad:
+            sp_rows = np.concatenate(
+                [sp_rows, np.repeat(sp_rows[-1:], pad, axis=0)], axis=0)
+        _, run2d = _compiled_batch_rowshard(static, size * ss,
+                                            (B + pad) // n_b, mesh, ss)
+        return run2d(sp_rows)[:B]
+    n_dev = mesh.devices.size
+    pad = (-B) % n_dev
+    if pad:
+        sp_rows = np.concatenate(
+            [sp_rows, np.repeat(sp_rows[-1:], pad, axis=0)], axis=0)
+    _, run_local = _compiled_batch(static, size * ss, (B + pad) // n_dev, ss)
+
+    @jax.jit
+    def run_sharded(rows):
+        return shard_map(
+            run_local, mesh=mesh,
+            in_specs=P(BATCH_AXIS, None, None),
+            out_specs=P(BATCH_AXIS, None, None, None),
+            check_vma=False,  # pallas_call out_shapes carry no vma info
+        )(rows)
+
+    return run_sharded(sp_rows)[:B]
+
+
+def render_batch(scenes: Sequence[Scene], mesh: Optional[Mesh] = None) -> np.ndarray:
+    """Render B scenes (same size/supersample) -> (B, S, S, 3) uint8.
+
+    Scenes are grouped by component structure — one launch per group — so
+    mixed-structure batches and depth-order flips across a fly-through both
+    work (each frame composites its instances in ITS camera's far->near
+    order). With a mesh, each group's batch axis is sharded across the
+    mesh's devices (uneven groups are padded to the mesh divisor).
+    """
+    size = scenes[0].config.size
+    ss = scenes[0].config.supersample
+    for s in scenes:
+        if s.config.size != size:
+            raise ValueError("all scenes in a batch must share the size")
+        if s.config.supersample != ss:
+            raise ValueError("all scenes in a batch must share the supersample")
+    groups = _scene_groups(scenes)
+
+    if len(groups) == 1:
+        linear = _render_group(groups[0][0], groups[0][1], size, ss, mesh)
     else:
-        n_dev = mesh.devices.size
-        if B % n_dev != 0:
-            raise ValueError(f"batch {B} not divisible by mesh size {n_dev}")
-        _, run_local = _compiled_batch(static, size * ss, B // n_dev, ss)
-
-        @jax.jit
-        def run_sharded(rows):
-            return shard_map(
-                run_local, mesh=mesh,
-                in_specs=P(BATCH_AXIS, None, None),
-                out_specs=P(BATCH_AXIS, None, None, None),
-                check_vma=False,  # pallas_call out_shapes carry no vma info
-            )(rows)
-
-        linear = run_sharded(sp_rows)
+        linear = None
+        for static, sp_rows, idx in groups:
+            lin_g = _render_group(static, sp_rows, size, ss, mesh)
+            if linear is None:
+                linear = jnp.zeros((len(scenes),) + tuple(lin_g.shape[1:]),
+                                   lin_g.dtype)
+            linear = linear.at[jnp.asarray(idx)].set(lin_g)
 
     # post chain per frame (exposure/gamma/saturation may differ per scene),
     # vmapped ON DEVICE: only the final uint8 frames are transferred. Star

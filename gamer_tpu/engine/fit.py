@@ -746,12 +746,9 @@ def fit_scene_batch(
             )
     f = jnp.float32
     if march == "frozen":
-        # Per-scene frozen noise: the raw fractal fields depend on each
-        # scene's INITIAL parameter values (which differ across the batch),
-        # so the precompute vmaps over the K parameter stacks — one field
-        # set per scene, K x the single-fit precompute memory. Valid for
-        # the same reason as fit_scene: check_frozen_fields rejects any
-        # fitted field that feeds the noise inputs.
+        # Frozen noise is valid here for the same reason as fit_scene:
+        # check_frozen_fields rejects any fitted field that feeds the
+        # noise inputs, so the raw fractal fields are constants of the fit.
         from .tensor_march import (
             check_frozen_fields,
             precompute_frozen,
@@ -759,10 +756,25 @@ def fit_scene_batch(
         )
 
         check_frozen_fields(static, fit_fields)
-        _pf = jax.vmap(lambda p_k: precompute_frozen(
-            static, p_k, dirs, camera, f(cfg.ray_step), f(cfg.min_ray_step),
-            trip_bound))
-        frozen = jax.block_until_ready(jax.jit(_pf)(params))
+        if scene_list is None:
+            # one template: the K parameter stacks are bitwise-identical,
+            # so ONE field set serves every scene (broadcast in the vmapped
+            # loss below) instead of paying K x the precompute memory
+            # (~134 MB/scene at 128^2 — this OOM'd at catalog scale).
+            _pf1 = lambda p_k: precompute_frozen(  # noqa: E731
+                static, p_k, dirs, camera, f(cfg.ray_step),
+                f(cfg.min_ray_step), trip_bound)
+            frozen = jax.block_until_ready(jax.jit(_pf1)(params0))
+            frozen_axis = None
+        else:
+            # per-scene frozen noise: the raw fractal fields depend on each
+            # scene's INITIAL parameter values, so the precompute vmaps
+            # over the K parameter stacks — one field set per scene
+            _pf = jax.vmap(lambda p_k: precompute_frozen(
+                static, p_k, dirs, camera, f(cfg.ray_step),
+                f(cfg.min_ray_step), trip_bound))
+            frozen = jax.block_until_ready(jax.jit(_pf)(params))
+            frozen_axis = 0
 
         def march_scene(p, fz):
             return render_rays_tensor_frozen(
@@ -786,7 +798,9 @@ def fit_scene_batch(
 
     if frozen is not None:
         def loss_fn(p):
-            return jax.vmap(per_scene_loss)(p, target_pooled, frozen)
+            return jax.vmap(per_scene_loss,
+                            in_axes=(0, 0, frozen_axis))(p, target_pooled,
+                                                         frozen)
     else:
         def loss_fn(p):
             return jax.vmap(per_scene_loss)(p, target_pooled)

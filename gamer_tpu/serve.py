@@ -154,8 +154,10 @@ class RenderService:
             "jobs_submitted": 0, "frames_rendered": 0, "jobs_failed": 0,
             "jobs_aborted": 0, "batches": 0, "batched_frames": 0,
             "padded_frames": 0, "jobs_rejected": 0, "jobs_evicted": 0,
+            "worker_preemptions": 0,
             "render_seconds": 0.0, "started_at": time.time(),
         }
+        self._preempting = False
         # A TPU-runtime crash poisons the whole client process (tunneled
         # workers especially — see bench.py's subprocess isolation): after
         # enough consecutive render failures the service declares itself
@@ -510,28 +512,62 @@ class RenderService:
                 # (a fit's key is unique by construction) — don't pay the
                 # batching window for them
                 time.sleep(self.batch_window_s)
-            batch = self._drain_compatible(head)
-            t0 = time.time()
-            for j in batch:
-                j.state = RUNNING
-                j.started = t0
-            try:
-                if head.fit_spec is not None:
-                    self._run_fit(head)
-                elif head.anim_scenes is not None:
-                    self._render_animation(head)
-                elif len(batch) > 1:
-                    self._render_batch(batch)
-                else:
-                    self._render_single(head)
-            except Exception as e:  # noqa: BLE001 — job isolation
-                with self._cond:
-                    self.consecutive_failures += 1
-                for j in batch:
-                    if j.state == RUNNING:
-                        self._finish(j, FAILED, f"{type(e).__name__}: {e}")
+            self._execute_head(head)
+
+    def _execute_head(self, head: Job) -> None:
+        """Run one job (plus any batch-compatible queued jobs) on the
+        calling thread — the worker loop and the fit-step preemption lane
+        share this body."""
+        batch = self._drain_compatible(head)
+        t0 = time.time()
+        for j in batch:
+            j.state = RUNNING
+            j.started = t0
+        try:
+            if head.fit_spec is not None:
+                self._run_fit(head)
+            elif head.anim_scenes is not None:
+                self._render_animation(head)
+            elif len(batch) > 1:
+                self._render_batch(batch)
+            else:
+                self._render_single(head)
+        except Exception as e:  # noqa: BLE001 — job isolation
             with self._cond:
-                self.metrics["render_seconds"] += time.time() - t0
+                self.consecutive_failures += 1
+            for j in batch:
+                if j.state == RUNNING:
+                    self._finish(j, FAILED, f"{type(e).__name__}: {e}")
+        with self._cond:
+            self.metrics["render_seconds"] += time.time() - t0
+
+    def _preempt_quick_jobs(self) -> None:
+        """Interactive lane: between optimizer steps of a long fit, serve
+        every queued NON-fit job so a multi-minute fit cannot head-of-line
+        block 0.2 s renders (the reference's queue stays responsive via its
+        50 ms poll tick, renderqueue.cpp:63-87; the single-dispatch-thread
+        equivalent is draining quick work at step boundaries). Fit jobs
+        stay FIFO among themselves — a queued fit never preempts a running
+        one."""
+        if self._preempting:
+            return  # a preempted job's own callbacks must not recurse
+        self._preempting = True
+        try:
+            while True:
+                with self._cond:
+                    head = next(
+                        (j for j in self._queue if j.fit_spec is None), None)
+                    if head is None:
+                        return
+                    self._queue.remove(head)
+                if head.abort.is_set():
+                    self._finish(head, ABORTED)
+                    continue
+                with self._cond:
+                    self.metrics["worker_preemptions"] += 1
+                self._execute_head(head)
+        finally:
+            self._preempting = False
 
     def _batch_mesh(self):
         """The service mesh re-axed for batched work: frames are
@@ -599,6 +635,9 @@ class RenderService:
 
         def on_step(i, loss):
             job.progress = min(1.0, (i + 1) / total)
+            # interactive lane: serve queued quick jobs between steps so
+            # this fit doesn't head-of-line block the service
+            self._preempt_quick_jobs()
             # cooperative abort: DELETE /job/<id> stops the fit after the
             # current step; the best-so-far fit is still returned below
             return not job.abort.is_set()
@@ -849,6 +888,9 @@ def serve(port: int = 8100, batch_window_s: float = 0.05, bands: int = 8,
           mesh=None, poll: bool = True):
     """Start the render API. Returns the HTTPServer (caller-managed when
     poll=False — used by tests and embedders)."""
+    from .utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # first-of-a-shape requests compile once ever
     service = RenderService(batch_window_s=batch_window_s, bands=bands,
                             mesh=mesh)
     httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(service))

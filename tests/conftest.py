@@ -31,6 +31,15 @@ FIXTURES = REFERENCE / "publish" / "data" / "galaxies"
 
 sys.path.insert(0, str(REPO))
 
+# Persistent compilation cache: XLA:CPU compiles dominate the suite on a
+# 1-CPU box (a 24^2 conformance render costs ~20 s of compile vs ~1 s of
+# math). First run populates .jax_cache; every later run skips straight to
+# the math. Safe under pytest-xdist (atomic cache writes) and keyed by
+# platform, so TPU entries from bench.py coexist.
+from gamer_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():

@@ -90,15 +90,53 @@ def test_dataset_batch_distinct(vortex_scene, fixtures_dir):
     assert (batch[0] != batch[1]).any()
 
 
-def test_batch_rejects_mixed_structure(vortex_scene, fixtures_dir):
+def test_batch_mixed_structure_groups(vortex_scene, fixtures_dir):
+    """A mixed-structure batch renders in structure GROUPS (one launch per
+    group) and each frame equals its single-scene render."""
+    from gamer_tpu.engine.pallas_render import render_scene_pallas
+
     other = gamer_tpu.Scene(
         camera=vortex_scene.camera,
         instances=[gamer_tpu.GalaxyInstance(
             galaxy=gax.load(fixtures_dir / "Spiral.gax"))],
         config=vortex_scene.config,
     )
-    with pytest.raises(ValueError, match="same component"):
-        render_batch([vortex_scene, other])
+    frames = render_batch([vortex_scene, other, vortex_scene])
+    np.testing.assert_array_equal(frames[0], frames[2])
+    for i, s in enumerate((vortex_scene, other)):
+        single = render_scene_pallas(s)
+        d = np.abs(frames[i].astype(np.int16) - single.astype(np.int16))
+        assert d.max() <= 1, f"frame {i} vs single max diff {d.max()}"
+
+
+def test_flythrough_depth_order_crossing(fixtures_dir):
+    """Two instances with DIFFERENT structures, an orbit whose path crosses
+    their depth order: every frame must composite far->near relative to ITS
+    camera (rasterizer.cpp:190-201 re-sorts per render), gated per frame
+    against the spec-exact oracle."""
+    from gamer_tpu.engine.batch import _scene_groups
+    from gamer_tpu.oracle.reference import render_oracle
+
+    g1 = gax.load(fixtures_dir / "VortexCloud.gax")
+    g2 = gax.load(fixtures_dir / "Spiral.gax")
+    scene = gamer_tpu.Scene(
+        camera=gamer_tpu.CameraParams(camera=(1.2, 0, 0), target=(0, 0, 0),
+                                      up=(0, 1, 0), fov=90.0),
+        instances=[
+            gamer_tpu.GalaxyInstance(galaxy=g1, position=(0.0, 0.0, 0.45)),
+            gamer_tpu.GalaxyInstance(galaxy=g2, position=(0.0, 0.0, -0.45)),
+        ],
+        config=gamer_tpu.RenderConfig(size=16, ray_step=0.025),
+    )
+    cams = orbit_path(scene.camera, 4, horizontal_deg=270.0)
+    scenes = [dataclasses.replace(scene, camera=c) for c in cams]
+    groups = _scene_groups(scenes)
+    assert len(groups) > 1, "orbit must actually cross the depth order"
+    frames = render_flythrough(scene, cams)
+    for i, s in enumerate(scenes):
+        want, _ = render_oracle(s)
+        d = np.abs(frames[i].astype(np.int16) - want.astype(np.int16))
+        assert d.max() <= 2, f"frame {i} vs oracle max diff {d.max()}"
 
 
 def test_batch_2d_mesh_rejects_wrong_axis_names(vortex_scene):

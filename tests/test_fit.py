@@ -799,6 +799,21 @@ def test_fit_scene_batch_frozen_matches_tensor_start():
                              steps=1, march="frozen")
 
 
+def test_fit_scene_batch_frozen_single_template_broadcast():
+    """scene_list=None with march='frozen': ONE precompute serves every
+    scene (broadcast over the vmapped loss — ADVICE r2: no K x field
+    memory), and the trajectory matches K explicit template copies."""
+    import copy
+
+    truths, targets, template = _batch_setup()
+    kw = dict(fit_fields=("strength",), steps=3, lr=5e-2, march="frozen")
+    bcast = gfit.fit_scene_batch(template, targets, **kw)
+    expl = gfit.fit_scene_batch(
+        [copy.deepcopy(template), copy.deepcopy(template)], targets, **kw)
+    np.testing.assert_allclose(bcast.losses, expl.losses,
+                               rtol=1e-5, atol=1e-9)
+
+
 def test_fit_multiview_frozen_matches_tensor_start():
     """march='frozen' in the multi-view fit: per-view frozen fields
     (vmapped over the K ray grids / camera origins) reproduce the tensor

@@ -479,6 +479,45 @@ def test_http_surface(vortex_scene):
         httpd.service.stop()
 
 
+@pytest.mark.slow
+def test_fit_does_not_block_quick_jobs(vortex_scene):
+    """Worker fairness (VERDICT r2 #3): a long fit queued FIRST must not
+    head-of-line block a quick render queued second — the interactive lane
+    drains it between optimizer steps and /metrics counts the preemption."""
+    import copy
+
+    from gamer_tpu.engine.pallas_render import render_scene_pallas
+    from gamer_tpu.engine.render import render_scene
+
+    target_img = render_scene(vortex_scene)
+    start = copy.deepcopy(vortex_scene)
+    start.instances[0].galaxy.components[0].strength *= 0.5
+
+    svc = RenderService()
+    try:
+        fit_id = svc.submit_fit(start, target_img, ("strength",), steps=60,
+                                lr=1e-3)
+        fit_job = svc.jobs[fit_id]
+        deadline = time.time() + 600
+        while fit_job.state == "queued" and time.time() < deadline:
+            time.sleep(0.01)
+        assert fit_job.state == "running"
+        render_id = svc.submit(vortex_scene)
+        render_job = svc.wait(render_id, timeout=600)
+        assert render_job.state == DONE, render_job.error
+        # the fit is still going: the render did NOT wait for all 60 steps
+        assert fit_job.state == "running"
+        assert svc.metrics["worker_preemptions"] >= 1
+        direct = render_scene_pallas(vortex_scene)
+        d = np.abs(render_job.image.astype(np.int16) - direct.astype(np.int16))
+        assert d.max() <= 1
+        svc.abort(fit_id)
+        fit_job = svc.wait(fit_id, timeout=600)
+        assert fit_job.state in (DONE, ABORTED)
+    finally:
+        svc.stop()
+
+
 def test_fit_job_abort_returns_best_so_far(vortex_scene):
     """DELETE /job on a RUNNING fit stops it after the current optimizer
     step — the worker is not monopolized for the full step budget, and the
