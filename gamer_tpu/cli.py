@@ -62,6 +62,12 @@ Commands:
    fitpose <camera x y z> <target x y z> <up x y z> <fov> <exposure> <gamma>
        <saturation> <ray step> <gax file> <target image> <out scene.json>
        [steps=80] [lr=0.01] [noise LOD=3 | multiscale] [ckpt=FILE]
+   fitjoint <camera x y z> <target x y z> <up x y z> <fov> <exposure> <gamma>
+       <saturation> <ray step> <gax file> <target image> <out scene.json>
+       [rounds=2] [posesteps=30] [scenesteps=60] [fields=strength,r0,z0]
+       [ckpt=FILE] [march=frozen]  (UNKNOWN camera AND unknown parameters:
+       alternating pose-ladder / parameter-block descent; also writes the
+       fitted galaxy next to the scene as <out>.gax)
    serve [port=8100] [batch window s=0.05] [bands=8] [mesh]
    viewer [port=8000] [size=256] [gax dir]
 <method>: omp | thread | pallas (TPU kernel) | xla | oracle | sharded
@@ -593,6 +599,82 @@ def cmd_fitpose(argv) -> int:
     return 0
 
 
+def cmd_fitjoint(argv) -> int:
+    """Joint camera + parameter fitting (engine/fit.fit_joint): an image
+    whose camera AND galaxy parameters are both unknown — block-coordinate
+    descent alternating fit_pose_multiscale ladders and fit_scene blocks.
+    Writes the fitted scene dict to <out scene.json> and the fitted galaxy
+    to <out>.gax. No reference equivalent (the reference hand-tunes both
+    in the GUI, mainwindow.cpp tabs)."""
+    ckpt = next((a[len("ckpt="):] for a in argv if a.startswith("ckpt=")),
+                None)
+    march = next((a[len("march="):] for a in argv if a.startswith("march=")),
+                 "frozen")
+    fields_arg = next((a[len("fields="):] for a in argv
+                       if a.startswith("fields=")), None)
+    argv = [a for a in argv
+            if not (a.startswith("ckpt=") or a.startswith("march=")
+                    or a.startswith("fields="))]
+    if not 18 <= len(argv) <= 21:
+        print(f"{len(argv)}\nIncorrect usage/parameters for fitjoint. Usage:")
+        print(USAGE)
+        return 1
+    import numpy as np
+    from PIL import Image
+
+    from .engine.fit import (DEFAULT_FIT_FIELDS, DEFAULT_POSE_SCHEDULE,
+                             fit_joint)
+    from .scene.schema import scene_to_dict
+
+    vals = [float(v) for v in argv[1:15]]
+    gax_file, target_file, out_file = argv[15], argv[16], argv[17]
+    rounds = int(argv[18]) if len(argv) > 18 else 2
+    pose_steps = int(argv[19]) if len(argv) > 19 else 30
+    scene_steps = int(argv[20]) if len(argv) > 20 else 60
+    fields = tuple(fields_arg.split(",")) if fields_arg else DEFAULT_FIT_FIELDS
+    if rounds < 1 or pose_steps < 1 or scene_steps < 1:
+        print("fitjoint: rounds/posesteps/scenesteps must be >= 1")
+        return 1
+
+    target = np.asarray(Image.open(target_file).convert("RGB"))
+    if target.shape[0] != target.shape[1]:
+        print("fitjoint: target image must be square")
+        return 1
+    scene = Scene(
+        camera=CameraParams(camera=tuple(vals[0:3]), target=tuple(vals[3:6]),
+                            up=tuple(vals[6:9]), fov=vals[9]),
+        instances=[GalaxyInstance(galaxy=gax.load(gax_file))],
+        config=RenderConfig(size=target.shape[0], ray_step=vals[13],
+                            exposure=vals[10], gamma=vals[11],
+                            saturation=vals[12]),
+    )
+    total = rounds * (pose_steps * len(DEFAULT_POSE_SCHEDULE) + scene_steps)
+    print(f"Jointly fitting camera + {','.join(fields)} of {gax_file} to "
+          f"{target_file} ({rounds} rounds, {pose_steps} pose + "
+          f"{scene_steps} scene steps/round, march={march}) ...")
+    t0 = time.perf_counter()
+
+    def on_step(i, loss):
+        print(f"\r[ step {i + 1}/{total} ]  loss {loss:.6f} ",
+              end="", flush=True)
+
+    result = fit_joint(scene, target, fields, rounds=rounds,
+                       pose_steps=pose_steps, scene_steps=scene_steps,
+                       march=march, on_step=on_step, checkpoint_path=ckpt)
+    cam = result.scene.camera
+    print(f"\nloss {result.losses[0]:.6f} -> {min(result.losses):.6f} in "
+          f"{format_ms((time.perf_counter() - t0) * 1000.0)}")
+    print(f"fitted camera: ({cam.camera[0]:.4f}, {cam.camera[1]:.4f}, "
+          f"{cam.camera[2]:.4f})")
+    out = out_file if out_file.endswith(".json") else out_file + ".json"
+    with open(out, "w") as fh:
+        json.dump(scene_to_dict(result.scene), fh, indent=2)
+    gax_out = out[:-len(".json")] + ".gax"
+    gax.save(result.scene.instances[0].galaxy, gax_out)
+    print(f"Saved fitted scene to {out} and fitted galaxy to {gax_out}")
+    return 0
+
+
 def _backend_desc(method: str) -> str:
     if method == "oracle":
         return "the spec-exact CPU oracle"
@@ -652,6 +734,7 @@ COMMANDS = {
     "morph": cmd_morph,
     "fit": cmd_fit,
     "fitpose": cmd_fitpose,
+    "fitjoint": cmd_fitjoint,
     "scene": cmd_scene,
     "dataset": cmd_dataset,
     "serve": cmd_serve,

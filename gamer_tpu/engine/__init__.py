@@ -9,7 +9,7 @@ def __getattr__(name):
     # that plain rendering never needs.
     if name in ("fit_scene", "fit_pose", "fit_scene_multiscale",
                 "fit_pose_multiscale", "fit_scene_batch",
-                "fit_scene_multiview",
+                "fit_scene_multiview", "fit_joint",
                 "apply_fit_to_scene", "FitResult", "BatchFitResult"):
         from . import fit
 

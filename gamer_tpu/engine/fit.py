@@ -1352,6 +1352,121 @@ def fit_scene_multiscale(
                      losses=all_losses, fit_fields=tuple(fit_fields))
 
 
+def fit_joint(
+    scene: Scene,
+    target_image,
+    scene_fields: Sequence[str] = DEFAULT_FIT_FIELDS,
+    *,
+    rounds: int = 2,
+    pose_steps: int = 30,
+    scene_steps: int = 60,
+    pose_lr: float = 1e-2,
+    scene_lr: float = 2e-2,
+    pose_schedule: Sequence[Tuple[int, int]] = DEFAULT_POSE_SCHEDULE,
+    march: str = "frozen",
+    optimizer=None,
+    on_step: Optional[Callable[[int, float], None]] = None,
+    normalize: bool = True,
+    mesh=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 10,
+) -> FitResult:
+    """UNKNOWN camera AND unknown galaxy parameters, one call: block-
+    coordinate descent alternating pose ladders and parameter fits.
+
+    The realistic inverse workflow — an image whose camera and physical
+    parameters are both unknown (no reference analog; the reference
+    hand-tunes in the GUI, mainwindow.cpp tabs). A truly joint gradient
+    step is ill-conditioned here: pose gradients need a noise LOD (full-
+    octave noise decorrelates under mm camera moves — fit_pose's
+    docstring), while brightness-family parameter gradients are BIASED at
+    a noise LOD (the rejected LOD param ladder, docs/PERF.md). Alternating
+    blocks gives each subproblem its own valid regime:
+
+      round r:  (a) fit_pose_multiscale over ``pose_schedule`` — holding
+                    the galaxy fixed; ``normalize=True`` makes the pose
+                    blocks insensitive to the not-yet-fitted brightness;
+                (b) fit_scene at the fitted pose — holding the pose fixed;
+                    ``march='frozen'`` is valid INSIDE a block (the camera
+                    is constant there), so parameter steps run at frozen
+                    speed; the fields are re-frozen each round at the new
+                    pose.
+
+    ``on_step(i, loss)`` sees a global step index over
+    rounds * (pose_steps * len(pose_schedule) + scene_steps) steps and may
+    return False to stop (cooperative abort, as everywhere).
+    ``checkpoint_path`` writes per-block files (``.r<k>.pose`` /
+    ``.r<k>.scene``); a completed block short-circuits on restart, so an
+    interrupted joint fit resumes mid-ladder exactly like the multiscale
+    ladders. Returns a FitResult whose scene carries BOTH the fitted
+    camera and the fitted parameters; ``params`` is
+    {"pose": pose dict, "scene": parameter pytree}.
+
+    Fields that feed the noise inputs need ``march='tensor'`` (the frozen
+    guard raises at block (b), same as fit_scene).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    _check_march_fields(march if march != "frozen" else "tensor",
+                        scene_fields)  # frozen re-checked per block
+    pose_block = pose_steps * len(pose_schedule)
+    current = scene
+    all_losses: List[float] = []
+    pose_params = None
+    scene_params = None
+    base = 0
+    aborted = False
+
+    def _block_cb(b):
+        if on_step is None:
+            return None
+
+        def cb(i, loss):
+            nonlocal aborted
+            r = on_step(b + i, loss)
+            if r is False:
+                aborted = True
+            return r
+        return cb
+
+    for r in range(rounds):
+        pres = fit_pose_multiscale(
+            current, target_image, ("camera",), steps=pose_steps,
+            lr=pose_lr, schedule=pose_schedule, optimizer=optimizer,
+            on_step=_block_cb(base), normalize=normalize, march="tensor",
+            mesh=mesh,
+            checkpoint_path=(f"{checkpoint_path}.r{r}.pose"
+                             if checkpoint_path else None),
+            checkpoint_every=checkpoint_every,
+        )
+        current = pres.scene
+        pose_params = pres.params
+        all_losses.extend(pres.losses)
+        base += pose_block
+        if aborted:
+            break
+        sres = fit_scene(
+            current, target_image, scene_fields, steps=scene_steps,
+            lr=scene_lr, optimizer=optimizer, on_step=_block_cb(base),
+            march=march, mesh=mesh,
+            checkpoint_path=(f"{checkpoint_path}.r{r}.scene"
+                             if checkpoint_path else None),
+            checkpoint_every=checkpoint_every,
+        )
+        current = sres.scene
+        scene_params = sres.params
+        all_losses.extend(sres.losses)
+        base += scene_steps
+        if aborted:
+            break
+    return FitResult(
+        scene=current,
+        params={"pose": pose_params, "scene": scene_params},
+        losses=all_losses,
+        fit_fields=("camera",) + tuple(scene_fields),
+    )
+
+
 def apply_fit_to_scene(scene: Scene, params, fit_fields: Sequence[str]) -> Scene:
     """Write fitted params back into a deep copy of ``scene``.
 

@@ -80,6 +80,31 @@ MAX_ITERS = 131072
 # default 1 (3x faster kernel compiles); the knob stays for perf_ab tuning
 UNROLL = 1
 RIDGED_OCTAVES = 9
+# Three-phase march: per-ray CONSERVATIVE entry/exit of the union of the
+# non-bulge components' support (the |dott| <= 2*z0 sech slab is affine in
+# path length, the radius < 2.2552*r0 cutoff is quadratic —
+# galaxycomponent.h:61-81), computed once at march start. Steps strictly
+# before entry / after exit can trigger NO non-bulge component, so they run
+# a CHEAP body (exit test + bulge + advance — bulge has no gating in the
+# reference, galaxycomponents.cpp:5-39, and must be sampled at every
+# schedule point). Sample positions ride the IDENTICAL f32 recurrence in
+# all three phases, so the image is bit-exact vs the single-loop march
+# (checksum-gated in perf_ab and tests/test_pallas.py).
+# MEASURED NEUTRAL on v5e (interleaved A/B, min of 6): canonical Spiral
+# 4096² 5.485 -> 5.470 s (-0.3%), 1024² 0.399 -> 0.398 s; bulge-disabled
+# Spiral 1024² 0.394 -> 0.393 s. Root cause: the frame is bound by
+# EXECUTED noise inside the support window; out-of-window steps were
+# already trigger-gated (pl.when), so the walk they pay is ~1% of frame.
+# Default OFF; the knob stays for scripts/perf_ab.py (MARCH_WINDOW:0/1) —
+# see docs/PERF.md "do not revisit".
+MARCH_WINDOW = 0
+# Threshold slack (absolute, in dott / projected-radius units) + window
+# margin (in path-length units): covers f32 evaluation noise of the
+# analytic bounds AND the ulp drift of the incrementally-updated position
+# vs the affine closed form (~1e-4 over a 2000-substep chord). Costs a few
+# extra full-body steps per ray; correctness needs only "conservative".
+WINDOW_SLACK = 0.01
+WINDOW_MARGIN = 0.02
 # Load every SMEM scene scalar ONCE at kernel start instead of re-issuing
 # the scalar load at each use site inside the march while-loop (the loads
 # are loop-invariant; hoisting is bit-exactness-preserving by construction).
@@ -387,16 +412,127 @@ def _march_instance(static, inst, lay, S, pfx, perm_rows, ray_step, min_step,
     done[:] = jnp.where(alive, jnp.zeros_like(length, jnp.int32),
                         jnp.ones_like(length, jnp.int32))
 
+    nb_comps = [(ci, cs) for ci, cs in enumerate(inst.comps)
+                if cs.cid != CID_BULGE]
+    bulge_comps = [(ci, cs) for ci, cs in enumerate(inst.comps)
+                   if cs.cid == CID_BULGE]
+    use_window = bool(MARCH_WINDOW) and bool(nb_comps)
+
+    if use_window:
+        # Per-ray support window [w0, w1] in tacc (path length from the far
+        # point; p(tacc) = o1 - md*tacc): union hull over non-bulge comps of
+        # slab ∩ radial-cutoff, each widened by WINDOW_SLACK so it strictly
+        # contains every sample whose _component_trigger could fire.
+        INF = jnp.float32(3.0e38)
+        ox = S(pfx + "orientation", 0)
+        oy = S(pfx + "orientation", 1)
+        oz = S(pfx + "orientation", 2)
+        axx = S(pfx + "axis_x")
+        d0w = o1x * ox + o1y * oy + o1z * oz      # dott at tacc = 0
+        dmw = mdx * ox + mdy * oy + mdz * oz      # -d(dott)/dtacc
+        q0x = o1x - ox * d0w
+        q0y = o1y - oy * d0w
+        q0z = o1z - oz * d0w
+        qdx = mdx - ox * dmw
+        qdy = mdy - oy * dmw
+        qdz = mdz - oz * dmw
+        qa = qdx * qdx + qdy * qdy + qdz * qdz    # |P(t)|^2 = qa t^2+qb t+qc
+        qb = -2.0 * (q0x * qdx + q0y * qdy + q0z * qdz)
+        qc = q0x * q0x + q0y * q0y + q0z * q0z
+        adm = jnp.abs(dmw)
+        dm_flat = adm < 1e-8
+        dm_safe = jnp.where(dm_flat, jnp.ones_like(dmw), dmw)
+        qa_flat = qa < 1e-12
+        qa_safe = jnp.where(qa_flat, jnp.ones_like(qa), qa)
+        w0 = jnp.full_like(d0w, 3.0e38)
+        w1 = jnp.full_like(d0w, -3.0e38)
+        slack = jnp.float32(WINDOW_SLACK)
+        for ci, cs in nb_comps:
+            cpre = f"{pfx}c{ci}."
+            Z = 2.0 * jnp.abs(S(cpre + "z0")) + slack
+            sa = (d0w - Z) / dm_safe
+            sb = (d0w + Z) / dm_safe
+            in_slab0 = jnp.abs(d0w) <= Z
+            s_lo = jnp.where(dm_flat, jnp.where(in_slab0, -INF, INF),
+                             jnp.minimum(sa, sb))
+            s_hi = jnp.where(dm_flat, jnp.where(in_slab0, INF, -INF),
+                             jnp.maximum(sa, sb))
+            r0c = S(cpre + "r0")
+            # trigger: radius = |P|/axx < r0*2.2552 (inf for r0 <= 0); in
+            # |P| units R = r_thr*axx, quadratic roots bound the interval
+            R = (r0c * jnp.float32(2.2552) + slack) * axx
+            unlimited = (r0c <= 0.0) | (axx <= 0.0)
+            disc = qb * qb - 4.0 * qa * (qc - R * R)
+            sqd = jnp.sqrt(jnp.maximum(disc, jnp.zeros_like(disc)))
+            r_lo = (-qb - sqd) / (2.0 * qa_safe)
+            r_hi = (-qb + sqd) / (2.0 * qa_safe)
+            empty_r = disc <= 0.0   # upward parabola never below R^2
+            const_in = qc <= R * R  # qa ~ 0: |P| constant along the ray
+            r_lo = jnp.where(qa_flat, jnp.where(const_in, -INF, INF),
+                             jnp.where(empty_r, INF, r_lo))
+            r_hi = jnp.where(qa_flat, jnp.where(const_in, INF, -INF),
+                             jnp.where(empty_r, -INF, r_hi))
+            r_lo = jnp.where(unlimited, -INF, r_lo)
+            r_hi = jnp.where(unlimited, INF, r_hi)
+            lo = jnp.maximum(s_lo, r_lo)
+            hi = jnp.minimum(s_hi, r_hi)
+            empty = lo > hi
+            w0 = jnp.minimum(w0, jnp.where(empty, INF, lo))
+            w1 = jnp.maximum(w1, jnp.where(empty, -INF, hi))
+        margin = jnp.float32(WINDOW_MARGIN)
+        w0m = jnp.maximum(w0 - margin, jnp.zeros_like(w0))
+        w1m = w1 + margin
+
     def cond(c):
         it, n_active = c
         return (n_active > 0) & (it < MAX_ITERS)
 
-    def substep(count_active: bool):
+    def advance(px, py, pz, step, active):
+        # advance (rasterizer.cpp:467-470) — shared verbatim by all three
+        # phases so every lane's (p, tacc, steppr) sequence is the one f32
+        # recurrence regardless of which phase executes a given step
+        af = active.astype(jnp.float32)
+        p0[:] = px - mdx * step * af
+        p1[:] = py - mdy * step * af
+        p2[:] = pz - mdz * step * af
+        tacc[:] = tacc[:] + step * af
+        steppr[:] = jnp.where(active, step, steppr[:])
+
+    def cheap_substep(count_active: bool, upper):
+        """One schedule step where no non-bulge trigger can fire: exit test
+        + bulge (ungated in the reference) + advance + floor. Identical
+        arithmetic to the full body with all non-bulge triggers false."""
+        stop = tacc[:] >= length + steppr[:]
+        d = jnp.where(stop, jnp.ones_like(done[:]), done[:])
+        done[:] = d
+        active = d == 0
+        if upper is not None:
+            active = active & (tacc[:] < upper)
+        px, py, pz = p0[:], p1[:], p2[:]
+        dist = dist0 - tacc[:]
+        step = _qt_clamp(dist * ray_step, min_step, 0.01)
+        weight = step * 200.0
+        for ci, _cs in bulge_comps:
+            _apply_bulge(S, pfx, f"{pfx}c{ci}.", px, py, pz,
+                         active, weight, ray_step, I0, I1, I2)
+        advance(px, py, pz, step, active)
+        if bulge_comps:
+            for ref in (I0, I1, I2):
+                v = ref[:]
+                ref[:] = jnp.where(
+                    active, jnp.where(v >= 0, v, jnp.zeros_like(v)), v)
+        return jnp.sum(active.astype(jnp.int32)) if count_active else None
+
+    def substep(count_active: bool, upper=None):
         # loop exit check (rasterizer.cpp:447): path length vs chord
         stop = tacc[:] >= length + steppr[:]
         d = jnp.where(stop, jnp.ones_like(done[:]), done[:])
         done[:] = d
         active = d == 0
+        if upper is not None:
+            # lanes past the support window idle here; the cheap tail loop
+            # finishes their chord (their state is untouched meanwhile)
+            active = active & (tacc[:] <= upper)
 
         px, py, pz = p0[:], p1[:], p2[:]
         dist = dist0 - tacc[:]
@@ -439,13 +575,7 @@ def _march_instance(static, inst, lay, S, pfx, perm_rows, ray_step, min_step,
                     px, py, pz, active, weight, ray_step,
                     dott, Px, Py, Pz, radius, I0, I1, I2)
 
-        # advance + floor (rasterizer.cpp:467-470)
-        af = active.astype(jnp.float32)
-        p0[:] = px - mdx * step * af
-        p1[:] = py - mdy * step * af
-        p2[:] = pz - mdz * step * af
-        tacc[:] = tacc[:] + step * af
-        steppr[:] = jnp.where(active, step, steppr[:])
+        advance(px, py, pz, step, active)
         # RasterPixel::Floor semantics via math3d.floor0: negatives AND NaN
         # go to 0 (v >= 0 keeps, everything else zeroes) — `v < 0` would
         # keep a NaN emission and poison the rest of the march
@@ -454,16 +584,49 @@ def _march_instance(static, inst, lay, S, pfx, perm_rows, ray_step, min_step,
             ref[:] = jnp.where(
                 active, jnp.where(v >= 0, v, jnp.zeros_like(v)), v)
         # the cross-lane reduction is only needed once per while iteration
-        return jnp.sum(1 - d) if count_active else None
+        return jnp.sum(active.astype(jnp.int32)) if count_active else None
 
-    def body(c):
-        it, _ = c
-        n_active = None
-        for k in range(UNROLL):
-            n_active = substep(count_active=(k == UNROLL - 1))
-        return it + UNROLL, n_active
+    if use_window:
+        # Phase 1 — fast-forward: advance every lane to its support entry
+        # with the cheap body (also ALIGNS the lanes' hot windows, so the
+        # tile-level `any` triggers in phase 2 fire when lanes genuinely
+        # need the work, not because one straggler is mid-slab).
+        def ff_body(c):
+            it, _ = c
+            return it + 1, cheap_substep(True, w0m)
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.sum(1 - done[:])))
+        n_ff = jnp.sum(((done[:] == 0) & (tacc[:] < w0m)).astype(jnp.int32))
+        it_ff, _ = jax.lax.while_loop(cond, ff_body, (jnp.int32(0), n_ff))
+
+        # Phase 2 — full body across [w0m, w1m] (the MAX_ITERS budget is
+        # shared across phases, preserving the single-loop cap semantics)
+        def main_body(c):
+            it, _ = c
+            n_active = None
+            for k in range(UNROLL):
+                n_active = substep(count_active=(k == UNROLL - 1), upper=w1m)
+            return it + UNROLL, n_active
+
+        n_main = jnp.sum(((done[:] == 0) & (tacc[:] <= w1m)).astype(jnp.int32))
+        it_main, _ = jax.lax.while_loop(cond, main_body, (it_ff, n_main))
+
+        # Phase 3 — cheap tail: past every support exit, only bulges (and
+        # the exit test) remain until the chord is spent
+        def tail_body(c):
+            it, _ = c
+            return it + 1, cheap_substep(True, None)
+
+        n_tail = jnp.sum((done[:] == 0).astype(jnp.int32))
+        jax.lax.while_loop(cond, tail_body, (it_main, n_tail))
+    else:
+        def body(c):
+            it, _ = c
+            n_active = None
+            for k in range(UNROLL):
+                n_active = substep(count_active=(k == UNROLL - 1))
+            return it + UNROLL, n_active
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.sum(1 - done[:])))
 
 
 def _apply_bulge(S, pfx, cpre, px, py, pz, active, weight, ray_step,

@@ -34,10 +34,13 @@ so everything the CLI and library can render is servable. Endpoints:
                             -> parameter-space morph animation
   POST   /fit               {"scene": {...}, "target_png": base64,
                             "fields": [...], "steps": N, "lr": x,
-                            "multiscale": bool, "pose": bool,
+                            "multiscale": bool, "pose": bool|"joint",
+                            "rounds": N,
                             "march": "tensor"|"scan"|"frozen"} -> inverse
                             rendering: gradient-fit the galaxy (or, with
-                            "pose": true, the camera) to the target image.
+                            "pose": true, the camera; with "pose": "joint",
+                            BOTH — "rounds" alternations of a pose ladder
+                            and a parameter block) to the target image.
                             "frozen" precomputes the noise fields once per
                             fit (fastest steps; fixed-camera fits whose
                             fields don't feed the noise — 400 otherwise).
@@ -258,8 +261,9 @@ class RenderService:
 
     def submit_fit(self, scene, target_image, fit_fields=None,
                    steps: int = 100, lr: float = 2e-2,
-                   multiscale: bool = False, pose: bool = False,
-                   march: str = "tensor") -> int:
+                   multiscale: bool = False, pose=False,
+                   march: str = "tensor", rounds: int = 2,
+                   pose_steps: int = 30) -> int:
         """Queue an inverse-rendering fit: optimize ``fit_fields`` of the
         scene's galaxy until its render matches ``target_image`` (a
         (size, size, 3) uint8 array, or base64-encoded PNG over HTTP) —
@@ -272,7 +276,13 @@ class RenderService:
         galaxy parameters: fields are from POSE_FITTABLE (default
         ("camera",)), and ``multiscale`` runs the LOD->exact pose ladder
         (the recommended mode — single-LOD pose fits need a hand-picked
-        noise LOD, see fit_pose's docstring)."""
+        noise LOD, see fit_pose's docstring).
+
+        ``pose="joint"`` fits BOTH: camera AND the named galaxy fields
+        (engine/fit.fit_joint — ``rounds`` alternations of a pose ladder
+        and a parameter block; ``steps`` is the parameter steps per
+        round). The joint mode runs its own LOD ladder, so it takes no
+        ``multiscale``."""
         import base64
         import io as _io
 
@@ -293,24 +303,45 @@ class RenderService:
             raise ValueError(f"steps must be in [1, 100000], got {steps}")
         from .engine.fit import FITTABLE_FIELDS, POSE_FITTABLE
 
+        joint = pose == "joint"
+        if joint:
+            if multiscale:
+                raise ValueError(
+                    "joint fits run their own pose ladder; drop 'multiscale'")
+            rounds = int(rounds)
+            if not 1 <= rounds <= 20:
+                raise ValueError(f"rounds must be in [1, 20], got {rounds}")
+            pose_steps = int(pose_steps)
+            if not 1 <= pose_steps <= 10_000:
+                raise ValueError(
+                    f"pose_steps must be in [1, 10000], got {pose_steps}")
+        elif not isinstance(pose, bool):
+            raise ValueError(
+                f"pose must be true, false or 'joint', got {pose!r}")
         if fit_fields is None:
-            fit_fields = ("camera",) if pose else ("strength", "r0", "z0")
+            fit_fields = (("camera",) if pose and not joint
+                          else ("strength", "r0", "z0"))
         fit_fields = tuple(fit_fields)
-        allowed = POSE_FITTABLE if pose else FITTABLE_FIELDS
+        # joint fits the camera implicitly; its named fields are scene fields
+        allowed = POSE_FITTABLE if (pose and not joint) else FITTABLE_FIELDS
         unknown = set(fit_fields) - set(allowed)
         if unknown:
             raise ValueError(
-                f"unknown {'pose ' if pose else ''}fit fields "
+                f"unknown {'pose ' if pose and not joint else ''}fit fields "
                 f"{sorted(unknown)}; valid: {sorted(allowed)}")
         from .engine.scene_prep import flatten_scene
 
         static, _ = flatten_scene(scene)  # validate at submission
         # (supersampled scenes are fittable: the diff forward pools ss²
         # rays/pixel in linear space, engine/fit._ss_setup)
-        march = self._check_march(march, pose, static, fit_fields)
+        march = self._check_march(march, pose and not joint, static,
+                                  fit_fields)
         spec = dict(target=target_image, fit_fields=fit_fields, steps=steps,
                     lr=float(lr), multiscale=bool(multiscale),
-                    pose=bool(pose), march=march)
+                    pose="joint" if joint else bool(pose), march=march)
+        if joint:
+            spec["rounds"] = rounds
+            spec["pose_steps"] = pose_steps
         return self._enqueue(Job(id=0, scene=scene, key=("fit", object()),
                                  fit_spec=spec))
 
@@ -621,7 +652,7 @@ class RenderService:
         progress; the fitted scene dict + loss trace is the result, plus a
         render of the fitted scene for /image.png."""
         from .engine.fit import (DEFAULT_POSE_SCHEDULE,
-                                 DEFAULT_SCENE_SCHEDULE, fit_pose,
+                                 DEFAULT_SCENE_SCHEDULE, fit_joint, fit_pose,
                                  fit_pose_multiscale, fit_scene,
                                  fit_scene_multiscale, fit_scene_multiview)
         from .engine.pallas_render import render_scene_pallas
@@ -629,9 +660,16 @@ class RenderService:
 
         spec = job.fit_spec
         pose = spec.get("pose", False)
-        schedule = DEFAULT_POSE_SCHEDULE if pose else DEFAULT_SCENE_SCHEDULE
-        rungs = len(schedule) if spec["multiscale"] else 1
-        total = spec["steps"] * rungs
+        joint = pose == "joint"
+        if joint:
+            # rounds x (pose ladder + parameter block) global step count
+            pose_steps = spec.get("pose_steps", 30)
+            total = spec["rounds"] * (
+                pose_steps * len(DEFAULT_POSE_SCHEDULE) + spec["steps"])
+        else:
+            schedule = DEFAULT_POSE_SCHEDULE if pose else DEFAULT_SCENE_SCHEDULE
+            rungs = len(schedule) if spec["multiscale"] else 1
+            total = spec["steps"] * rungs
 
         def on_step(i, loss):
             job.progress = min(1.0, (i + 1) / total)
@@ -654,6 +692,18 @@ class RenderService:
                 spec["fit_fields"], steps=spec["steps"], lr=spec["lr"],
                 on_step=on_step, mesh=mesh,
                 march=spec.get("march", "tensor"))
+        elif joint:
+            # both blocks of fit_joint must tile the mesh: the pose ladders
+            # run multiscale-pose shapes, the parameter blocks full-size
+            mesh = self._fit_mesh(job.scene, True, pose=True)
+            if mesh is not None and \
+                    self._fit_mesh(job.scene, False, pose=False) is None:
+                mesh = None
+            result = fit_joint(job.scene, spec["target"], spec["fit_fields"],
+                               rounds=spec["rounds"], pose_steps=pose_steps,
+                               scene_steps=spec["steps"],
+                               scene_lr=spec["lr"], on_step=on_step,
+                               march=spec.get("march", "tensor"), mesh=mesh)
         else:
             fitter = ((fit_pose_multiscale if spec["multiscale"]
                        else fit_pose)
@@ -671,7 +721,12 @@ class RenderService:
             "losses": [float(v) for v in result.losses],
             "fit_fields": list(result.fit_fields),
         }
-        if pose:
+        if joint:
+            pose_params = (result.params or {}).get("pose") or {}
+            job.fit_result["pose"] = {
+                k: (v.tolist() if np.ndim(v) else float(v))
+                for k, v in pose_params.items()}
+        elif pose:
             # the fitted pose, explicitly (it also lives in scene.camera)
             job.fit_result["pose"] = {
                 k: (v.tolist() if np.ndim(v) else float(v))
@@ -803,7 +858,9 @@ def make_handler(service: RenderService):
                             payload.get("lr", 2e-2),
                             payload.get("multiscale", False),
                             payload.get("pose", False),
-                            payload.get("march", "tensor"))
+                            payload.get("march", "tensor"),
+                            payload.get("rounds", 2),
+                            payload.get("pose_steps", 30))
                 else:
                     job_id = service.submit(scene)
                 self._json(202, {"job": job_id})

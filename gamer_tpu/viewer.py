@@ -32,6 +32,10 @@ Endpoints (GET unless noted):
     /setcfg?field=&value=       edit a render setting (exposure, gamma,
                                 saturation, ray_step, fov, star field, dither)
     /save?galaxy=      download the edited galaxy as .gax bytes
+    /newgalaxy?name=   add a galaxy from the default template
+    /clonegalaxy?galaxy=&name=   duplicate a galaxy (with its live edits);
+                       empty name auto-suffixes _copy
+    /delgalaxy?galaxy= remove a galaxy from the library (not the last one)
     POST /upload?name= add a galaxy from .gax bytes in the request body
     /fullrender?galaxy=&size=&h=&v=&zoom=&ss=   full-quality render (exact
                        octaves, full min step, configured ray_step)
@@ -70,6 +74,9 @@ th{color:#8ad}
 </style>
 <h3 style="margin:4px 0">gamer-tpu editor ::
  <select id=gsel onchange="pick()"></select>
+ <button onclick="newGalaxy()">new</button>
+ <button onclick="cloneGalaxy()">clone</button>
+ <button onclick="delGalaxy()">delete</button>
  <button onclick="saveGax()">save .gax</button>
  <button onclick="fullRender()">render</button>
  <button onclick="skybox()">skybox</button>
@@ -208,6 +215,25 @@ async function delSpec(n){await J('/delspectrum?name='+encodeURIComponent(n));
 async function setCfg(f,v){await J('/setcfg?field='+encodeURIComponent(f)+
   '&value='+encodeURIComponent(v));await pull();refresh();}
 function saveGax(){location.href='/save?galaxy='+encodeURIComponent(cur);}
+async function newGalaxy(){const n=prompt('new galaxy name');if(!n)return;
+  const r=await J('/newgalaxy?name='+encodeURIComponent(n));
+  names=await J('/galaxies');
+  document.getElementById('gsel').innerHTML=
+    names.map(x=>'<option>'+x+'</option>').join('');
+  cur=r.galaxy;document.getElementById('gsel').value=cur;
+  await pull();refresh();}
+async function cloneGalaxy(){
+  const n=prompt('clone as (empty = auto name)','')||'';
+  const r=await J('/clonegalaxy?galaxy='+encodeURIComponent(cur)+
+    '&name='+encodeURIComponent(n));
+  names=await J('/galaxies');
+  document.getElementById('gsel').innerHTML=
+    names.map(x=>'<option>'+x+'</option>').join('');
+  cur=r.galaxy;document.getElementById('gsel').value=cur;
+  await pull();refresh();}
+async function delGalaxy(){
+  if(!confirm('delete galaxy "'+cur+'" from the library?'))return;
+  await J('/delgalaxy?galaxy='+encodeURIComponent(cur));await load();}
 function fullRender(){S('rendering...');
   const s=prompt('full render size',cfg.full_size||512);if(!s)return S('');
   window.open('/fullrender?galaxy='+encodeURIComponent(cur)+'&size='+s+
@@ -414,6 +440,45 @@ class _ViewerState:
         self.cfg[field] = value
         return value
 
+    # -- galaxy library ops (the GUI's library list new/clone/delete,
+    # mainwindow.cpp:846-927) --
+
+    def _register(self, name: str, galaxy) -> str:
+        if not name:
+            raise ValueError("galaxy needs a non-empty name")
+        if name in self.galaxies:
+            raise ValueError(f"galaxy {name!r} already exists")
+        galaxy.display_name = name
+        galaxy.params.name = name
+        self.galaxies[name] = lambda galaxy=galaxy: copy.deepcopy(galaxy)
+        return name
+
+    def new_galaxy(self, name: str) -> str:
+        """A fresh galaxy from the default 3-component template
+        (galaxy.cpp:111-154; schema.default_galaxy)."""
+        from .scene.schema import default_galaxy
+
+        return self._register(name, default_galaxy())
+
+    def clone_galaxy(self, src: str, new_name: str) -> str:
+        """Duplicate a galaxy INCLUDING its live session edits (the GUI
+        clones its live Galaxy object, mainwindow.cpp:905-914)."""
+        key = self._resolve(src)
+        if not new_name:
+            new_name = f"{key}_copy"
+            n = 2
+            while new_name in self.galaxies:
+                new_name = f"{key}_copy{n}"
+                n += 1
+        return self._register(new_name, copy.deepcopy(self._galaxy(key)))
+
+    def delete_galaxy(self, name: str) -> None:
+        key = self._resolve(name)
+        if len(self.galaxies) <= 1:
+            raise ValueError("cannot delete the last galaxy in the library")
+        del self.galaxies[key]
+        self.edited.pop(key, None)
+
     def add_galaxy_bytes(self, name: str, data: bytes):
         from .scene import gax
 
@@ -617,6 +682,14 @@ def make_handler(state: _ViewerState):
                 elif url.path == "/skybox":
                     png = state.skybox_png(name, int(get("size", 128)))
                     self._send(200, "image/png", png)
+                elif url.path == "/newgalaxy":
+                    self._json({"galaxy": state.new_galaxy(qs("name"))})
+                elif url.path == "/clonegalaxy":
+                    self._json({"galaxy": state.clone_galaxy(name,
+                                                             qs("name"))})
+                elif url.path == "/delgalaxy":
+                    state.delete_galaxy(name)
+                    self._json({"ok": True})
                 elif url.path == "/reset":
                     if name:
                         state.edited.pop(state._resolve(name), None)

@@ -1,14 +1,27 @@
 """Serving throughput: cross-request batching vs sequential rendering.
 
-Submits B concurrent scene-dict requests (same structure, distinct orbit
-cameras — the realistic multi-client shape) to an in-process RenderService
-twice: once with the worker paused until all B are queued (they drain into
-ONE padded batched launch) and once strictly sequentially (one request at a
-time, the no-batching baseline). Prints frames/s for both and the speedup.
+Two modes:
+
+inproc (default) — submits B concurrent scene-dict requests (same
+structure, distinct orbit cameras — the realistic multi-client shape) to
+an in-process RenderService twice: once with the worker paused until all
+B are queued (they drain into ONE padded batched launch) and once
+strictly sequentially (one request at a time, the no-batching baseline).
+Prints frames/s for both and the speedup.
+
+http — the OPERATED shape: a real ThreadingHTTPServer + RenderService,
+K concurrent client threads each POSTing /render and polling /job/<id>
+to completion. Reports sustained request throughput, per-request latency
+percentiles (p50/p90/p99), and the batching collapse ratio
+(frames per device launch) scraped from /metrics — then fires a
+backpressure storm at a small max_queue and verifies 429s are clean
+(server stays healthy, accepted jobs all finish).
 
 Usage:
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/serve_bench.py \
-      [size=256] [requests=16]
+      [size=256] [requests=16]              # inproc A/B
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/serve_bench.py \
+      http [size=256] [clients=8] [requests_per_client=8]
 """
 
 from __future__ import annotations
@@ -78,5 +91,161 @@ def main() -> None:
     print(f"  speedup    {ts / tb:.2f}x")
 
 
+def _scenes(size: int, n: int):
+    import gamer_tpu
+    from gamer_tpu.scene import gax
+    from gamer_tpu.scene.cameracontrols import orbit_path
+
+    galaxy = gax.load("/root/reference/publish/data/galaxies/Spiral.gax")
+    scene = gamer_tpu.Scene(
+        camera=gamer_tpu.CameraParams(camera=(0.5, 0, 0), target=(0, 0, 0),
+                                      up=(0, 1, 0), fov=90.0),
+        instances=[gamer_tpu.GalaxyInstance(galaxy=galaxy)],
+        config=gamer_tpu.RenderConfig(size=size, ray_step=0.025),
+    )
+    cams = orbit_path(scene.camera, max(n, 2), horizontal_deg=180.0)
+    return [dataclasses.replace(scene, camera=c) for c in cams[:n]]
+
+
+def main_http() -> None:
+    """Operated-shape serving bench over real HTTP (VERDICT r2 #7)."""
+    import json
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    import numpy as np
+
+    from gamer_tpu.scene.schema import scene_to_dict
+    from gamer_tpu.serve import RenderService, make_handler
+
+    size = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    n_clients = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    per_client = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+
+    service = RenderService(batch_window_s=0.05)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def get(path):
+        with urllib.request.urlopen(base + path, timeout=1800) as r:
+            return json.loads(r.read())
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            base + path, json.dumps(payload).encode(),
+            {"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=1800) as r:
+            return r.status, json.loads(r.read())
+
+    payloads = [scene_to_dict(s) for s in _scenes(size, n_clients)]
+
+    # warm: one request per distinct camera (compiles the padded buckets)
+    t0 = time.perf_counter()
+    warm_ids = [post("/render", p)[1]["job"] for p in payloads]
+    for jid in warm_ids:
+        while get(f"/job/{jid}")["state"] not in ("done", "failed"):
+            time.sleep(0.05)
+    print(f"warm pass ({n_clients} requests): "
+          f"{time.perf_counter() - t0:.1f}s (includes compile)")
+
+    m0 = dict(service.metrics)
+    lat, errors = [], []
+    lock = threading.Lock()
+
+    def client(k: int) -> None:
+        payload = payloads[k]
+        for _ in range(per_client):
+            t0 = time.perf_counter()
+            try:
+                status, body = post("/render", payload)
+                jid = body["job"]
+                while True:
+                    info = get(f"/job/{jid}")
+                    if info["state"] in ("done", "failed", "aborted"):
+                        break
+                    time.sleep(0.02)
+                dt = time.perf_counter() - t0
+                with lock:
+                    (lat if info["state"] == "done" else errors).append(dt)
+            except Exception as e:  # noqa: BLE001
+                with lock:
+                    errors.append(str(e))
+
+    threads = [threading.Thread(target=client, args=(k,))
+               for k in range(n_clients)]
+    t_start = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_start
+    total = n_clients * per_client
+    assert not errors, f"{len(errors)} failed requests: {errors[:3]}"
+    frames = service.metrics["frames_rendered"] - m0.get("frames_rendered", 0)
+    batches = service.metrics["batches"] - m0.get("batches", 0)
+    batched = (service.metrics["batched_frames"]
+               - m0.get("batched_frames", 0))
+    singles = frames - batched  # each runs alone (bands progressive launches)
+    lat_ms = np.sort(np.array(lat)) * 1e3
+    p = lambda q: float(np.percentile(lat_ms, q))
+    print(f"\n{n_clients} clients x {per_client} requests at {size}^2 "
+          f"(window 0.05s):")
+    print(f"  throughput  {total / wall:.2f} req/s ({wall:.1f}s wall)")
+    print(f"  latency     p50 {p(50):.0f} ms   p90 {p(90):.0f} ms   "
+          f"p99 {p(99):.0f} ms")
+    print(f"  batching    {batched}/{frames} frames collapsed into "
+          f"{batches} batched launches "
+          f"(collapse {batched / max(batches, 1):.2f} frames/launch; "
+          f"{singles} rendered solo)")
+
+    # backpressure storm: tiny queue, a burst far over it -> clean 429s
+    httpd.shutdown()
+    service.stop()
+    storm = RenderService(batch_window_s=0.05, max_queue=8)
+    httpd2 = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(storm))
+    port2 = httpd2.server_address[1]
+    threading.Thread(target=httpd2.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port2}"
+    codes = []
+
+    def storm_client(k: int) -> None:
+        for i in range(8):
+            try:
+                status, body = post("/render", payloads[k % len(payloads)])
+                codes.append(status)
+            except urllib.error.HTTPError as e:
+                codes.append(e.code)
+
+    threads = [threading.Thread(target=storm_client, args=(k,))
+               for k in range(n_clients * 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    n429 = sum(1 for c in codes if c == 429)
+    n202 = sum(1 for c in codes if c == 202)
+    assert n429 > 0, "storm never hit backpressure (raise the burst)"
+    assert n202 + n429 == len(codes), f"unexpected codes: {set(codes)}"
+    health = get("/healthz")
+    assert health.get("ok", False), f"unhealthy after storm: {health}"
+    deadline = time.time() + 1800
+    while any(j.state in ("queued", "rendering")
+              for j in list(storm.jobs.values())):
+        assert time.time() < deadline, "storm jobs never drained"
+        time.sleep(0.2)
+    n_done = sum(1 for j in storm.jobs.values() if j.state == "done")
+    print(f"  storm       {len(codes)} burst submissions -> {n202} accepted "
+          f"+ {n429} clean 429s; {n_done} accepted jobs all finished; "
+          f"healthz ok")
+    httpd2.shutdown()
+    storm.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "http":
+        main_http()
+    else:
+        main()

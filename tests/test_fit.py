@@ -646,6 +646,67 @@ def test_fit_multiscale_abort_stops_ladder():
     assert res.scene.config.size == 12  # caller's size restored
 
 
+@pytest.mark.slow
+def test_fit_joint_recovers_pose_and_params(fixtures_dir):
+    """fit_joint: UNKNOWN camera AND unknown strength — the alternating
+    pose-ladder / parameter-block descent recovers both (VERDICT r2 #6's
+    workflow at test scale)."""
+    from gamer_tpu.engine.render import render_scene
+
+    g = gax.load(fixtures_dir / "Spiral.gax")
+    truth_cam = (0.5, 0.0, 0.0)
+    truth_strength = g.components[1].strength
+
+    target = render_scene(_scene(g, 16))
+    start = _scene(g, 16)
+    start_cam = (0.54, 0.02, -0.02)
+    start.camera = gamer_tpu.CameraParams(camera=start_cam, target=(0, 0, 0),
+                                          up=(0, 1, 0), fov=90.0)
+    start.instances[0].galaxy.components[1].strength = truth_strength * 1.8
+
+    res = gfit.fit_joint(start, target, ("strength",), rounds=2,
+                         pose_steps=20, scene_steps=30,
+                         pose_schedule=((3, 2),), march="frozen")
+    assert set(res.params) == {"pose", "scene"}
+    assert res.fit_fields == ("camera", "strength")
+    err0 = float(np.linalg.norm(np.array(start_cam) - np.array(truth_cam)))
+    err1 = float(np.linalg.norm(
+        np.array(res.scene.camera.camera) - np.array(truth_cam)))
+    assert err1 < 0.6 * err0, f"position error {err0:.4f} -> {err1:.4f}"
+    s_fit = res.scene.instances[0].galaxy.components[1].strength
+    rel0 = abs(1.8 - 1.0)
+    rel1 = abs(s_fit / truth_strength - 1.0)
+    assert rel1 < 0.6 * rel0, f"strength error {rel0:.3f} -> {rel1:.3f}"
+    assert min(res.losses) < res.losses[0]
+
+
+def test_fit_joint_validation_and_abort():
+    """rounds must be >= 1; a False from on_step stops the whole
+    alternation (no later block starts)."""
+    from gamer_tpu.engine.render import render_scene
+
+    scene = _scene(default_galaxy(), 12)
+    target = render_scene(scene)
+    with pytest.raises(ValueError, match="rounds"):
+        gfit.fit_joint(scene, target, ("strength",), rounds=0)
+
+    seen = []
+
+    def on_step(i, loss):
+        seen.append(i)
+        return i < 1  # stop inside the first pose block
+
+    res = gfit.fit_joint(scene, target, ("strength",), rounds=2,
+                         pose_steps=3, scene_steps=3,
+                         pose_schedule=((3, 2),), march="tensor",
+                         on_step=on_step)
+    assert seen[:2] == [0, 1]
+    # the first pose rung ran <= 2 loop steps (+ its final eval); neither
+    # the scene block nor round 2 started
+    assert len(res.losses) <= 4
+    assert res.params["scene"] is None
+
+
 def test_fit_scene_batch_rejects_mismatched_config():
     import copy
     import dataclasses

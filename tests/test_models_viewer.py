@@ -195,3 +195,129 @@ def test_viewer_editor_endpoints():
         assert len(json.loads(u(f"/params?galaxy={g}"))["components"]) == n0
     finally:
         httpd.shutdown()
+
+
+def test_viewer_page_wiring():
+    """Editor front-end smoke test (no browser ships in this environment,
+    so this gates the page at the HTTP/source level): every endpoint the
+    page JS references answers, every onclick/onchange handler is a
+    function the page defines, and the page's edit->preview flow (what the
+    onchange handlers do) changes the preview bytes."""
+    import re
+
+    from gamer_tpu.viewer import serve
+
+    httpd = serve(port=8768, size=12, poll=False)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        time.sleep(0.2)
+        base = "http://127.0.0.1:8768"
+        u = lambda p: urllib.request.urlopen(base + p).read()
+        page = u("/").decode()
+        assert "<select id=gsel" in page and 'img id=v' in page
+        # the reference GUI's tabs (mainwindow.ui; Rendering and
+        # PostProcessing share one panel here)
+        for tabname in ("Galaxy", "Components", "Spectra", "Rendering"):
+            assert tabname.lower() in page.lower(), tabname
+
+        # every handler wired into the DOM exists in the page's script
+        handlers = set(re.findall(r"on(?:click|change|input)=\"(\w+)\(", page))
+        assert handlers, "no DOM handlers found"
+        for fn in handlers:
+            assert re.search(rf"function {fn}\(|async function {fn}\(",
+                             page), f"onclick references undefined {fn}()"
+
+        # every endpoint path the JS fetches is served (answers non-404
+        # given valid default args)
+        paths = set(re.findall(r"['\"](/[a-z]+)\?", page))
+        assert {"/render", "/params", "/set", "/setcfg", "/save",
+                "/newgalaxy", "/clonegalaxy", "/delgalaxy"} <= paths
+        names = json.loads(u("/galaxies"))
+        g = names[0]
+        args = {"/render": f"galaxy={g}", "/params": f"galaxy={g}",
+                "/set": f"galaxy={g}&comp=0&field=strength&value=5",
+                "/addcomp": f"galaxy={g}&class=disk",
+                "/delcomp": f"galaxy={g}&comp=0",
+                "/clonecomp": f"galaxy={g}&comp=0",
+                "/setspectrum": "name=T&value=1,1,1",
+                "/delspectrum": "name=T",
+                "/setcfg": "field=exposure&value=1.0",
+                "/save": f"galaxy={g}",
+                "/newgalaxy": "name=WireNew",
+                "/clonegalaxy": f"galaxy={g}&name=WireCopy",
+                "/delgalaxy": "galaxy=WireCopy",
+                "/fullrender": f"galaxy={g}&size=12",
+                "/skybox": f"galaxy={g}&size=8",
+                "/reset": f"galaxy={g}"}
+        for p in paths:
+            if p == "/upload":
+                continue  # POST; covered in test_viewer_editor_endpoints
+            assert p in args, f"page references untested endpoint {p}"
+        for p, a in args.items():  # dict order: set* before del*
+            if p in paths:
+                u(f"{p}?{a}")  # raises on any non-2xx
+
+        # the edit->preview flow the onchange handlers perform
+        before = u(f"/render?galaxy={g}&h=0&v=20")
+        u(f"/set?galaxy={g}&comp=0&field=strength&value=400")
+        after = u(f"/render?galaxy={g}&h=0&v=20")
+        assert after != before, "edited preview did not change"
+        u(f"/reset?galaxy={g}")
+    finally:
+        httpd.shutdown()
+
+
+def test_viewer_galaxy_library_ops():
+    """Library management — new/clone/delete galaxy (the GUI's library
+    list, mainwindow.cpp:846-927)."""
+    from gamer_tpu.viewer import serve
+
+    httpd = serve(port=8766, size=12, poll=False)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        time.sleep(0.2)
+        base = "http://127.0.0.1:8766"
+        u = lambda p: urllib.request.urlopen(base + p).read()
+        names = json.loads(u("/galaxies"))
+        g = names[0]
+
+        # new galaxy from the default template (galaxy.cpp:111-154)
+        assert json.loads(u("/newgalaxy?name=Fresh"))["galaxy"] == "Fresh"
+        p = json.loads(u("/params?galaxy=Fresh"))
+        assert p["display_name"] == "Fresh"
+        assert len(p["components"]) == 3  # default 3-component template
+        assert u("/render?galaxy=Fresh")[:4] == b"\x89PNG"
+
+        # clone carries the source's LIVE edits
+        json.loads(u(f"/set?galaxy={g}&comp=0&field=strength&value=77"))
+        got = json.loads(u(f"/clonegalaxy?galaxy={g}&name=Copy1"))["galaxy"]
+        assert got == "Copy1"
+        cp = json.loads(u("/params?galaxy=Copy1"))
+        assert cp["components"][0]["strength"] == 77.0
+        assert cp["display_name"] == "Copy1"
+        # empty name auto-suffixes
+        auto = json.loads(u(f"/clonegalaxy?galaxy={g}"))["galaxy"]
+        assert auto.startswith(f"{g}_copy")
+        # the source's edit state is independent of the clone's
+        json.loads(u("/set?galaxy=Copy1&comp=0&field=strength&value=11"))
+        assert json.loads(
+            u(f"/params?galaxy={g}"))["components"][0]["strength"] == 77.0
+
+        # delete removes from the library; its edits die with it
+        json.loads(u("/delgalaxy?galaxy=Copy1"))
+        assert "Copy1" not in json.loads(u("/galaxies"))
+
+        # validation: duplicates, unknowns, empty names, last-galaxy guard
+        for path in ("/newgalaxy?name=Fresh",          # duplicate
+                     "/newgalaxy?name=",               # empty
+                     f"/clonegalaxy?galaxy={g}&name=Fresh",  # duplicate
+                     "/delgalaxy?galaxy=NoSuch",
+                     "/clonegalaxy?galaxy=NoSuch"):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(base + path).read()
+            assert 400 <= ei.value.code < 500, path
+        json.loads(u(f"/reset?galaxy={g}"))
+    finally:
+        httpd.shutdown()

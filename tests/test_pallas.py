@@ -84,6 +84,41 @@ def test_pallas_render_matches_xla(fixtures_dir):
     assert (d.max(-1) > 0).mean() < 0.05
 
 
+def test_windowed_march_bit_equal(fixtures_dir):
+    """MARCH_WINDOW=1 (three-phase march with conservative per-ray support
+    windows; measured neutral, kept as a perf knob — docs/PERF.md) must be
+    BIT-equal to the default single-loop march: the phases run the same f32
+    recurrence and the cheap bodies only skip work the triggers prove dead.
+    Gated with and without a bulge (the bulge rides the cheap phases)."""
+    import copy
+
+    from gamer_tpu.engine import pallas_render as pr
+
+    g = gax.load(fixtures_dir / "Spiral.gax")
+    g2 = copy.deepcopy(g)
+    for c in g2.components:
+        if c.class_name == "bulge":
+            c.active = 0
+    for galaxy in (g, g2):
+        scene = gamer_tpu.Scene(
+            camera=gamer_tpu.CameraParams(camera=(0.5, 0, 0), target=(0, 0, 0),
+                                          up=(0, 1, 0), fov=90.0),
+            instances=[gamer_tpu.GalaxyInstance(galaxy=galaxy)],
+            config=gamer_tpu.RenderConfig(size=16, ray_step=0.025),
+        )
+        try:
+            pr.MARCH_WINDOW = 0
+            pr._compiled.cache_clear()
+            base = pr.render_scene_pallas(scene)
+            pr.MARCH_WINDOW = 1
+            pr._compiled.cache_clear()
+            windowed = pr.render_scene_pallas(scene)
+        finally:
+            pr.MARCH_WINDOW = 0
+            pr._compiled.cache_clear()
+        np.testing.assert_array_equal(windowed, base)
+
+
 def test_pallas_device_out(fixtures_dir):
     """device_out=True returns the same frame as the numpy path, but as a
     device array (no host download inside the render)."""

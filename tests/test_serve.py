@@ -330,6 +330,52 @@ def test_fit_job(vortex_scene):
         svc.stop()
 
 
+def test_fit_joint_job(vortex_scene):
+    """pose="joint" fits camera AND parameters in one service job; bad
+    joint requests 400 at submission."""
+    import copy
+
+    from gamer_tpu.engine.render import render_scene
+
+    target_img = render_scene(vortex_scene)
+    start = copy.deepcopy(vortex_scene)
+    start.camera = gamer_tpu.CameraParams(camera=(0.52, 0.01, 0.0),
+                                          target=(0, 0, 0), up=(0, 1, 0),
+                                          fov=90.0)
+    start.instances[0].galaxy.components[0].strength *= 0.6
+
+    svc = RenderService()
+    try:
+        jid = svc.submit_fit(start, target_img, ("strength",), steps=2,
+                             lr=5e-2, pose="joint", march="frozen",
+                             rounds=1, pose_steps=1)
+        job = svc.wait(jid, timeout=900)
+        assert job.state == DONE, job.error
+        res = job.fit_result
+        assert res["fit_fields"] == ["camera", "strength"]
+        assert "pose" in res and "camera" in res["pose"]
+        assert len(res["losses"]) > 0
+        assert job.image.shape == (16, 16, 3)
+        # submission-time validation (400 before worker time)
+        with pytest.raises(ValueError, match="multiscale"):
+            svc.submit_fit(start, target_img, ("strength",), steps=1,
+                           pose="joint", multiscale=True)
+        with pytest.raises(ValueError, match="rounds"):
+            svc.submit_fit(start, target_img, ("strength",), steps=1,
+                           pose="joint", rounds=0)
+        with pytest.raises(ValueError, match="pose"):
+            svc.submit_fit(start, target_img, ("strength",), steps=1,
+                           pose="maybe")
+        with pytest.raises(ValueError, match="unknown fit fields"):
+            svc.submit_fit(start, target_img, ("camera",), steps=1,
+                           pose="joint")
+        with pytest.raises(ValueError, match="frozen"):
+            svc.submit_fit(start, target_img, ("scale",), steps=1,
+                           pose="joint", march="frozen")
+    finally:
+        svc.stop()
+
+
 def test_queue_backpressure(vortex_scene):
     from gamer_tpu.serve import QueueFull
 
