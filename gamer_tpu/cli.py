@@ -75,19 +75,13 @@ Commands:
 
 
 def _xla_unsafe(size: int, backend: str = None) -> bool:
-    """True when the lockstep XLA march should not run: its whole-image
-    gathers inside the while loop crash the TPU worker at >=256^2 frames
-    (docs/ARCHITECTURE.md) and poison the client process. The CLI fails
-    over to the Pallas kernel instead of letting a documented invocation
-    take the process down."""
-    if backend is None:
-        try:
-            import jax
+    """True when the lockstep XLA march should not run (see
+    engine.render.xla_march_unsafe — the library guard). The CLI fails
+    over to the Pallas kernel instead of erroring, keeping documented
+    reference invocations working on TPU hardware."""
+    from .engine.render import xla_march_unsafe
 
-            backend = jax.default_backend()
-        except Exception:  # noqa: BLE001 - no backend -> nothing to protect
-            return False
-    return backend == "tpu" and size >= 256
+    return xla_march_unsafe(size, backend)
 
 
 def _progress_printer(t0: float):

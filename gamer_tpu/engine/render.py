@@ -465,10 +465,41 @@ def render_frame_ss(static: SceneStatic, size: int, ss: int, params, camera,
 _render_ss_jit = functools.partial(jax.jit, static_argnums=(0, 1, 2))(render_frame_ss)
 
 
-def render_scene(scene: Scene, dtype=jnp.float32, return_linear: bool = False):
+def xla_march_unsafe(size: int, backend: str = None) -> bool:
+    """True when the lockstep XLA march must not run on the current
+    backend: its whole-image gathers inside the while loop crash the TPU
+    worker at >=256^2 frames (docs/ARCHITECTURE.md) and poison the whole
+    client process. The XLA path is the CPU-testable conformance
+    reference; on TPU hardware the production path is the Pallas kernel
+    (engine/pallas_render.render_scene_pallas)."""
+    if size < 256:
+        return False
+    if backend is None:
+        try:
+            backend = jax.default_backend()
+        except Exception:  # noqa: BLE001 - no backend -> nothing to protect
+            return False
+    return backend == "tpu"
+
+
+def render_scene(scene: Scene, dtype=jnp.float32, return_linear: bool = False,
+                 unsafe_large_ok: bool = False):
     """Render a Scene with the XLA path. Returns a (size, size, 3) uint8
-    numpy array (and optionally the linear radiance buffer)."""
+    numpy array (and optionally the linear radiance buffer).
+
+    On a TPU backend frames >=256^2 raise instead of rendering (the known
+    whole-image-gather crash — see xla_march_unsafe); use
+    render_scene_pallas there, or pass ``unsafe_large_ok=True`` to bypass
+    the guard deliberately (e.g. against a future runtime)."""
     cfg = scene.config
+    if not unsafe_large_ok and xla_march_unsafe(cfg.size):
+        raise RuntimeError(
+            f"render_scene (the lockstep XLA march) at {cfg.size}^2 on the "
+            "TPU backend crashes the TPU runtime (whole-image gathers in "
+            "the march while-loop, docs/ARCHITECTURE.md) and poisons the "
+            "client process. Use engine.pallas_render.render_scene_pallas "
+            "— the production TPU path — or a size < 256 here; pass "
+            "unsafe_large_ok=True to bypass this guard deliberately.")
     static, params = flatten_scene(scene, dtype)
     camera = np.asarray(scene.camera.camera, dtype)
     inv_vp = cam_ops.inv_view_projection_host(

@@ -309,6 +309,30 @@ def test_alternative_noise_backends(points):
     assert abs(v - iq_ref(0.7, -1.3, 2.2)) < 1e-12
 
 
+def test_render_scene_tpu_guard(fixtures_dir):
+    """The library-layer guard: render_scene refuses >=256^2 frames on a
+    TPU backend (the whole-image-gather crash poisons the client process)
+    instead of taking the process down; unsafe_large_ok bypasses, small
+    frames and non-TPU backends are untouched."""
+    from gamer_tpu.engine import render as er
+
+    g = gax.load(fixtures_dir / "Spiral.gax")
+    big = _scene(g, size=256)
+    small = _scene(g, size=16)
+    assert er.xla_march_unsafe(256, "tpu")
+    assert not er.xla_march_unsafe(255, "tpu")
+    assert not er.xla_march_unsafe(4096, "cpu")
+    orig = er.jax.default_backend
+    er.jax.default_backend = lambda: "tpu"
+    try:
+        with pytest.raises(RuntimeError, match="render_scene_pallas"):
+            er.render_scene(big)
+    finally:
+        er.jax.default_backend = orig
+    # CPU backend renders the same scene (tiny here to keep it fast)
+    assert er.render_scene(small).shape == (16, 16, 3)
+
+
 def test_progressive_abort(fixtures_dir):
     """Cooperative abort between chunks (Rasterizer::Abort analog)."""
     from gamer_tpu.engine.queue import render_progressive
@@ -342,12 +366,25 @@ ALL_FIXTURES = ["Spiral", "Sombrero", "SB0", "Irregular", "Irregular2",
                 "RedBar", "TonsOfArms", "VortexCloud", "WheelGalaxy"]
 
 
+# The Pallas leg of the chain runs on a COVERING SUBSET, not all 9: on the
+# CPU backend the kernel executes in interpret mode, whose cost is tracing
+# the per-STRUCTURE program (~39 s trace + ~11 s run per fixture, measured
+# size-INVARIANT: WheelGalaxy 50.3 s at 24^2 vs 50.1 s at 16^2 — shrinking
+# the frame, the natural lever, buys nothing). Parameter values don't change
+# the compiled code path, so kernel-vs-XLA equivalence needs each component
+# CLASS and the widest structure, which three fixtures give: Spiral (the
+# canonical preset), RedBar (the only fixture with an active 'dust'),
+# Irregular2 (8 components, the deepest structure). The spec gate
+# (oracle -> XLA) stays on all 9 — it is cheap and parameter-sensitive.
+PALLAS_CHAIN_FIXTURES = ("Spiral", "RedBar", "Irregular2")
+
+
 @pytest.mark.parametrize("fixture", ALL_FIXTURES)
 def test_conformance_chain_all_fixtures(fixtures_dir, fixture):
-    """The full conformance chain on EVERY bundled fixture at 24^2 (the
+    """The conformance chain on EVERY bundled fixture at 24^2 (the
     reference harness fans over all 9: tools/galaxy_repro.py:1120-1138):
-    oracle -> XLA <=1 uint8 LSB, XLA -> Pallas <=2 uint8 LSB."""
-    from gamer_tpu.engine.pallas_render import render_scene_pallas
+    oracle -> XLA <=1 uint8 LSB on all 9; XLA -> Pallas <=2 uint8 LSB on
+    the class-covering subset (see PALLAS_CHAIN_FIXTURES)."""
     from gamer_tpu.engine.render import render_scene
 
     g = gax.load(fixtures_dir / f"{fixture}.gax")
@@ -358,10 +395,14 @@ def test_conformance_chain_all_fixtures(fixtures_dir, fixture):
     assert d.max() <= 1, f"{fixture}: XLA vs oracle max diff {d.max()}"
     assert (d.max(-1) > 0).mean() < 0.05, f"{fixture}: XLA mismatch fraction"
 
-    pallas = render_scene_pallas(scene)
-    dp = np.abs(pallas.astype(np.int16) - xla.astype(np.int16))
-    assert dp.max() <= 2, f"{fixture}: Pallas vs XLA max diff {dp.max()}"
-    assert (dp.max(-1) > 0).mean() < 0.10, f"{fixture}: Pallas mismatch fraction"
+    if fixture in PALLAS_CHAIN_FIXTURES:
+        from gamer_tpu.engine.pallas_render import render_scene_pallas
+
+        pallas = render_scene_pallas(scene)
+        dp = np.abs(pallas.astype(np.int16) - xla.astype(np.int16))
+        assert dp.max() <= 2, f"{fixture}: Pallas vs XLA max diff {dp.max()}"
+        assert (dp.max(-1) > 0).mean() < 0.10, \
+            f"{fixture}: Pallas mismatch fraction"
 
 
 def test_skybox_end_to_end_vs_oracle(fixtures_dir):
