@@ -83,17 +83,19 @@ if kernel == "pallas":
 else:
     from gamer_tpu.engine.render import render_scene as render
 img = render(scene)  # compile (cache-hit after the warm pass) + warm
-if mode == "warm":
-    # The warm pass only needs the executable in the persistent cache.
-    print(json.dumps({"ok": True, "size": size, "warmed": True}))
-    sys.exit(0)
 dt = float("inf")
 for _ in range(3):  # best-of-3: the tunneled link adds +-50% noise per call
     t0 = time.perf_counter()
     img = render(scene)
     dt = min(dt, time.perf_counter() - t0)
 import numpy as np
-print(json.dumps({"ok": True, "size": size, "dt": dt,
+# The warm child reports a measurement too: the axon tunnel does not
+# reliably serve persistent-cache executables back to a fresh process
+# (measured: a "cached" recompile still took 504 s), so the generous
+# warm budget is sometimes the ONLY budget that fits compile + render —
+# its timing (a few extra seconds of renders) is then the rung's result
+# rather than nothing.
+print(json.dumps({"ok": True, "size": size, "dt": dt, "mode": mode,
                   "checksum": int(np.asarray(img).astype("int64").sum())}))
 """
 
@@ -217,27 +219,39 @@ def main() -> None:
     # attempt is taken once, since one slow-compile hour is exactly the
     # failure mode that wiped r02's headline.
     kernel = "pallas"
+    best = None
+
+    def _record(r, kernel):
+        nonlocal best
+        msps = samples_per_px * r["size"] * r["size"] / r["dt"] / 1e6
+        if best is None or msps > best["msps"]:
+            best = {"msps": msps, "size": r["size"], "dt": r["dt"],
+                    "kernel": kernel}
+
+    # The warm children measure too (see _CHILD_SNIPPET): when the tunnel
+    # refuses cache-served executables, the generous warm budget is the
+    # only one that fits compile + render, and its timing IS the rung.
     warmed = set()
     for size in warm_sizes:
         for attempt in range(2):
             r = _run_child(size, kernel, 580, "warm")
             if r and r.get("ok"):
                 warmed.add(size)
+                _record(r, kernel)
                 break
         if size not in warmed:
             print(f"bench: warm pass gave up on {size}", file=sys.stderr)
 
-    best = None
     for kernel in ("pallas", "xla"):
         successes = 0
         for size, budget in ladder:
+            if size in warmed and kernel == "pallas":
+                successes += 1  # the warm child already measured this rung
+                continue
             r = _try_size(size, kernel, budget, force_cpu=force_cpu,
                           retries=1 if not on_cpu else 0)
             if r and r.get("ok"):
-                msps = samples_per_px * size * size / r["dt"] / 1e6
-                if best is None or msps > best["msps"]:
-                    best = {"msps": msps, "size": size, "dt": r["dt"],
-                            "kernel": kernel}
+                _record(r, kernel)
                 successes += 1
                 # Sample the two largest working sizes and keep the best
                 # throughput: bigger frames amortize fixed dispatch cost,
