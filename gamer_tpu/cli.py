@@ -61,7 +61,7 @@ Commands:
        fastest and most accurate gradients when fields don't feed the noise)
    fitpose <camera x y z> <target x y z> <up x y z> <fov> <exposure> <gamma>
        <saturation> <ray step> <gax file> <target image> <out scene.json>
-       [steps=80] [lr=0.01] [noise LOD=3 | multiscale] [ckpt=FILE]
+       [steps=80] [lr=0.01] [noise LOD=3 | multiscale | fd] [ckpt=FILE]
    fitjoint <camera x y z> <target x y z> <up x y z> <fov> <exposure> <gamma>
        <saturation> <ray step> <gax file> <target image> <out scene.json>
        [rounds=2] [posesteps=30] [scenesteps=60] [fields=strength,r0,z0]
@@ -536,7 +536,8 @@ def cmd_fitpose(argv) -> int:
     lr = float(argv[19]) if len(argv) > 19 else 1e-2
     lod_arg = argv[20] if len(argv) > 20 else "3"
     multiscale = lod_arg.lower() == "multiscale"
-    lod = 3 if multiscale else int(lod_arg)
+    use_fd = lod_arg.lower() == "fd"
+    lod = 3 if multiscale or use_fd else int(lod_arg)
     if steps < 1:
         print("fitpose: steps must be >= 1")
         return 1
@@ -552,9 +553,25 @@ def cmd_fitpose(argv) -> int:
         config=RenderConfig(size=target.shape[0], ray_step=vals[13],
                             exposure=vals[10], gamma=vals[11],
                             saturation=vals[12], is_preview=True,
-                            noise_octaves=None if multiscale else lod),
+                            noise_octaves=None if multiscale or use_fd
+                            else lod),
     )
-    if multiscale:
+    if use_fd:
+        # finite-difference probes through the production kernel: full
+        # octaves, no LOD ladder (fit_pose_fd docstring)
+        from .engine.fit import fit_pose_fd
+
+        print(f"Refining camera pose toward {target_file} "
+              f"({steps} FD steps at full quality, lr {lr}) ...")
+        t0 = time.perf_counter()
+
+        def on_step(i, loss):
+            print(f"\r[ step {i + 1}/{steps} ]  loss {loss:.6f} ",
+                  end="", flush=True)
+
+        result = fit_pose_fd(scene, target, ("camera",), steps=steps,
+                             lr=lr, on_step=on_step, checkpoint_path=ckpt)
+    elif multiscale:
         from .engine.fit import DEFAULT_POSE_SCHEDULE, fit_pose_multiscale
 
         total = steps * len(DEFAULT_POSE_SCHEDULE)

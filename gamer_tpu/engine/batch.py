@@ -142,14 +142,15 @@ def _render_group(static, sp_rows: np.ndarray, size: int, ss: int,
     return run_sharded(sp_rows)[:B]
 
 
-def render_batch(scenes: Sequence[Scene], mesh: Optional[Mesh] = None) -> np.ndarray:
-    """Render B scenes (same size/supersample) -> (B, S, S, 3) uint8.
+def render_batch_linear(scenes: Sequence[Scene],
+                        mesh: Optional[Mesh] = None):
+    """Linear radiance of B scenes -> (B, S, S, 3) float32 ON DEVICE.
 
-    Scenes are grouped by component structure — one launch per group — so
-    mixed-structure batches and depth-order flips across a fly-through both
-    work (each frame composites its instances in ITS camera's far->near
-    order). With a mesh, each group's batch axis is sharded across the
-    mesh's devices (uneven groups are padded to the mesh divisor).
+    The shared front half of render_batch: one production-kernel launch
+    per structure group, supersample pooled in linear space, NO star
+    overlay and NO post chain. This is also the batched forward model of
+    fit_pose_fd — 2K+1 probe poses around the current camera render at
+    full production quality in one dispatch.
     """
     size = scenes[0].config.size
     ss = scenes[0].config.supersample
@@ -161,15 +162,28 @@ def render_batch(scenes: Sequence[Scene], mesh: Optional[Mesh] = None) -> np.nda
     groups = _scene_groups(scenes)
 
     if len(groups) == 1:
-        linear = _render_group(groups[0][0], groups[0][1], size, ss, mesh)
-    else:
-        linear = None
-        for static, sp_rows, idx in groups:
-            lin_g = _render_group(static, sp_rows, size, ss, mesh)
-            if linear is None:
-                linear = jnp.zeros((len(scenes),) + tuple(lin_g.shape[1:]),
-                                   lin_g.dtype)
-            linear = linear.at[jnp.asarray(idx)].set(lin_g)
+        return _render_group(groups[0][0], groups[0][1], size, ss, mesh)
+    linear = None
+    for static, sp_rows, idx in groups:
+        lin_g = _render_group(static, sp_rows, size, ss, mesh)
+        if linear is None:
+            linear = jnp.zeros((len(scenes),) + tuple(lin_g.shape[1:]),
+                               lin_g.dtype)
+        linear = linear.at[jnp.asarray(idx)].set(lin_g)
+    return linear
+
+
+def render_batch(scenes: Sequence[Scene], mesh: Optional[Mesh] = None) -> np.ndarray:
+    """Render B scenes (same size/supersample) -> (B, S, S, 3) uint8.
+
+    Scenes are grouped by component structure — one launch per group — so
+    mixed-structure batches and depth-order flips across a fly-through both
+    work (each frame composites its instances in ITS camera's far->near
+    order). With a mesh, each group's batch axis is sharded across the
+    mesh's devices (uneven groups are padded to the mesh divisor).
+    """
+    size = scenes[0].config.size
+    linear = render_batch_linear(scenes, mesh)
 
     # post chain per frame (exposure/gamma/saturation may differ per scene),
     # vmapped ON DEVICE: only the final uint8 frames are transferred. Star

@@ -54,7 +54,7 @@ import numpy as np
 
 from ..oracle import qtmath as qm
 from ..ops import camera as cam_ops
-from ..scene.schema import Scene
+from ..scene.schema import CameraParams, Scene
 from .diff import post_process_float, render_rays_diff, step_bound_for_scene
 from .scene_prep import COMP_FIELDS, flatten_scene
 
@@ -1164,6 +1164,239 @@ def fit_pose(
     new_scene.camera.target = tuple(float(v) for v in fitted_pose["target"])
     new_scene.camera.fov = float(fitted_pose["fov"])
     return FitResult(scene=new_scene, params=fitted_pose, losses=losses,
+                     fit_fields=tuple(fit_fields))
+
+
+def fit_pose_fd(
+    scene: Scene,
+    target_image,
+    fit_fields: Sequence[str] = ("camera",),
+    *,
+    steps: int = 60,
+    lr: float = 1e-2,
+    eps: float = 1.0,
+    on_step: Optional[Callable[[int, float], None]] = None,
+    normalize: bool = True,
+    pool: int = 1,
+    mesh=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 10,
+) -> FitResult:
+    """Pose refinement by central differences through the PRODUCTION kernel.
+
+    fit_pose differentiates the march in reverse mode, which is exact but
+    (a) needs a noise LOD — full-octave simplex decorrelates under
+    sub-pixel camera moves, so the infinitesimal pose gradient is noise —
+    and (b) pays the differentiable march (seconds per step at exact
+    quality). This variant descends the SECANT gradient instead: every
+    fitted pose scalar is probed at ±eps where eps defaults to ONE PIXEL
+    of image motion (``eps`` scales it) — far above the noise correlation
+    length, so the probe difference reads the structure-alignment slope of
+    the loss basin rather than the noise. That makes it stable at FULL
+    octaves with no LOD ladder, and it needs no differentiable march at
+    all: the 2K+1 probe frames render as ONE batched launch of the
+    production Pallas kernel per step (engine/batch.render_batch_linear),
+    so a 128² camera-only step is a 7-frame batch — the same executable
+    every step.
+
+    The optimizer is host-side Adam on the K pose scalars with the same
+    relative stepping as ``_optimize`` (eager device ops on K scalars
+    would pay a tunnel round trip each). ``mesh`` batch-shards the probe
+    frames. Checkpoints resume exactly (the host optimizer moments are in
+    the file). The trade vs fit_pose: two loss evaluations per degree of
+    freedom per step instead of one reverse sweep — a win while K is
+    small (pose K ≤ 7) and each evaluation is a production-kernel frame.
+
+    No reference analog (the reference has no camera estimation at all);
+    the probe-batch shape is the TPU-native replacement for its
+    interactive orbit (mainwindow.cpp camera tab).
+    """
+    import dataclasses
+    import math
+
+    from .batch import render_batch_linear
+
+    wanted = set(fit_fields)
+    unknown = wanted - set(POSE_FITTABLE)
+    if unknown:
+        raise ValueError(
+            f"unknown pose fields {sorted(unknown)}; fittable: {POSE_FITTABLE}"
+        )
+
+    target = np.asarray(target_image, np.float32) / 255.0
+    size = target.shape[0]
+    if target.shape != (size, size, 3) or size != scene.config.size:
+        raise ValueError(
+            f"target must be ({scene.config.size}, {scene.config.size}, 3), "
+            f"got {target.shape}"
+        )
+    if pool < 1 or size % pool != 0:
+        raise ValueError(f"pool {pool} must divide the size {size}")
+
+    cfg = scene.config
+    # all persisted state is float32: _ckpt_load round-trips f32 exactly,
+    # so a resumed run replays the uninterrupted trajectory bitwise (the
+    # per-step update math may promote internally — it is a deterministic
+    # function of the f32 state either way)
+    pose = {
+        "camera": np.asarray(scene.camera.camera, np.float32),
+        "target": np.asarray(scene.camera.target, np.float32),
+        "fov": np.asarray(float(scene.camera.fov), np.float32),
+    }
+    # fixed probe order: the checkpoint fingerprint and the FD gradient
+    # layout both key on it
+    dims = [(f_, i) for f_, n in (("camera", 3), ("target", 3), ("fov", 1))
+            if f_ in wanted for i in range(n)]
+    K = len(dims)
+
+    # eps = one pixel of image motion per probe: transverse displacement
+    # dist·(2·tan(fov/2)/size) for position scalars, 2·(2·tan(fov/2)/size)
+    # of field angle for fov (one pixel of edge zoom)
+    dist = float(np.linalg.norm(pose["camera"] - pose["target"]))
+    px_angle = 2.0 * math.tan(math.radians(float(pose["fov"])) / 2.0) / size
+    eps_pos = float(eps) * max(dist, 1e-3) * px_angle
+    eps_fov = float(eps) * math.degrees(2.0 * px_angle)
+
+    def _eps(field_name: str) -> float:
+        return eps_fov if field_name == "fov" else eps_pos
+
+    # target prep mirrors fit_pose's _prep (pool then normalize), host-side
+    tprep = target
+    if pool > 1:
+        o = size // pool
+        tprep = tprep.reshape(o, pool, o, pool, 3).mean(axis=(1, 3))
+    if normalize:
+        tprep = tprep / (tprep.mean() + 1e-6)
+    tprep_j = jnp.asarray(tprep)
+
+    f = jnp.float32
+
+    @jax.jit
+    def losses_of(linear):
+        # (B, S, S, 3) linear -> (B,) MSE vs the prepped target, ON DEVICE:
+        # only 2K+1 scalars cross the link per step
+        img = post_process_float(
+            linear, f(cfg.exposure), f(cfg.gamma), f(cfg.saturation)
+        ) / 255.0
+        if pool > 1:
+            o = size // pool
+            img = img.reshape(-1, o, pool, o, pool, 3).mean(axis=(2, 4))
+        if normalize:
+            img = img / (jnp.mean(img, axis=(1, 2, 3), keepdims=True) + 1e-6)
+        return jnp.mean((img - tprep_j) ** 2, axis=(1, 2, 3))
+
+    def probe_scenes(p):
+        cams = [p]
+        for field_name, i in dims:
+            for sgn in (1.0, -1.0):
+                q = {k: v.copy() for k, v in p.items()}
+                if field_name == "fov":
+                    q["fov"] = q["fov"] + sgn * eps_fov
+                else:
+                    q[field_name][i] += sgn * eps_pos
+                cams.append(q)
+        return [dataclasses.replace(scene, camera=CameraParams(
+            camera=tuple(float(v) for v in q["camera"]),
+            target=tuple(float(v) for v in q["target"]),
+            up=scene.camera.up, fov=float(q["fov"]))) for q in cams]
+
+    def project(p):
+        if "fov" in wanted:
+            p["fov"] = np.asarray(np.clip(p["fov"], 5.0, 170.0), np.float32)
+        return p
+
+    def _theta(p):
+        return np.array([float(p[f_]) if f_ == "fov" else p[f_][i]
+                         for f_, i in dims], np.float64)
+
+    # host Adam with _optimize's relative stepping (lr = per-step relative
+    # change; pose scalars span ~0.01..90)
+    rel = np.maximum(np.abs(_theta(pose)), 0.1)
+    m = np.zeros(K, np.float32)
+    v = np.zeros(K, np.float32)
+    t = 0
+    b1, b2, aeps = 0.9, 0.999, 1e-8
+
+    _, gal_params = flatten_scene(scene)
+    fingerprint = _fit_fingerprint(
+        "posefd", fit_fields, lr, "fd", size,
+        {"pose": pose, "galaxy": gal_params}, target,
+        extra=(f"pool{pool}|norm{int(normalize)}"
+               f"|eps{eps_pos:g},{eps_fov:g}|ss{cfg.supersample}"),
+        aux=(scene.camera.up, cfg.ray_step, cfg.min_ray_step,
+             cfg.exposure, cfg.gamma, cfg.saturation))
+
+    losses: List[float] = []
+    best_loss = np.inf
+    best_pose = {k: np.asarray(v_).copy() for k, v_ in pose.items()}
+    start = 0
+    if checkpoint_path:
+        resumed = _ckpt_load(checkpoint_path, fingerprint, pose,
+                             {"m": m, "t": np.int64(t), "v": v}, best_pose)
+        if resumed is not None:
+            start, pose_j, opt_j, losses, bl, best_j = resumed
+            # np.array, not asarray: a numpy view of a jax array is
+            # read-only, and the loop writes pose[field][i] in place
+            pose = {k: np.array(v_, np.float32) for k, v_ in pose_j.items()}
+            m = np.array(opt_j["m"], np.float32)
+            v = np.array(opt_j["v"], np.float32)
+            t = int(opt_j["t"])
+            best_loss = float(bl)
+            best_pose = {k: np.array(v_, np.float32)
+                         for k, v_ in best_j.items()}
+            if start > steps:
+                raise ValueError(
+                    f"checkpoint {checkpoint_path} already holds {start} "
+                    f"steps but only {steps} were requested — increase "
+                    f"steps to extend the run, or delete the checkpoint "
+                    f"to start over")
+
+    aborted = False
+    for i in range(start, steps):
+        L = np.asarray(losses_of(render_batch_linear(probe_scenes(pose),
+                                                     mesh=mesh)), np.float64)
+        losses.append(float(L[0]))
+        if L[0] < best_loss:
+            best_loss = float(L[0])
+            best_pose = {k: v_.copy() for k, v_ in pose.items()}
+        g = np.array([(L[1 + 2 * k] - L[2 + 2 * k]) / (2.0 * _eps(dims[k][0]))
+                      for k in range(K)])
+        g = np.nan_to_num(g)
+        t += 1
+        m = (b1 * m + (1 - b1) * g).astype(np.float32)
+        v = (b2 * v + (1 - b2) * g * g).astype(np.float32)
+        upd = lr * (m / (1 - b1 ** t)) / (np.sqrt(v / (1 - b2 ** t)) + aeps)
+        theta = _theta(pose) - upd * rel
+        for k, (f_, ax) in enumerate(dims):
+            if f_ == "fov":
+                pose["fov"] = np.asarray(theta[k], np.float32)
+            else:
+                pose[f_][ax] = np.float32(theta[k])
+        pose = project(pose)
+        if checkpoint_path and ((i + 1) % max(1, checkpoint_every) == 0
+                                or i + 1 == steps):
+            _ckpt_save(checkpoint_path, fingerprint, i + 1, pose,
+                       {"m": m, "t": np.int64(t), "v": v}, losses,
+                       best_loss, best_pose)
+        if on_step is not None and on_step(i, losses[-1]) is False:
+            aborted = True
+            break
+    if not aborted:
+        # the final iterate's loss was never seen by the loop (same B
+        # launch — a 1-frame eval would compile a second executable)
+        L = np.asarray(losses_of(render_batch_linear(probe_scenes(pose),
+                                                     mesh=mesh)), np.float64)
+        losses.append(float(L[0]))
+        if L[0] < best_loss:
+            best_loss = float(L[0])
+            best_pose = {k: v_.copy() for k, v_ in pose.items()}
+
+    fitted = {k: np.asarray(v_, np.float32) for k, v_ in best_pose.items()}
+    new_scene = copy.deepcopy(scene)
+    new_scene.camera.camera = tuple(float(v_) for v_ in fitted["camera"])
+    new_scene.camera.target = tuple(float(v_) for v_ in fitted["target"])
+    new_scene.camera.fov = float(fitted["fov"])
+    return FitResult(scene=new_scene, params=fitted, losses=losses,
                      fit_fields=tuple(fit_fields))
 
 

@@ -158,6 +158,14 @@ def test_fitpose_command(tmp_path, fixtures_dir):
     fitted = json.loads(out.read_text())
     assert "camera" in fitted and len(fitted["camera"]["camera"]) == 3
 
+    # the finite-difference method token (full quality, production kernel)
+    out_fd = tmp_path / "fitted_scene_fd.json"
+    argv = (["fitpose"] + start +
+            [spiral, str(target) + ".png", str(out_fd), "2", "0.01", "fd"])
+    assert main(argv) == 0
+    fitted = json.loads(out_fd.read_text())
+    assert "camera" in fitted and len(fitted["camera"]["camera"]) == 3
+
 
 def test_xla_unsafe_guard_logic():
     from gamer_tpu.cli import _xla_unsafe

@@ -233,6 +233,69 @@ def test_pose_fit_rejects_unknown_fields():
     with pytest.raises(ValueError, match="unknown pose fields"):
         gfit.fit_pose(scene, np.zeros((16, 16, 3), np.uint8),
                       fit_fields=("up",), steps=1)
+    with pytest.raises(ValueError, match="unknown pose fields"):
+        gfit.fit_pose_fd(scene, np.zeros((16, 16, 3), np.uint8),
+                         fit_fields=("up",), steps=1)
+
+
+@pytest.mark.slow
+def test_fit_pose_fd_full_octaves(fixtures_dir):
+    """fit_pose_fd's selling point: pose descent at EXACT full-octave
+    quality with no LOD ladder. The ±eps probes sit one pixel of image
+    motion apart — far above the noise correlation length that makes the
+    reverse-mode full-octave gradient useless (fit_pose's docstring) — so
+    the secant gradient reads the structure-alignment slope. The forward
+    model is the production batch kernel (2K+1 frames, one launch).
+    Small frame + few steps: full-octave noise in CPU interpret mode is
+    the expensive part; the TPU-scale numbers live in docs/PARITY.md."""
+    g = gax.load(fixtures_dir / "Spiral.gax")
+
+    def pose_scene(cam):
+        s = _scene(g, 12)
+        s.camera = gamer_tpu.CameraParams(camera=cam, target=(0, 0, 0),
+                                          up=(0, 1, 0), fov=90.0)
+        s.config = gamer_tpu.RenderConfig(size=12, ray_step=0.025,
+                                          is_preview=True)
+        return s
+
+    from gamer_tpu.engine.render import render_scene
+
+    target = render_scene(pose_scene((0.5, 0, 0)))  # exact octaves
+    start_cam = (0.53, 0.015, -0.015)
+    res = gfit.fit_pose_fd(pose_scene(start_cam), target, ("camera",),
+                           steps=12, lr=1.5e-2)
+    truth = np.array((0.5, 0.0, 0.0))
+    err0 = float(np.linalg.norm(np.array(start_cam) - truth))
+    err1 = float(np.linalg.norm(np.array(res.scene.camera.camera) - truth))
+    assert err1 < 0.75 * err0, f"position error {err0:.4f} -> {err1:.4f}"
+    assert min(res.losses) < res.losses[0]
+
+
+def test_fit_pose_fd_checkpoint_resume(tmp_path):
+    """Interrupted-at-step-2 + resume replays the uninterrupted 4-step
+    trajectory exactly (the host Adam moments live in the checkpoint)."""
+    scene = _scene(default_galaxy(), 12)
+    scene.config = gamer_tpu.RenderConfig(size=12, ray_step=0.025,
+                                          is_preview=True, noise_octaves=2)
+    from gamer_tpu.engine.render import render_scene
+
+    target = render_scene(scene)
+    import dataclasses
+
+    start = dataclasses.replace(
+        scene, camera=dataclasses.replace(scene.camera,
+                                          camera=(0.52, 0.01, 0.0)))
+    kw = dict(fit_fields=("camera",), lr=1e-2)
+    straight = gfit.fit_pose_fd(start, target, steps=4, **kw)
+    ckpt = str(tmp_path / "posefd.ckpt")
+    gfit.fit_pose_fd(start, target, steps=2, checkpoint_path=ckpt,
+                     checkpoint_every=1, **kw)
+    resumed = gfit.fit_pose_fd(start, target, steps=4, checkpoint_path=ckpt,
+                               checkpoint_every=1, **kw)
+    np.testing.assert_array_equal(np.asarray(resumed.losses),
+                                  np.asarray(straight.losses))
+    np.testing.assert_array_equal(resumed.params["camera"],
+                                  straight.params["camera"])
 
 
 def _ss_scene(size=12, ss=2):
