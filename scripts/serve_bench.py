@@ -39,7 +39,9 @@ def main() -> None:
     from gamer_tpu.scene import gax
     from gamer_tpu.scene.cameracontrols import orbit_path
     from gamer_tpu.serve import RenderService
+    from gamer_tpu.utils.compile_cache import enable_persistent_cache
 
+    enable_persistent_cache()
     galaxy = gax.load("/root/reference/publish/data/galaxies/Spiral.gax")
     scene = gamer_tpu.Scene(
         camera=gamer_tpu.CameraParams(camera=(0.5, 0, 0), target=(0, 0, 0),
@@ -118,7 +120,9 @@ def main_http() -> None:
 
     from gamer_tpu.scene.schema import scene_to_dict
     from gamer_tpu.serve import RenderService, make_handler
+    from gamer_tpu.utils.compile_cache import enable_persistent_cache
 
+    enable_persistent_cache()
     size = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     n_clients = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     per_client = int(sys.argv[4]) if len(sys.argv) > 4 else 8
