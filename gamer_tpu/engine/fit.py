@@ -1596,6 +1596,7 @@ def fit_joint(
     pose_lr: float = 1e-2,
     scene_lr: float = 2e-2,
     pose_schedule: Sequence[Tuple[int, int]] = DEFAULT_POSE_SCHEDULE,
+    pose_method: str = "multiscale",
     march: str = "frozen",
     optimizer=None,
     on_step: Optional[Callable[[int, float], None]] = None,
@@ -1637,12 +1638,22 @@ def fit_joint(
 
     Fields that feed the noise inputs need ``march='tensor'`` (the frozen
     guard raises at block (b), same as fit_scene).
+
+    ``pose_method='fd'`` replaces each pose ladder with ONE fit_pose_fd
+    block (``pose_steps`` finite-difference steps at full quality through
+    the production kernel — no LOD rungs, no differentiable march), the
+    cheaper pose block whenever the camera is within the secant basin
+    (~tens of pixels of image motion).
     """
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if pose_method not in ("multiscale", "fd"):
+        raise ValueError(
+            f"unknown pose_method {pose_method!r}; use 'multiscale' or 'fd'")
     _check_march_fields(march if march != "frozen" else "tensor",
                         scene_fields)  # frozen re-checked per block
-    pose_block = pose_steps * len(pose_schedule)
+    pose_block = (pose_steps * len(pose_schedule)
+                  if pose_method == "multiscale" else pose_steps)
     current = scene
     all_losses: List[float] = []
     pose_params = None
@@ -1663,15 +1674,24 @@ def fit_joint(
         return cb
 
     for r in range(rounds):
-        pres = fit_pose_multiscale(
-            current, target_image, ("camera",), steps=pose_steps,
-            lr=pose_lr, schedule=pose_schedule, optimizer=optimizer,
-            on_step=_block_cb(base), normalize=normalize, march="tensor",
-            mesh=mesh,
-            checkpoint_path=(f"{checkpoint_path}.r{r}.pose"
-                             if checkpoint_path else None),
-            checkpoint_every=checkpoint_every,
-        )
+        pose_ckpt = (f"{checkpoint_path}.r{r}.pose"
+                     if checkpoint_path else None)
+        if pose_method == "fd":
+            pres = fit_pose_fd(
+                current, target_image, ("camera",), steps=pose_steps,
+                lr=pose_lr, on_step=_block_cb(base), normalize=normalize,
+                mesh=mesh, checkpoint_path=pose_ckpt,
+                checkpoint_every=checkpoint_every,
+            )
+        else:
+            pres = fit_pose_multiscale(
+                current, target_image, ("camera",), steps=pose_steps,
+                lr=pose_lr, schedule=pose_schedule, optimizer=optimizer,
+                on_step=_block_cb(base), normalize=normalize, march="tensor",
+                mesh=mesh,
+                checkpoint_path=pose_ckpt,
+                checkpoint_every=checkpoint_every,
+            )
         current = pres.scene
         pose_params = pres.params
         all_losses.extend(pres.losses)

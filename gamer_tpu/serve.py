@@ -34,13 +34,17 @@ so everything the CLI and library can render is servable. Endpoints:
                             -> parameter-space morph animation
   POST   /fit               {"scene": {...}, "target_png": base64,
                             "fields": [...], "steps": N, "lr": x,
-                            "multiscale": bool, "pose": bool|"joint",
-                            "rounds": N,
+                            "multiscale": bool,
+                            "pose": bool|"fd"|"joint", "rounds": N,
+                            "pose_method": "multiscale"|"fd",
                             "march": "tensor"|"scan"|"frozen"} -> inverse
                             rendering: gradient-fit the galaxy (or, with
-                            "pose": true, the camera; with "pose": "joint",
-                            BOTH — "rounds" alternations of a pose ladder
-                            and a parameter block) to the target image.
+                            "pose": true, the camera; "pose": "fd", the
+                            camera by finite differences through the
+                            production kernel; with "pose": "joint",
+                            BOTH — "rounds" alternations of a pose block
+                            ("pose_method") and a parameter block) to the
+                            target image.
                             "frozen" precomputes the noise fields once per
                             fit (fastest steps; fixed-camera fits whose
                             fields don't feed the noise — 400 otherwise).
@@ -263,7 +267,8 @@ class RenderService:
                    steps: int = 100, lr: float = 2e-2,
                    multiscale: bool = False, pose=False,
                    march: str = "tensor", rounds: int = 2,
-                   pose_steps: int = 30) -> int:
+                   pose_steps: int = 30,
+                   pose_method: str = "multiscale") -> int:
         """Queue an inverse-rendering fit: optimize ``fit_fields`` of the
         scene's galaxy until its render matches ``target_image`` (a
         (size, size, 3) uint8 array, or base64-encoded PNG over HTTP) —
@@ -282,7 +287,10 @@ class RenderService:
         (engine/fit.fit_joint — ``rounds`` alternations of a pose ladder
         and a parameter block; ``steps`` is the parameter steps per
         round). The joint mode runs its own LOD ladder, so it takes no
-        ``multiscale``."""
+        ``multiscale``. ``pose="fd"`` fits the camera by finite
+        differences through the production kernel (engine/fit.fit_pose_fd
+        — full quality, no LOD ladder); for joint fits,
+        ``pose_method="fd"`` uses the same for each pose block."""
         import base64
         import io as _io
 
@@ -304,6 +312,11 @@ class RenderService:
         from .engine.fit import FITTABLE_FIELDS, POSE_FITTABLE
 
         joint = pose == "joint"
+        fd = pose == "fd"
+        if pose_method not in ("multiscale", "fd"):
+            raise ValueError(
+                f"pose_method must be 'multiscale' or 'fd', "
+                f"got {pose_method!r}")
         if joint:
             if multiscale:
                 raise ValueError(
@@ -315,9 +328,13 @@ class RenderService:
             if not 1 <= pose_steps <= 10_000:
                 raise ValueError(
                     f"pose_steps must be in [1, 10000], got {pose_steps}")
+        elif fd:
+            if multiscale:
+                raise ValueError(
+                    "pose='fd' needs no LOD ladder; drop 'multiscale'")
         elif not isinstance(pose, bool):
             raise ValueError(
-                f"pose must be true, false or 'joint', got {pose!r}")
+                f"pose must be true, false, 'fd' or 'joint', got {pose!r}")
         if fit_fields is None:
             fit_fields = (("camera",) if pose and not joint
                           else ("strength", "r0", "z0"))
@@ -338,10 +355,12 @@ class RenderService:
                                   fit_fields)
         spec = dict(target=target_image, fit_fields=fit_fields, steps=steps,
                     lr=float(lr), multiscale=bool(multiscale),
-                    pose="joint" if joint else bool(pose), march=march)
+                    pose=("joint" if joint else "fd" if fd else bool(pose)),
+                    march=march)
         if joint:
             spec["rounds"] = rounds
             spec["pose_steps"] = pose_steps
+            spec["pose_method"] = pose_method
         return self._enqueue(Job(id=0, scene=scene, key=("fit", object()),
                                  fit_spec=spec))
 
@@ -653,7 +672,7 @@ class RenderService:
         render of the fitted scene for /image.png."""
         from .engine.fit import (DEFAULT_POSE_SCHEDULE,
                                  DEFAULT_SCENE_SCHEDULE, fit_joint, fit_pose,
-                                 fit_pose_multiscale, fit_scene,
+                                 fit_pose_fd, fit_pose_multiscale, fit_scene,
                                  fit_scene_multiscale, fit_scene_multiview)
         from .engine.pallas_render import render_scene_pallas
         from .scene.schema import scene_to_dict
@@ -662,10 +681,14 @@ class RenderService:
         pose = spec.get("pose", False)
         joint = pose == "joint"
         if joint:
-            # rounds x (pose ladder + parameter block) global step count
+            # rounds x (pose block + parameter block) global step count
             pose_steps = spec.get("pose_steps", 30)
-            total = spec["rounds"] * (
-                pose_steps * len(DEFAULT_POSE_SCHEDULE) + spec["steps"])
+            pose_block = (pose_steps
+                          if spec.get("pose_method") == "fd"
+                          else pose_steps * len(DEFAULT_POSE_SCHEDULE))
+            total = spec["rounds"] * (pose_block + spec["steps"])
+        elif pose == "fd":
+            total = spec["steps"]
         else:
             schedule = DEFAULT_POSE_SCHEDULE if pose else DEFAULT_SCENE_SCHEDULE
             rungs = len(schedule) if spec["multiscale"] else 1
@@ -703,7 +726,16 @@ class RenderService:
                                rounds=spec["rounds"], pose_steps=pose_steps,
                                scene_steps=spec["steps"],
                                scene_lr=spec["lr"], on_step=on_step,
+                               pose_method=spec.get("pose_method",
+                                                    "multiscale"),
                                march=spec.get("march", "tensor"), mesh=mesh)
+        elif pose == "fd":
+            # fd shards the 2K+1 probe-frame BATCH axis (render_batch's
+            # mesh shape), not pixel rows — padding makes any mesh valid
+            result = fit_pose_fd(
+                job.scene, spec["target"], spec["fit_fields"],
+                steps=spec["steps"], lr=spec["lr"], on_step=on_step,
+                mesh=self._batch_mesh())
         else:
             fitter = ((fit_pose_multiscale if spec["multiscale"]
                        else fit_pose)
@@ -860,7 +892,8 @@ def make_handler(service: RenderService):
                             payload.get("pose", False),
                             payload.get("march", "tensor"),
                             payload.get("rounds", 2),
-                            payload.get("pose_steps", 30))
+                            payload.get("pose_steps", 30),
+                            payload.get("pose_method", "multiscale"))
                 else:
                     job_id = service.submit(scene)
                 self._json(202, {"job": job_id})

@@ -743,6 +743,33 @@ def test_fit_joint_recovers_pose_and_params(fixtures_dir):
     assert min(res.losses) < res.losses[0]
 
 
+def test_fit_joint_pose_method_fd(fixtures_dir):
+    """fit_joint(pose_method='fd'): each pose block is one fit_pose_fd
+    run (full quality, production kernel) instead of the LOD ladder;
+    mechanics + validation (the recovery-quality gate is the multiscale
+    test above — fd shares fit_pose_fd's own convergence tests)."""
+    from gamer_tpu.engine.render import render_scene
+
+    g = gax.load(fixtures_dir / "Spiral.gax")
+    target = render_scene(_scene(g, 12))
+    start = _scene(g, 12)
+    start.camera = gamer_tpu.CameraParams(camera=(0.52, 0.01, -0.01),
+                                          target=(0, 0, 0), up=(0, 1, 0),
+                                          fov=90.0)
+    start.instances[0].galaxy.components[1].strength *= 1.5
+
+    res = gfit.fit_joint(start, target, ("strength",), rounds=1,
+                         pose_steps=2, scene_steps=2, pose_method="fd",
+                         march="frozen")
+    assert set(res.params) == {"pose", "scene"}
+    assert res.fit_fields == ("camera", "strength")
+    # pose block (2 steps + final) + scene block losses all in the trace
+    assert len(res.losses) >= 5
+    with pytest.raises(ValueError, match="pose_method"):
+        gfit.fit_joint(start, target, ("strength",), rounds=1,
+                       pose_method="ladder")
+
+
 def test_fit_joint_validation_and_abort():
     """rounds must be >= 1; a False from on_step stops the whole
     alternation (no later block starts)."""

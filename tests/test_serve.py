@@ -668,6 +668,37 @@ def test_fit_job_pose(vortex_scene):
         svc.stop()
 
 
+def test_fit_job_pose_fd(vortex_scene):
+    """'pose': 'fd' fits the camera by finite differences through the
+    production batch kernel — full quality, no LOD cap on the scene."""
+    import copy
+
+    from gamer_tpu.engine.render import render_scene
+
+    target_img = render_scene(vortex_scene)  # exact octaves
+    start = copy.deepcopy(vortex_scene)
+    start.camera.camera = (0.52, 0.01, 0.0)
+
+    svc = RenderService()
+    try:
+        jid = svc.submit_fit(start, target_img, steps=2, pose="fd")
+        job = svc.wait(jid, timeout=900)
+        assert job.state == DONE, job.error
+        assert job.fit_result["fit_fields"] == ["camera"]
+        pose = job.fit_result["pose"]
+        assert len(pose["camera"]) == 3 and isinstance(pose["fov"], float)
+        assert len(job.fit_result["losses"]) == 3  # 2 steps + final eval
+        # submission-time validation (400 before worker time)
+        with pytest.raises(ValueError, match="multiscale"):
+            svc.submit_fit(start, target_img, steps=1, pose="fd",
+                           multiscale=True)
+        with pytest.raises(ValueError, match="pose_method"):
+            svc.submit_fit(start, target_img, ("strength",), steps=1,
+                           pose="joint", pose_method="ladder")
+    finally:
+        svc.stop()
+
+
 def test_fit_job_pose_rejects_galaxy_fields(vortex_scene):
     svc = RenderService(autostart=False)
     try:
