@@ -68,7 +68,7 @@ Commands:
        [ckpt=FILE] [march=frozen]  (UNKNOWN camera AND unknown parameters:
        alternating pose-ladder / parameter-block descent; also writes the
        fitted galaxy next to the scene as <out>.gax)
-   serve [port=8100] [batch window s=0.05] [bands=8] [mesh]
+   serve [port=8100] [batch window s=0.05] [bands=8] [mesh] [warm=GAX[:SIZES]]
    viewer [port=8000] [size=256] [gax dir]
 <method>: omp | thread | pallas (TPU kernel) | xla | oracle | sharded
 """
@@ -702,13 +702,18 @@ def cmd_serve(argv) -> int:
     """HTTP render service (POST /render with a scene dict; concurrent
     requests sharing a structure batch into ONE device launch — serve.py).
     A trailing 'mesh' serves over ALL attached devices: single frames
-    row-sharded, batches/animations sharded on the batch axis."""
+    row-sharded, batches/animations sharded on the batch axis. A
+    'warm=FILE.gax[:SIZE,SIZE...]' token pre-compiles that galaxy's launch
+    shapes (single path + pad buckets) at startup, so the first client at
+    each size never pays a cold compile."""
     from .serve import serve
 
     args = argv[1:]
-    use_mesh = bool(args) and args[-1].lower() == "mesh"
-    if use_mesh:
-        args = args[:-1]
+    use_mesh = any(a.lower() == "mesh" for a in args)
+    warm = next((a[len("warm="):] for a in args if a.startswith("warm=")),
+                None)
+    args = [a for a in args
+            if a.lower() != "mesh" and not a.startswith("warm=")]
     port = int(args[0]) if len(args) > 0 else 8100
     window = float(args[1]) if len(args) > 1 else 0.05
     bands = int(args[2]) if len(args) > 2 else 8
@@ -718,7 +723,24 @@ def cmd_serve(argv) -> int:
 
         mesh = make_pixel_mesh()
         print(f"serving over a {mesh.devices.size}-device mesh")
-    serve(port, window, bands, mesh=mesh)
+    warm_submit = None
+    if warm is not None:
+        path, _, size_csv = warm.partition(":")
+        sizes = [int(s) for s in size_csv.split(",")] if size_csv else None
+        scene = Scene(
+            camera=CameraParams(camera=(0.5, 0, 0), target=(0, 0, 0),
+                                up=(0, 1, 0), fov=90.0),
+            instances=[GalaxyInstance(galaxy=gax.load(path))],
+            config=RenderConfig(size=sizes[0] if sizes else 512,
+                                ray_step=0.025),
+        )
+
+        def warm_submit(service):
+            jid = service.submit_warm(scene, sizes=sizes)
+            print(f"warming {path} at sizes {sizes or [scene.config.size]} "
+                  f"(job {jid})")
+
+    serve(port, window, bands, mesh=mesh, on_start=warm_submit)
     return 0
 
 

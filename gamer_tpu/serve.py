@@ -99,6 +99,7 @@ class Job:
     n_frames: int = 0    # >0 marks an animation job
     fit_spec: Optional[dict] = None     # inverse-rendering job parameters
     fit_result: Optional[dict] = None   # fitted scene dict + loss trace
+    warm_spec: Optional[dict] = None    # executable pre-warm parameters
     submitted: float = field(default_factory=time.time)
     started: Optional[float] = None
     finished: Optional[float] = None
@@ -161,7 +162,7 @@ class RenderService:
             "jobs_submitted": 0, "frames_rendered": 0, "jobs_failed": 0,
             "jobs_aborted": 0, "batches": 0, "batched_frames": 0,
             "padded_frames": 0, "jobs_rejected": 0, "jobs_evicted": 0,
-            "worker_preemptions": 0,
+            "worker_preemptions": 0, "warmed_executables": 0,
             "render_seconds": 0.0, "started_at": time.time(),
         }
         self._preempting = False
@@ -213,6 +214,38 @@ class RenderService:
         if not isinstance(scene, Scene):
             raise ValueError(f"expected Scene or scene dict, got {type(scene)}")
         return scene
+
+    def submit_warm(self, scene, buckets=(1, 2, 4, 8),
+                    sizes: Optional[list] = None) -> int:
+        """Queue an executable pre-warm: render ``scene`` once through the
+        single-frame path and once per pad bucket through the batched path
+        (at every requested size), so the first real client at this
+        (structure, size, supersample) never pays a cold compile — the one
+        p99 outlier in the measured serving numbers (BASELINE.md). Runs in
+        the long-running lane: queued interactive jobs are served between
+        executables, and with the persistent compile cache (``serve()``
+        enables it) warmed executables survive process restarts.
+        Returns the job id; /job/<id>/result.json lists seconds per shape.
+        The reference has no analog (its slang kernel JITs per window,
+        renderer.cpp warms implicitly on first paint)."""
+        import dataclasses
+
+        from .engine.scene_prep import flatten_scene
+
+        scene = self._coerce_scene(scene)
+        buckets = [int(b) for b in buckets]
+        if not buckets or any(b < 1 or b > 1024 for b in buckets):
+            raise ValueError(f"buckets must be in [1, 1024], got {buckets}")
+        sizes = [int(s) for s in (sizes or [scene.config.size])]
+        scenes = []
+        for s in sizes:
+            sc = dataclasses.replace(
+                scene, config=dataclasses.replace(scene.config, size=s))
+            flatten_scene(sc)  # validate every size at submission
+            scenes.append(sc)
+        return self._enqueue(Job(id=0, scene=scenes[0], key=("warm", object()),
+                                 warm_spec={"buckets": buckets,
+                                            "scenes": scenes}))
 
     def _enqueue_animation(self, scene, anim_scenes: list) -> int:
         from .engine.scene_prep import flatten_scene
@@ -557,10 +590,10 @@ class RenderService:
                 self._finish(head, ABORTED)
                 continue
             if self.batch_window_s > 0 and head.anim_scenes is None \
-                    and head.fit_spec is None:
-                # animations and fit jobs never merge with other requests
-                # (a fit's key is unique by construction) — don't pay the
-                # batching window for them
+                    and head.fit_spec is None and head.warm_spec is None:
+                # animations, fit and warm jobs never merge with other
+                # requests (their keys are unique by construction) — don't
+                # pay the batching window for them
                 time.sleep(self.batch_window_s)
             self._execute_head(head)
 
@@ -576,6 +609,8 @@ class RenderService:
         try:
             if head.fit_spec is not None:
                 self._run_fit(head)
+            elif head.warm_spec is not None:
+                self._run_warm(head)
             elif head.anim_scenes is not None:
                 self._render_animation(head)
             elif len(batch) > 1:
@@ -606,7 +641,8 @@ class RenderService:
             while True:
                 with self._cond:
                     head = next(
-                        (j for j in self._queue if j.fit_spec is None), None)
+                        (j for j in self._queue
+                         if j.fit_spec is None and j.warm_spec is None), None)
                     if head is None:
                         return
                     self._queue.remove(head)
@@ -664,6 +700,44 @@ class RenderService:
         with self._cond:
             self.metrics["padded_frames"] += bucket - job.n_frames
             self.metrics["frames_rendered"] += job.n_frames - 1  # +1 in _finish
+        self._finish(job, DONE)
+
+    def _run_warm(self, job: Job) -> None:
+        """Compile-and-execute every launch shape the service would use for
+        the warm scene(s): the single-frame path plus each pad bucket of the
+        batched path. Queued interactive jobs are drained between shapes
+        (the fit preemption lane), so warming a cold cache never blocks
+        real traffic for more than one compile."""
+        from .engine.batch import render_batch
+        from .engine.pallas_render import (render_progressive_pallas,
+                                           render_scene_pallas)
+
+        n_dev = 1 if self.mesh is None else int(self.mesh.devices.size)
+        buckets = job.warm_spec["buckets"]
+        scenes = job.warm_spec["scenes"]
+        plan = [(sc, b) for sc in scenes for b in [None] + buckets]
+        timings: Dict[str, float] = {}
+        for i, (sc, b) in enumerate(plan):
+            if job.abort.is_set():
+                self._finish(job, ABORTED)
+                return
+            t0 = time.time()
+            if b is None:  # the path a lone interactive request takes
+                if self.mesh is not None:
+                    np.asarray(render_scene_pallas(sc, mesh=self.mesh))
+                else:
+                    render_progressive_pallas(sc, bands=self.bands)
+                label = f"{sc.config.size}px/single"
+            else:
+                np.asarray(render_batch([sc] * (b * n_dev),
+                                        mesh=self._batch_mesh()))
+                label = f"{sc.config.size}px/batch{b * n_dev}"
+            timings[label] = round(time.time() - t0, 3)
+            with self._cond:
+                self.metrics["warmed_executables"] += 1
+            job.progress = (i + 1) / len(plan)
+            self._preempt_quick_jobs()
+        job.fit_result = {"warmed": timings}
         self._finish(job, DONE)
 
     def _run_fit(self, job: Job) -> None:
@@ -855,7 +929,8 @@ def make_handler(service: RenderService):
 
         def do_POST(self):
             path = urllib.parse.urlparse(self.path).path
-            if path not in ("/render", "/flythrough", "/morph", "/fit"):
+            if path not in ("/render", "/flythrough", "/morph", "/fit",
+                            "/warm"):
                 return self._json(404, {"error": "not found"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
@@ -870,6 +945,10 @@ def make_handler(service: RenderService):
                         scene, payload.get("target_galaxy"),
                         payload.get("frames", 16),
                         payload.get("ease", "smoothstep"))
+                elif path == "/warm":
+                    job_id = service.submit_warm(
+                        scene, payload.get("buckets", (1, 2, 4, 8)),
+                        payload.get("sizes"))
                 elif path == "/fit":
                     fields = payload.get("fields")
                     fields = tuple(fields) if fields is not None else None
@@ -975,14 +1054,17 @@ def make_handler(service: RenderService):
 
 
 def serve(port: int = 8100, batch_window_s: float = 0.05, bands: int = 8,
-          mesh=None, poll: bool = True):
+          mesh=None, poll: bool = True, on_start=None):
     """Start the render API. Returns the HTTPServer (caller-managed when
-    poll=False — used by tests and embedders)."""
+    poll=False — used by tests and embedders). on_start(service) runs once
+    the service exists — e.g. to submit a startup warm job (CLI warm=)."""
     from .utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()  # first-of-a-shape requests compile once ever
     service = RenderService(batch_window_s=batch_window_s, bands=bands,
                             mesh=mesh)
+    if on_start is not None:
+        on_start(service)
     httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(service))
     httpd.service = service  # type: ignore[attr-defined]
     print(f"gamer-tpu render service on http://127.0.0.1:{httpd.server_address[1]}/ "

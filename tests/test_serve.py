@@ -441,10 +441,10 @@ def test_cli_serve_args(monkeypatch):
     calls = {}
     monkeypatch.setattr(
         gamer_tpu.serve, "serve",
-        lambda port, w, b, mesh=None: calls.update(
-            port=port, w=w, b=b, mesh=mesh))
+        lambda port, w, b, mesh=None, on_start=None: calls.update(
+            port=port, w=w, b=b, mesh=mesh, on_start=on_start))
     assert cli.cmd_serve(["serve", "9000", "0.1", "4"]) == 0
-    assert calls == dict(port=9000, w=0.1, b=4, mesh=None)
+    assert calls == dict(port=9000, w=0.1, b=4, mesh=None, on_start=None)
     class FakeMesh:
         devices = np.zeros(8)
 
@@ -455,7 +455,91 @@ def test_cli_serve_args(monkeypatch):
     assert calls["mesh"] is fake
     calls.clear()
     assert cli.cmd_serve(["serve"]) == 0
-    assert calls == dict(port=8100, w=0.05, b=8, mesh=None)
+    assert calls == dict(port=8100, w=0.05, b=8, mesh=None, on_start=None)
+
+
+def test_cli_serve_warm(monkeypatch, fixtures_dir):
+    """warm=FILE.gax:SIZES submits a startup warm job for that galaxy at the
+    listed sizes (order-insensitive with the 'mesh' token)."""
+    import gamer_tpu.cli as cli
+    import gamer_tpu.serve
+
+    calls = {}
+    monkeypatch.setattr(
+        gamer_tpu.serve, "serve",
+        lambda port, w, b, mesh=None, on_start=None: calls.update(
+            port=port, on_start=on_start))
+    gaxfile = str(fixtures_dir / "VortexCloud.gax")
+    assert cli.cmd_serve(["serve", "9000", f"warm={gaxfile}:16,32"]) == 0
+    assert calls["port"] == 9000 and calls["on_start"] is not None
+
+    submitted = {}
+
+    class FakeService:
+        def submit_warm(self, scene, sizes=None, **kw):
+            submitted.update(size=scene.config.size, sizes=sizes)
+            return 1
+
+    calls["on_start"](FakeService())
+    assert submitted == dict(size=16, sizes=[16, 32])
+
+
+def test_warm_job(vortex_scene):
+    """submit_warm compiles-and-executes every launch shape the service
+    would use (single path + each pad bucket, per size) and reports the
+    per-shape seconds; real requests afterwards hit warm executables."""
+    svc = RenderService()
+    try:
+        jid = svc.submit_warm(vortex_scene, buckets=(1, 2), sizes=[16])
+        job = svc.wait(jid)
+        assert job.state == DONE, job.error
+        timings = job.fit_result["warmed"]
+        assert sorted(timings) == ["16px/batch1", "16px/batch2",
+                                   "16px/single"]
+        assert all(t >= 0 for t in timings.values())
+        assert svc.metrics["warmed_executables"] == 3
+        # a real request after warming renders normally
+        rid = svc.submit(vortex_scene)
+        rjob = svc.wait(rid)
+        assert rjob.state == DONE and int(rjob.image.sum()) > 0
+        # invalid warm specs fail at submission, not on the worker
+        with pytest.raises(ValueError):
+            svc.submit_warm(vortex_scene, buckets=())
+        with pytest.raises(ValueError):
+            svc.submit_warm(vortex_scene, buckets=(0,))
+    finally:
+        svc.stop()
+
+
+def test_warm_http_endpoint(vortex_scene):
+    """POST /warm pre-warms over HTTP; the result lists seconds per shape."""
+    httpd = serve(port=0, poll=False)
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        payload = json.dumps({"scene": scene_to_dict(vortex_scene),
+                              "buckets": [1, 2]}).encode()
+        req = urllib.request.Request(base + "/warm", data=payload,
+                                     method="POST")
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 202
+            jid = json.loads(r.read())["job"]
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            with urllib.request.urlopen(f"{base}/job/{jid}") as r:
+                state = json.loads(r.read())["state"]
+            if state not in ("queued", "running"):
+                break
+            time.sleep(0.02)
+        assert state == "done"
+        with urllib.request.urlopen(f"{base}/job/{jid}/result.json") as r:
+            warmed = json.loads(r.read())["warmed"]
+        assert "16px/single" in warmed and "16px/batch2" in warmed
+    finally:
+        httpd.shutdown()
+        httpd.service.stop()
 
 
 def test_http_surface(vortex_scene):
