@@ -19,25 +19,33 @@ vs_baseline is the speedup over the spec-exact CPU oracle on this host —
 the reference publishes no numbers (BASELINE.md), so the measured oracle is
 the baseline datum.
 
-Each frame size runs in a fresh subprocess: a TPU-runtime crash (the tunnel
-is occasionally unstable) poisons the whole client process, so in-process
-retries at smaller sizes would always fail.
-
-Compile-time volatility (the tunnel compiles the same program in 5 s or
-600 s depending on the hour) is neutralized by JAX's persistent compilation
-cache (.jax_cache next to this file): a WARM pass compiles the big rungs
-into the cache first, then the TIMED rungs run cache-hit (seconds of
-compile) with small budgets and one retry each. A timed-out timed rung is
-retried once — its own compile, even if the render was killed, usually
-landed in the cache.
+Compile-time volatility is the judged-number hazard: the tunnel compiles
+the same program in 5 s or 600 s+ depending on the hour, and it does not
+reliably serve persistent-cache executables back to a fresh process (a
+"cached" recompile has been measured at 504 s), so fixed per-rung child
+budgets lose the big rungs to a slow hour (that wiped r02's 4096 rung).
+The TPU path therefore runs ONE streaming child that walks the whole
+ladder in a single process — device init and the tunnel handshake are
+paid once, each rung flushes its own JSON line the moment it lands, and
+the parent enforces only a GLOBAL wall budget plus an inactivity watchdog
+(a rung may legitimately compile for 15 min; a rung printing nothing for
+longer is hung). A crashed or hung child is restarted on the remaining
+sizes (a TPU-runtime crash poisons the whole client process, so the
+restart is the isolation boundary); the first rung is a small fast one so
+every run banks a result before the big frames spend the budget. The
+persistent cache (.jax_cache) stays enabled — when the tunnel honors it,
+restarts are cheap.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import queue
 import subprocess
 import sys
+import threading
+import time
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE_DIR = os.path.join(_REPO, ".jax_cache")
@@ -98,6 +106,116 @@ import numpy as np
 print(json.dumps({"ok": True, "size": size, "dt": dt, "mode": mode,
                   "checksum": int(np.asarray(img).astype("int64").sum())}))
 """
+
+
+_STREAM_SNIPPET = r"""
+import json, sys, time
+sizes = [int(s) for s in sys.argv[1:]]
+import gamer_tpu
+from gamer_tpu.scene import gax
+import jax.numpy as jnp
+from gamer_tpu.engine.pallas_render import render_scene_pallas
+import numpy as np
+
+galaxy = gax.load("/root/reference/publish/data/galaxies/Spiral.gax")
+for size in sizes:
+    scene = gamer_tpu.Scene(
+        camera=gamer_tpu.CameraParams(camera=(0.5, 0, 0), target=(0, 0, 0),
+                                      up=(0, 1, 0), fov=90.0),
+        instances=[gamer_tpu.GalaxyInstance(galaxy=galaxy)],
+        config=gamer_tpu.RenderConfig(size=size, ray_step=0.025),
+    )
+
+    # Device-side timing (the repo's timing convention, BASELINE.md): the
+    # frame stays on device and completion is forced by a scalar readback
+    # (jax.block_until_ready can return EARLY over the dev tunnel); the
+    # ~2-23 MB/s download link is excluded (cost a production-attached
+    # host does not pay) — the checksum readback below is untimed.
+    def render(s):
+        img = render_scene_pallas(s, device_out=True)
+        float(jnp.sum(img.astype(jnp.float32)))  # force completion
+        return img
+
+    img = render(scene)  # compile + warm
+    dt = float("inf")
+    for _ in range(3):  # best-of-3: the tunneled link adds +-50% noise
+        t0 = time.perf_counter()
+        img = render(scene)
+        dt = min(dt, time.perf_counter() - t0)
+    print(json.dumps({"ok": True, "size": size, "dt": dt,
+                      "checksum": int(np.asarray(img).astype("int64").sum())}),
+          flush=True)
+"""
+
+
+def _stream_ladder(sizes, global_budget_s: float, inactivity_s: float = 900.0):
+    """Run the TPU ladder in streaming children: one process walks the
+    sizes in order, flushing a JSON line per rung; the parent keeps every
+    line that arrives, and on a hang (no line within inactivity_s), a
+    crash, or budget exhaustion restarts a child on the remaining sizes.
+    The size at the head of the remaining list is the one that hung or
+    crashed — it gets ONE more attempt (its killed compile often landed in
+    the persistent cache), then is skipped."""
+    deadline = time.time() + global_budget_s
+    remaining = list(sizes)
+    attempts: dict = {}
+    results = []
+    while remaining and time.time() < deadline:
+        snippet = _CACHE_PREFIX + _STREAM_SNIPPET
+        proc = subprocess.Popen(
+            [sys.executable, "-c", snippet, *map(str, remaining)],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True, cwd=_REPO)
+        lines: queue.Queue = queue.Queue()
+
+        def _pump(p=proc, q=lines):
+            for line in p.stdout:
+                q.put(line)
+            q.put(None)
+
+        threading.Thread(target=_pump, daemon=True).start()
+        hung = False
+        while True:
+            wait = min(inactivity_s, deadline - time.time())
+            if wait <= 0:
+                hung = True
+                break
+            try:
+                line = lines.get(timeout=wait)
+            except queue.Empty:
+                hung = True
+                break
+            if line is None:
+                break  # child exited (EOF)
+            if not line.startswith("{"):
+                continue  # tunnel plugin noise
+            try:
+                r = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if r.get("ok") and r["size"] in remaining:
+                results.append(r)
+                remaining.remove(r["size"])
+                print(f"bench: size {r['size']} landed "
+                      f"({r['dt']:.3f} s/frame)", file=sys.stderr)
+        if hung:
+            proc.kill()
+        proc.wait()
+        if remaining:
+            head = remaining[0]
+            attempts[head] = attempts.get(head, 0) + 1
+            why = "hung" if hung else "child exited"
+            if attempts[head] >= 2:
+                print(f"bench: size {head} {why}; giving up on it",
+                      file=sys.stderr)
+                remaining.pop(0)
+            else:
+                print(f"bench: size {head} {why}; retrying "
+                      f"(cache may now be warm)", file=sys.stderr)
+    for size in remaining:
+        print(f"bench: size {size} not attempted (budget exhausted)",
+              file=sys.stderr)
+    return results
 
 
 _PROBE_SNIPPET = r"""
@@ -202,23 +320,6 @@ def main() -> None:
               "falling back to the CPU backend", file=sys.stderr)
 
     on_cpu = force_cpu or (probe or {}).get("platform") == "cpu"
-    if on_cpu:
-        # CPU interpret mode: the big rungs would only burn their timeouts
-        ladder = ((128, 420), (64, 300), (32, 240))
-        warm_sizes = ()
-    else:
-        # (size, timed budget): budgets assume a cache-warm compile (a few
-        # seconds) + 4 renders (4096 measures ~5.5 s/frame) + tunnel slack.
-        ladder = ((4096, 300), (2048, 240), (1024, 180), (512, 150),
-                  (256, 120), (128, 120), (64, 120))
-        warm_sizes = (4096, 2048)
-
-    # WARM pass: compile the big rungs into the persistent cache under one
-    # generous budget each, largest first. A warm timeout is tolerated —
-    # the timed rung retries cover the residual risk — but a second warm
-    # attempt is taken once, since one slow-compile hour is exactly the
-    # failure mode that wiped r02's headline.
-    kernel = "pallas"
     best = None
 
     def _record(r, kernel):
@@ -228,40 +329,31 @@ def main() -> None:
             best = {"msps": msps, "size": r["size"], "dt": r["dt"],
                     "kernel": kernel}
 
-    # The warm children measure too (see _CHILD_SNIPPET): when the tunnel
-    # refuses cache-served executables, the generous warm budget is the
-    # only one that fits compile + render, and its timing IS the rung.
-    warmed = set()
-    for size in warm_sizes:
-        for attempt in range(2):
-            r = _run_child(size, kernel, 580, "warm")
-            if r and r.get("ok"):
-                warmed.add(size)
-                _record(r, kernel)
-                break
-        if size not in warmed:
-            print(f"bench: warm pass gave up on {size}", file=sys.stderr)
-
-    for kernel in ("pallas", "xla"):
-        successes = 0
-        for size, budget in ladder:
-            if size in warmed and kernel == "pallas":
-                successes += 1  # the warm child already measured this rung
-                continue
-            r = _try_size(size, kernel, budget, force_cpu=force_cpu,
-                          retries=1 if not on_cpu else 0)
-            if r and r.get("ok"):
-                _record(r, kernel)
-                successes += 1
-                # Sample the two largest working sizes and keep the best
-                # throughput: bigger frames amortize fixed dispatch cost,
-                # but on a slow tunnel hour the largest can also time out
-                # or compile slowly — two rungs covers both regimes.
-                if successes >= 2:
-                    break
-        if best is not None:
-            break  # pallas worked; the xla fallback can't beat it and its
-            # large-frame attempts can destabilize the device runtime
+    if not on_cpu:
+        # Streaming ladder (see module docstring): 512 first banks a fast
+        # result before the big frames spend the budget; then largest
+        # first, since the biggest sustained frame is the headline. Even a
+        # uniformly slow-compile hour (~600 s/rung) fits all four rungs in
+        # the global budget — the regime that wiped r02's 4096 rung.
+        for r in _stream_ladder((512, 4096, 2048, 1024),
+                                global_budget_s=3000.0):
+            _record(r, "pallas")
+    if best is None:
+        # CPU backend, dead tunnel, or every TPU rung failed: the XLA
+        # lockstep path at conformance sizes still yields a real number
+        # (the big rungs would only burn their timeouts here).
+        for kernel in ("pallas", "xla"):
+            successes = 0
+            for size, budget in ((128, 420), (64, 300), (32, 240)):
+                r = _try_size(size, kernel, budget, force_cpu=force_cpu)
+                if r and r.get("ok"):
+                    _record(r, kernel)
+                    successes += 1
+                    if successes >= 2:
+                        break
+            if best is not None:
+                break  # pallas worked; xla can't beat it and its large
+                # frames can destabilize the device runtime
 
     if best is None:
         print(json.dumps({
