@@ -141,6 +141,19 @@ class _Layout:
 
 
 def _build_layout(static: SceneStatic) -> _Layout:
+    # The production kernel implements the engine-default simplex noise
+    # (the reference likewise hardcodes Simplex in every rasterizer ctor,
+    # rasterizer.h:57,62,67). Alternative backends (RenderConfig.noise_kind
+    # "perlin"/"iq") render through the XLA engine (engine/render.py).
+    for inst in static.instances:
+        for cs in inst.comps:
+            if cs.noise_kind != "simplex":
+                raise ValueError(
+                    f"the Pallas kernel supports noise_kind='simplex' only "
+                    f"(got {cs.noise_kind!r}); use the XLA engine "
+                    f"(gamer_tpu.engine.render.render_scene) for alternative "
+                    f"noise backends"
+                )
     lay = _Layout()
     lay.add("inv_vp", 16)
     lay.add("camera", 3)

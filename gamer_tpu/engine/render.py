@@ -72,12 +72,12 @@ def _twirl(p, t, orientation):
     return quat_rotate(q, p)
 
 
-def _perlin_cloud(p, t, octaves, ks, pers, orientation):
+def _perlin_cloud(p, t, octaves, ks, pers, orientation, raw_fn=None):
     """galaxycomponent.h:93-98 — octave noise of the twirled point at
     frequency ks*0.1."""
     r = _twirl(p, t, orientation)
     return jnoise.octave_noise_3d(
-        octaves, pers, ks * 0.1, r[..., 0], r[..., 1], r[..., 2]
+        octaves, pers, ks * 0.1, r[..., 0], r[..., 1], r[..., 2], raw_fn=raw_fn
     )
 
 
@@ -147,23 +147,32 @@ def _component_noise(cs: CompStatic, pr, cp, p, winding):
     positionally. Everything *after* these raw fields (abs/pow/offset
     shaping) stays in _component_sample so it remains differentiable."""
     twirl_axis = pr["twirl_axis"]
+    # The raw-noise backend is compile-time static (RenderConfig.noise_kind);
+    # "simplex" resolves to the reference-exact path.
+    raw = None if cs.noise_kind == "simplex" else jnoise.resolve_raw(cs.noise_kind)
     if cs.cid == CID_DISK:
-        return (_perlin_cloud(p, winding, cs.oct(10), cp["scale"], cp["ks"], twirl_axis),)
+        return (_perlin_cloud(p, winding, cs.oct(10), cp["scale"], cp["ks"],
+                              twirl_axis, raw_fn=raw),)
     if cs.cid == CID_DUST:
-        return (_perlin_cloud(p, winding, cs.oct(9), cp["scale"], cp["ks"], twirl_axis),)
+        return (_perlin_cloud(p, winding, cs.oct(9), cp["scale"], cp["ks"],
+                              twirl_axis, raw_fn=raw),)
     if cs.cid in (CID_DUST2, CID_DUST_POSITIVE):
         r = _twirl(p, winding, twirl_axis) * cp["scale"]
         return (jnoise.ridged_mf(
             r[..., 0], r[..., 1], r[..., 2],
             cp["ks"], cs.oct(9), 2.5, cp["noise_offset"], cp["noise_tilt"],
+            raw_fn=raw,
         ),)
     if cs.cid == CID_STARS:
         freq = (0.01 * cp["scale"]) * 100.0
         base = jnoise.octave_noise_3d(
-            cs.oct(10), cp["ks"], freq, p[..., 0], p[..., 1], p[..., 2])
+            cs.oct(10), cp["ks"], freq, p[..., 0], p[..., 1], p[..., 2],
+            raw_fn=raw)
         if cs.star_extra:
-            c1 = _perlin_cloud(p, winding, cs.oct(4), 2.0, -2.0, twirl_axis)
-            c2 = _perlin_cloud(p, winding * 0.5, cs.oct(4), 4.0, -2.0, twirl_axis)
+            c1 = _perlin_cloud(p, winding, cs.oct(4), 2.0, -2.0, twirl_axis,
+                               raw_fn=raw)
+            c2 = _perlin_cloud(p, winding * 0.5, cs.oct(4), 4.0, -2.0,
+                               twirl_axis, raw_fn=raw)
             return (base, c1, c2)
         return (base,)
     return ()

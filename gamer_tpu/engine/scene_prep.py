@@ -33,6 +33,7 @@ class CompStatic:
     winding_enabled: bool    # comp.winding != 0
     star_extra: bool         # stars: noise_offset != 0 adds 2 cloud octodes
     octave_cap: int = 0      # noise LOD (RenderConfig.noise_octaves); 0 = exact
+    noise_kind: str = "simplex"  # raw-noise backend (RenderConfig.noise_kind)
 
     def oct(self, n: int) -> int:
         """Reference octave count ``n`` under the LOD cap."""
@@ -102,6 +103,7 @@ def flatten_scene(scene: Scene, dtype=jnp.float32):
                     winding_enabled=cp.winding != 0,
                     star_extra=(cp.cid == CID_STARS and cp.noise_offset != 0),
                     octave_cap=int(scene.config.noise_octaves or 0),
+                    noise_kind=scene.config.noise_kind,
                 )
             )
             # numpy, not jnp: params transfer to the device ONCE at the

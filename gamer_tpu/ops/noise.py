@@ -185,20 +185,43 @@ def raw_noise_3d(x, y, z):
     return 32.0 * (n0 + n1 + n2 + n3)
 
 
-def octave_noise_3d(octaves: int, persistence, scale, x, y, z):
+def resolve_raw(kind):
+    """Raw-noise backend by name. The reference ships three Noise
+    implementations but hardcodes Simplex in every rasterizer constructor
+    (rasterizer.h:57,62,67 — Perlin/IQ are commented-out alternatives);
+    here the alternatives are actually selectable
+    (RenderConfig.noise_kind, XLA engine)."""
+    if kind in (None, "simplex"):
+        return raw_noise_3d
+    if kind == "perlin":
+        from .altnoise import perlin_raw_3d
+
+        return perlin_raw_3d
+    if kind == "iq":
+        from .altnoise import iq_value_noise_3d
+
+        return iq_value_noise_3d
+    raise ValueError(
+        f"unknown noise kind {kind!r}: expected 'simplex', 'perlin' or 'iq'"
+    )
+
+
+def octave_noise_3d(octaves: int, persistence, scale, x, y, z, raw_fn=None):
     """noise.cpp:162-180 — frequency doubling, persistence amplitudes,
     normalized by total amplitude. `octaves` is static; persistence/scale
     may be traced scalars. The octave loop is a lax.scan so the traced graph
-    stays one raw-noise body regardless of octave count (compile time)."""
+    stays one raw-noise body regardless of octave count (compile time).
+    ``raw_fn`` swaps the raw-noise backend (default: reference simplex)."""
     import jax
 
+    raw = raw_noise_3d if raw_fn is None else raw_fn
     dtype = jnp.result_type(x, y, z)
     shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y), jnp.shape(z))
     pers = jnp.asarray(persistence, dtype)
 
     def body(carry, _):
         total, freq, amp, max_amp = carry
-        total = total + raw_noise_3d(x * freq, y * freq, z * freq) * amp
+        total = total + raw(x * freq, y * freq, z * freq) * amp
         return (total, freq * 2.0, amp * pers, max_amp + amp), None
 
     init = (
@@ -211,16 +234,19 @@ def octave_noise_3d(octaves: int, persistence, scale, x, y, z):
     return total / max_amp
 
 
-def ridged_mf(px, py, pz, frequency, octaves: int, lacunarity: float, offset, gain):
+def ridged_mf(px, py, pz, frequency, octaves: int, lacunarity: float, offset, gain,
+              raw_fn=None):
     """noise.cpp:81-128 — ridged multifractal with weight feedback.
 
     Coordinates scale per octave at the working dtype (the reference rounds
     them through a float32 QVector3D each octave — exact in the f32 path).
     `octaves`/`lacunarity` static; frequency/offset/gain may be traced.
-    Octave loop as lax.scan (see octave_noise_3d).
+    Octave loop as lax.scan (see octave_noise_3d). ``raw_fn`` swaps the
+    raw-noise backend (default: reference simplex).
     """
     import jax
 
+    raw = raw_noise_3d if raw_fn is None else raw_fn
     dtype = jnp.result_type(px, py, pz)
     shape = jnp.broadcast_shapes(jnp.shape(px), jnp.shape(py), jnp.shape(pz))
     lac = jnp.asarray(lacunarity, dtype)
@@ -228,7 +254,7 @@ def ridged_mf(px, py, pz, frequency, octaves: int, lacunarity: float, offset, ga
 
     def body(carry, _):
         value, weight, vx, vy, vz, freq = carry
-        signal = raw_noise_3d(vx, vy, vz)
+        signal = raw(vx, vy, vz)
         signal = offset - jnp.abs(signal)
         signal = signal * signal
         signal = signal * weight

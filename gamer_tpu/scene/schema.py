@@ -218,8 +218,22 @@ class RenderConfig:
     # reference's shadertoy fork, galaxy_shadertoy.glsl:564-589 — absent
     # from its main renderer). Off by default (reference-exact sampling).
     dither: bool = False
+    # Raw-noise backend for every fractal field. The reference ships three
+    # Noise implementations but hardcodes Simplex in every rasterizer ctor
+    # (rasterizer.h:57,62,67; Perlin source/noise/perlin.*, IQ value noise
+    # source/noise/iqnoise.* are commented-out alternatives). Here they are
+    # actually selectable: "simplex" (default, conformance-gated) |
+    # "perlin" | "iq". Non-simplex kinds render through the XLA engine only
+    # (the production Pallas kernel implements the engine default, like the
+    # reference's hardcoding) and are excluded from conformance gates.
+    noise_kind: str = "simplex"
 
     def __post_init__(self):
+        if self.noise_kind not in ("simplex", "perlin", "iq"):
+            raise ValueError(
+                f"noise_kind must be 'simplex', 'perlin' or 'iq', "
+                f"got {self.noise_kind!r}"
+            )
         if self.noise_octaves is not None:
             if self.noise_octaves != int(self.noise_octaves) \
                     or int(self.noise_octaves) < 1:
