@@ -372,6 +372,7 @@ def scene_from_dict(d: dict) -> Scene:
                            if cfg.get("noise_octaves") is not None else None),
             supersample=int(cfg.get("supersample", 1)),
             dither=bool(cfg.get("dither", False)),
+            noise_kind=str(cfg.get("noise_kind", "simplex")),
         ),
         spectra={k: _vec3(v) for k, v in spectra.items()} if spectra else None,
     )

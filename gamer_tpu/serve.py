@@ -213,6 +213,14 @@ class RenderService:
             scene = scene_from_dict(scene)
         if not isinstance(scene, Scene):
             raise ValueError(f"expected Scene or scene dict, got {type(scene)}")
+        if scene.config.noise_kind != "simplex":
+            # the service renders through the production Pallas kernel,
+            # which implements the engine-default simplex noise only;
+            # reject at submission so the request 400s instead of failing
+            # on the worker (alternative kinds: XLA engine, library API)
+            raise ValueError(
+                f"the render service supports noise_kind='simplex' only "
+                f"(got {scene.config.noise_kind!r})")
         return scene
 
     def submit_warm(self, scene, buckets=(1, 2, 4, 8),

@@ -89,3 +89,26 @@ def test_pallas_rejects_non_simplex(fixtures_dir):
 def test_config_validates_kind():
     with pytest.raises(ValueError, match="noise_kind"):
         gamer_tpu.RenderConfig(size=16, noise_kind="fbm")
+
+
+def test_scene_dict_round_trips_kind(fixtures_dir):
+    from gamer_tpu.scene.schema import scene_from_dict, scene_to_dict
+
+    g = gax.load(fixtures_dir / "Spiral.gax")
+    d = scene_to_dict(_scene(g, noise_kind="iq"))
+    assert d["config"]["noise_kind"] == "iq"
+    assert scene_from_dict(d).config.noise_kind == "iq"
+    # absent key -> default
+    del d["config"]["noise_kind"]
+    assert scene_from_dict(d).config.noise_kind == "simplex"
+
+
+def test_serve_rejects_non_simplex_at_submission(fixtures_dir):
+    """The service renders through the Pallas kernel; a non-simplex scene
+    must fail at submission (-> HTTP 400), not minutes later on the worker."""
+    from gamer_tpu.serve import RenderService
+
+    g = gax.load(fixtures_dir / "Spiral.gax")
+    svc = RenderService(autostart=False)
+    with pytest.raises(ValueError, match="noise_kind='simplex'"):
+        svc.submit(_scene(g, noise_kind="perlin"))
