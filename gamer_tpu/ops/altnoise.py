@@ -11,11 +11,24 @@ same interface as ops.noise for library parity:
     tables from libc srand/rand (perlin.cpp init); here the tables come
     from a seeded MT19937 — same algorithm, different (but reproducible)
     gradient sets, since libc's rand stream is not part of any observable
-    contract (the class is never instantiated by the engine).
+    contract (the class is never instantiated by the engine). The lattice
+    algorithm itself is conformance-gated against the fixed-table scalar
+    twin in oracle/altnoise.py (tests/test_altnoise_oracle.py).
   - iq_value_noise_3d: sin-hash trilinear value noise, exact semantics
-    (iqnoise.cpp:34-53).
+    (iqnoise.cpp:34-53), gated against oracle/altnoise.iq_noise.
 
-Both are traceable jnp ops (jit/vmap-safe).
+Both are traceable jnp ops (jit/vmap-safe). Gradient components are
+quantized to a 10-bit grid at table-build time (max error ~1e-3 on unit
+vectors) so the production Pallas kernel can gather them as one packed
+int32 word per lattice point (perlin_packed_tables /
+ops/pallas_noise.perlin_raw_3d) while this jnp path and the kernel decode
+BIT-IDENTICAL float32 gradient values.
+
+TPU perf caveat: this module's table lookups are plain jnp.take — on the
+XLA:TPU backend small-table gathers serialize (~10 M lookups/s, see
+ops/noise.py), so full-octave perlin through the XLA/diff engines is slow
+there. TPU renders route through the Pallas kernel's packed-table perlin
+instead; only alt-noise FITS (engine/fit.py) pay the gather-bound path.
 """
 
 from __future__ import annotations
@@ -27,19 +40,51 @@ import numpy as np
 
 SAMPLE_SIZE = 1024
 _N_OFF = 0x1000
+# 10-bit gradient quantization: q in [0, 1023] <-> g = (q - 511.5)/511.5.
+# BOTH decode factors are float32 so the jnp table values and the Pallas
+# kernel's in-register decode are bit-identical.
+_GRAD_MID = np.float32(511.5)
+_GRAD_INV = np.float32(1.0 / 511.5)
 
 
 @functools.lru_cache(maxsize=8)
-def _perlin_tables(seed: int):
+def _perlin_build(seed: int):
+    """(perm_base (1024,) i32, q (1024, 3) i32, g3 decoded (1024, 3) f32)."""
     rng = np.random.Generator(np.random.MT19937(seed))
     B = SAMPLE_SIZE
     perm = np.arange(B)
     rng.shuffle(perm)
-    perm = np.concatenate([perm, perm, perm[:2]]).astype(np.int32)
     g3 = rng.uniform(-1.0, 1.0, (B, 3))
     g3 /= np.linalg.norm(g3, axis=1, keepdims=True)
-    g3 = np.concatenate([g3, g3, g3[:2]], axis=0)
+    q = np.clip(np.rint(g3 * 511.5 + 511.5), 0, 1023).astype(np.int32)
+    g3q = (q.astype(np.float32) - _GRAD_MID) * _GRAD_INV
+    return perm.astype(np.int32), q, g3q
+
+
+@functools.lru_cache(maxsize=8)
+def _perlin_tables(seed: int):
+    """Doubled (+2) tables in the reference's layout (perlin.h:59-61):
+    p[i] == p_base[i & 1023] over the reachable index range."""
+    perm, _, g3q = _perlin_build(seed)
+    perm = np.concatenate([perm, perm, perm[:2]]).astype(np.int32)
+    g3 = np.concatenate([g3q, g3q, g3q[:2]], axis=0)
     return perm, g3.astype(np.float64)
+
+
+@functools.lru_cache(maxsize=8)
+def perlin_packed_tables(seed: int = 94):
+    """Packed int32 tables for the Pallas kernel's chunked lane gathers:
+
+    perm_packed: (512,) — word w holds perm_base[2w] | perm_base[2w+1]<<16
+    grad_packed: (1024,) — word i holds qx | qy<<10 | qz<<20 of gradient i
+    """
+    perm, q, _ = _perlin_build(seed)
+    p64 = perm.astype(np.int64)
+    perm_packed = (p64[0::2] | (p64[1::2] << 16)).astype(np.int32)
+    q64 = q.astype(np.int64)
+    grad_packed = (q64[:, 0] | (q64[:, 1] << 10) | (q64[:, 2] << 20)).astype(
+        np.int32)
+    return perm_packed, grad_packed
 
 
 def perlin_raw_3d(x, y, z, seed: int = 94):
