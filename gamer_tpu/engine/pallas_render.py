@@ -120,6 +120,11 @@ class _Layout:
         self.sizes = {}
         self.offsets = {}
         self.n = 0
+        # number of (tr, 128) constant-table blocks riding the tables input:
+        # block 0 is the byte-packed simplex perm; blocks 1-4 / 5-12 the
+        # packed Perlin perm / gradient chunks when the scene uses
+        # noise_kind='perlin' (see _NoiseEnv / _tables_const)
+        self.table_blocks = 1
 
     def add(self, name: str, k: int) -> int:
         self.offsets[name] = self.n
@@ -141,20 +146,19 @@ class _Layout:
 
 
 def _build_layout(static: SceneStatic) -> _Layout:
-    # The production kernel implements the engine-default simplex noise
-    # (the reference likewise hardcodes Simplex in every rasterizer ctor,
-    # rasterizer.h:57,62,67). Alternative backends (RenderConfig.noise_kind
-    # "perlin"/"iq") render through the XLA engine (engine/render.py).
-    for inst in static.instances:
-        for cs in inst.comps:
-            if cs.noise_kind != "simplex":
-                raise ValueError(
-                    f"the Pallas kernel supports noise_kind='simplex' only "
-                    f"(got {cs.noise_kind!r}); use the XLA engine "
-                    f"(gamer_tpu.engine.render.render_scene) for alternative "
-                    f"noise backends"
-                )
+    # All three reference noise backends are first-class here (the
+    # reference hardcodes Simplex in every rasterizer ctor,
+    # rasterizer.h:57,62,67, shipping Perlin/IQ as selectable-in-principle
+    # alternatives; RenderConfig.noise_kind makes them actually selectable
+    # on the production kernel). Perlin needs its packed tables on the
+    # tables input; IQ is closed-form.
+    kinds = {cs.noise_kind for inst in static.instances for cs in inst.comps}
+    bad = kinds - {"simplex", "perlin", "iq"}
+    if bad:
+        raise ValueError(f"unknown noise_kind(s) {sorted(bad)!r}")
     lay = _Layout()
+    if "perlin" in kinds:
+        lay.table_blocks = 13
     lay.add("inv_vp", 16)
     lay.add("camera", 3)
     lay.add("ray_step", 1)
@@ -251,6 +255,30 @@ def _qt_clamp(v, lo, hi):
     return jnp.where(r > lo, r, jnp.full_like(r, lo) if not hasattr(lo, "shape") else lo)
 
 
+class _NoiseEnv:
+    """In-kernel noise tables, threaded through the component kernels:
+    ``perm`` is the (tr, 128) byte-packed simplex table (always present —
+    block 0 of the tables input); ``pperm``/``pgrad`` are the packed Perlin
+    chunks when the scene uses noise_kind='perlin'. ``raw_fn(kind)``
+    returns the per-component raw-noise override for the pn combinators
+    (None for simplex, keeping the default scene's trace unchanged)."""
+
+    __slots__ = ("perm", "pperm", "pgrad")
+
+    def __init__(self, perm, pperm=None, pgrad=None):
+        self.perm = perm
+        self.pperm = pperm
+        self.pgrad = pgrad
+
+    def raw_fn(self, kind: str):
+        if kind == "simplex":
+            return None
+        if kind == "perlin":
+            pperm, pgrad = self.pperm, self.pgrad
+            return lambda x, y, z: pn.perlin_raw_3d(pperm, pgrad, x, y, z)
+        return pn.iq_raw_3d
+
+
 def _make_kernel(static: SceneStatic, lay: _Layout, size: int,
                  rows: int, cols: int, tr: int = TILE_R,
                  batched: bool = False, rays_input: bool = False):
@@ -285,7 +313,15 @@ def _make_kernel(static: SceneStatic, lay: _Layout, size: int,
             }
             S = lambda name, k=0: cache[(name, k)]  # noqa: E731
 
-        perm_rows = perm_ref[:]
+        if lay.table_blocks == 1:
+            nz = _NoiseEnv(perm_ref[:])
+        else:
+            tabs = perm_ref[:]
+            nz = _NoiseEnv(
+                tabs[:tr],
+                pperm=tuple(tabs[(1 + c) * tr:(2 + c) * tr] for c in range(4)),
+                pgrad=tuple(tabs[(5 + c) * tr:(6 + c) * tr] for c in range(8)),
+            )
 
         if rays_input:
             # arbitrary ray directions (HEALPix all-sky mode); padding rays
@@ -332,7 +368,7 @@ def _make_kernel(static: SceneStatic, lay: _Layout, size: int,
         for gi, inst in enumerate(static.instances):
             pfx = f"i{gi}."
             _march_instance(
-                static, inst, lay, S, pfx, perm_rows, ray_step, min_step,
+                static, inst, lay, S, pfx, nz, ray_step, min_step,
                 rd0, rd1, rd2, I0, I1, I2, p0, p1, p2, tacc, steppr, done,
                 valid=valid,
             )
@@ -346,7 +382,7 @@ def _make_kernel(static: SceneStatic, lay: _Layout, size: int,
     return kernel
 
 
-def _march_instance(static, inst, lay, S, pfx, perm_rows, ray_step, min_step,
+def _march_instance(static, inst, lay, S, pfx, nz, ray_step, min_step,
                     rd0, rd1, rd2, I0, I1, I2, p0, p1, p2, tacc, steppr, done,
                     valid=None):
     """Intersect + march one galaxy instance (rasterizer.cpp:379-483)."""
@@ -584,7 +620,7 @@ def _march_instance(static, inst, lay, S, pfx, perm_rows, ray_step, min_step,
                              active, weight, ray_step, I0, I1, I2)
             else:
                 _apply_component_run(
-                    static, inst, comps, lay, S, pfx, perm_rows,
+                    static, inst, comps, lay, S, pfx, nz,
                     px, py, pz, active, weight, ray_step,
                     dott, Px, Py, Pz, radius, I0, I1, I2)
 
@@ -683,7 +719,7 @@ def _component_trigger(S, cpre, active, dott, radius):
     return active & (h <= 2.0) & (radius < r_thr), h
 
 
-def _apply_component_run(static, inst, comps, lay, S, pfx, perm_rows,
+def _apply_component_run(static, inst, comps, lay, S, pfx, nz,
                          px, py, pz, active, weight, ray_step,
                          dott, Px, Py, Pz, radius, I0, I1, I2):
     """A maximal run of consecutive non-bulge components under ONE tile
@@ -702,19 +738,19 @@ def _apply_component_run(static, inst, comps, lay, S, pfx, perm_rows,
         for cs, cpre, t, h in trigs:
             if len(trigs) == 1:
                 _apply_component_gated(
-                    static, inst, cs, lay, S, pfx, cpre, perm_rows,
+                    static, inst, cs, lay, S, pfx, cpre, nz,
                     px, py, pz, active, weight, ray_step,
                     Px, Py, Pz, radius, t, h, I0, I1, I2)
             else:
                 @pl.when(jnp.any(t))
                 def _one(cs=cs, cpre=cpre, t=t, h=h):
                     _apply_component_gated(
-                        static, inst, cs, lay, S, pfx, cpre, perm_rows,
+                        static, inst, cs, lay, S, pfx, cpre, nz,
                         px, py, pz, active, weight, ray_step,
                         Px, Py, Pz, radius, t, h, I0, I1, I2)
 
 
-def _apply_component_gated(static, inst, cs, lay, S, pfx, cpre, perm_rows,
+def _apply_component_gated(static, inst, cs, lay, S, pfx, cpre, nz,
                            px, py, pz, active, weight, ray_step,
                            Px, Py, Pz, radius, trigger, h, I0, I1, I2):
     """One triggered non-bulge component (galaxycomponent.cpp:45-88 +
@@ -744,13 +780,13 @@ def _apply_component_gated(static, inst, cs, lay, S, pfx, cpre, perm_rows,
     intensity = jnp.where(intensity > 0.1, jnp.full_like(intensity, 0.1),
                           intensity)
     gates = active & (z > 0.01) & (intensity > 0.001)
-    _component_emit(static, inst, cs, lay, S, pfx, cpre, perm_rows,
+    _component_emit(static, inst, cs, lay, S, pfx, cpre, nz,
                     px, py, pz, gates, weight, ray_step, iscale,
                     strength, z, intensity, radius, Px, Py, Pz,
                     rot_by_rotmat, spec_r, spec_g, spec_b, I0, I1, I2)
 
 
-def _component_emit(static, inst, cs, lay, S, pfx, cpre, perm_rows,
+def _component_emit(static, inst, cs, lay, S, pfx, cpre, nz,
                     px, py, pz, gates, weight, ray_step, iscale, strength,
                     z, intensity, radius, Px, Py, Pz, rot_by_rotmat,
                     spec_r, spec_g, spec_b, I0, I1, I2):
@@ -791,22 +827,26 @@ def _component_emit(static, inst, cs, lay, S, pfx, cpre, perm_rows,
     def twirl3(t):
         return _twirl(twx, twy, twz, t, px, py, pz)
 
+    # raw-noise backend is per-component compile-time static; None keeps
+    # the default simplex trace byte-identical to the pre-knob kernel
+    raw_fn = nz.raw_fn(cs.noise_kind)
+
     def cloud(octaves, t, ks_, pers_):
         tx, ty, tz = twirl3(t)
-        return pn.octave_noise_3d(perm_rows, octaves, pers_, ks_ * 0.1,
-                                  tx, ty, tz)
+        return pn.octave_noise_3d(nz.perm, octaves, pers_, ks_ * 0.1,
+                                  tx, ty, tz, raw_fn=raw_fn)
 
     # second-level early-out: gates passed somewhere, but the intensity
     # floor (val*weight > 0.0005, galaxycomponent.cpp:75) may still kill
     # every lane in the tile — skip the noise then too
     @pl.when(jnp.any(emit))
     def _emitting():
-        _component_noise(cs, S, cpre, perm_rows, px, py, pz, emit, ival,
+        _component_noise(cs, S, cpre, nz, raw_fn, px, py, pz, emit, ival,
                          winding, ray_step, ks, cscale, noff, ntilt, cloud,
                          twirl3, spec_r, spec_g, spec_b, I0, I1, I2)
 
 
-def _component_noise(cs, S, cpre, perm_rows, px, py, pz, emit, ival,
+def _component_noise(cs, S, cpre, nz, raw_fn, px, py, pz, emit, ival,
                      winding, ray_step, ks, cscale, noff, ntilt, cloud,
                      twirl3, spec_r, spec_g, spec_b, I0, I1, I2):
     # Emission masks are where-selects, NEVER multiply-by-mask: a NaN or inf
@@ -837,8 +877,8 @@ def _component_noise(cs, S, cpre, perm_rows, px, py, pz, emit, ival,
     elif cs.cid in (CID_DUST2, CID_DUST_POSITIVE):
         tx, ty, tz = twirl3(winding)
         sw = tuple(S(cpre + "ridged_w", k) for k in range(cs.oct(RIDGED_OCTAVES)))
-        p2v = pn.ridged_mf(perm_rows, tx * cscale, ty * cscale, tz * cscale,
-                           sw, 2.5, noff, ntilt)
+        p2v = pn.ridged_mf(nz.perm, tx * cscale, ty * cscale, tz * cscale,
+                           sw, 2.5, noff, ntilt, raw_fn=raw_fn)
         p2v = jnp.maximum(p2v, 0.0)
         if cs.cid == CID_DUST2:
             e = -p2v * ival * 0.01
@@ -850,7 +890,8 @@ def _component_noise(cs, S, cpre, perm_rows, px, py, pz, emit, ival,
             accum_add(emit, p2v)
     elif cs.cid == CID_STARS:
         freq = (0.01 * cscale) * 100.0
-        perlin = jnp.abs(pn.octave_noise_3d(perm_rows, cs.oct(10), ks, freq, px, py, pz))
+        perlin = jnp.abs(pn.octave_noise_3d(nz.perm, cs.oct(10), ks, freq,
+                                            px, py, pz, raw_fn=raw_fn))
         add_n = jnp.zeros_like(perlin)
         if cs.star_extra:
             add_n = noff * cloud(cs.oct(4), winding, 2.0, -2.0)
@@ -958,10 +999,26 @@ def _set_row0(lay: _Layout, sp, row0_f):
     return sp.at[..., off // 128, off % 128].set(row0_f)
 
 
-def _perm_rows_const(tr: int):
-    """The byte-packed permutation table broadcast to a (tr, 128) VMEM
-    block (one lane-gather + byte-extract per lookup in the kernel)."""
-    return jnp.asarray(np.broadcast_to(PERM_PACKED32, (tr, 128)).copy())
+def _tables_const(tr: int, lay: _Layout):
+    """The kernel's constant-table input: (lay.table_blocks * tr, 128)
+    int32. Block 0 is the byte-packed simplex permutation broadcast to
+    (tr, 128) rows (one lane-gather + byte-extract per lookup); when the
+    scene uses noise_kind='perlin', blocks 1-4 carry the packed 1024-entry
+    Perlin permutation and blocks 5-12 its packed gradient words
+    (ops/altnoise.perlin_packed_tables), each 128-word chunk row-broadcast
+    the same way."""
+    blocks = [np.broadcast_to(PERM_PACKED32, (tr, 128))]
+    if lay.table_blocks > 1:
+        from ..ops.altnoise import perlin_packed_tables
+
+        pp, gp = perlin_packed_tables()
+        for c in range(4):
+            blocks.append(np.broadcast_to(pp[c * 128:(c + 1) * 128],
+                                          (tr, 128)))
+        for c in range(8):
+            blocks.append(np.broadcast_to(gp[c * 128:(c + 1) * 128],
+                                          (tr, 128)))
+    return jnp.asarray(np.concatenate(blocks, axis=0).astype(np.int32))
 
 
 def _tile_call(kernel, lay: _Layout, tr: int, cols: int, grid, out_rows: int,
@@ -979,7 +1036,8 @@ def _tile_call(kernel, lay: _Layout, tr: int, cols: int, grid, out_rows: int,
         smem_spec = pl.BlockSpec((1, lay.smem_rows, 128),
                                  lambda i, j: (0, 0, 0),
                                  memory_space=pltpu.SMEM)
-        perm_spec = pl.BlockSpec((tr, 128), lambda i, j: (0, 0),
+        perm_spec = pl.BlockSpec((lay.table_blocks * tr, 128),
+                                 lambda i, j: (0, 0),
                                  memory_space=pltpu.VMEM)
         out_specs = [pl.BlockSpec((tr, TILE_C), lambda i, j: (i, j),
                                   memory_space=pltpu.VMEM)] * 3
@@ -989,7 +1047,8 @@ def _tile_call(kernel, lay: _Layout, tr: int, cols: int, grid, out_rows: int,
         smem_spec = pl.BlockSpec((1, lay.smem_rows, 128),
                                  lambda b, i, j: (b, 0, 0),
                                  memory_space=pltpu.SMEM)
-        perm_spec = pl.BlockSpec((tr, 128), lambda b, i, j: (0, 0),
+        perm_spec = pl.BlockSpec((lay.table_blocks * tr, 128),
+                                 lambda b, i, j: (0, 0),
                                  memory_space=pltpu.VMEM)
         out_specs = [pl.BlockSpec((1, tr, TILE_C), lambda b, i, j: (b, i, j),
                                   memory_space=pltpu.VMEM)] * 3
@@ -1050,7 +1109,7 @@ def _compiled(static: SceneStatic, size: int, pool: int = 1):
     kernel = _make_kernel(static, lay, size, rows, cols, tr=tr)
     call = _tile_call(kernel, lay, tr, cols, (rows // tr, cols // TILE_C),
                       rows)
-    perm_rows = _perm_rows_const(tr)
+    perm_rows = _tables_const(tr, lay)
 
     def _pooled_linear(sp):
         r, g, b = call(sp, perm_rows)
@@ -1106,7 +1165,7 @@ def _compiled_rowshard(static: SceneStatic, size: int, mesh, pool: int = 1):
     kernel = _make_kernel(static, lay, size, rows, cols, tr=tr)
     call = _tile_call(kernel, lay, tr, cols,
                       (rows_local // tr, cols // TILE_C), rows_local)
-    perm_rows = _perm_rows_const(tr)
+    perm_rows = _tables_const(tr, lay)
 
     def _local(sp):
         row0 = (jax.lax.axis_index(axis) * rows_local).astype(jnp.float32)
@@ -1157,7 +1216,7 @@ def _compiled_batch_rowshard(static: SceneStatic, size: int,
     call = _tile_call(kernel, lay, tr, cols,
                       (nbatch_local, rows_local // tr, cols // TILE_C),
                       rows_local, batched_n=nbatch_local)
-    perm_rows = _perm_rows_const(tr)
+    perm_rows = _tables_const(tr, lay)
 
     def _local(sp_rows):
         row0 = (jax.lax.axis_index("rows") * rows_local).astype(jnp.float32)
@@ -1205,7 +1264,7 @@ def _compiled_band(static: SceneStatic, size: int, band_rows: int,
     kernel = _make_kernel(static, lay, size, band_rows, cols, tr=tr)
     call = _tile_call(kernel, lay, tr, cols,
                       (band_rows // tr, cols // TILE_C), band_rows)
-    perm_rows = _perm_rows_const(tr)
+    perm_rows = _tables_const(tr, lay)
 
     def _band_linear(sp, row0):
         r, g, b = call(_set_row0(lay, sp, row0), perm_rows)
@@ -1248,7 +1307,7 @@ def _compiled_batch(static: SceneStatic, size: int, nbatch: int,
     call = _tile_call(kernel, lay, tr, cols,
                       (nbatch, rows // tr, cols // TILE_C), rows,
                       batched_n=nbatch)
-    perm_rows = _perm_rows_const(tr)
+    perm_rows = _tables_const(tr, lay)
 
     @jax.jit
     def run(sp_rows):
@@ -1278,7 +1337,7 @@ def _compiled_dirs(static: SceneStatic, n_rays: int):
                             memory_space=pltpu.VMEM)
     call = _tile_call(kernel, lay, TILE_R, cols, (rows // TILE_R, 1), rows,
                       extra_in_specs=(dir_spec, dir_spec, dir_spec))
-    perm_rows = _perm_rows_const(TILE_R)
+    perm_rows = _tables_const(TILE_R, lay)
 
     @jax.jit
     def run(sp, dx, dy, dz):

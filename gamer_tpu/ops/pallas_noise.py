@@ -189,36 +189,165 @@ def raw_noise_3d(perm_rows, x, y, z):
     return 32.0 * (n0 + n1 + n2 + n3)
 
 
-def octave_noise_3d(perm_rows, octaves: int, persistence, scale, x, y, z):
-    """noise.cpp:162-180; octaves static, unrolled."""
+# ---------------------------------------------------------------------------
+# alternative raw-noise backends (RenderConfig.noise_kind)
+# ---------------------------------------------------------------------------
+
+
+def _chunked_gather(chunks, widx):
+    """Gather int32 words from a table wider than one vreg row: Mosaic's
+    dynamic gather is lane-local (128 lanes), so an N*128-word table rides
+    as N row-broadcast chunks — one lane gather per chunk + selects."""
+    lane = widx & 127
+    sel = widx >> 7
+    out = jnp.take_along_axis(chunks[0], lane, axis=1)
+    for c in range(1, len(chunks)):
+        out = jnp.where(sel == c,
+                        jnp.take_along_axis(chunks[c], lane, axis=1), out)
+    return out
+
+
+def perlin_perm_lookup(pperm, idx):
+    """p[idx] for the 1024-entry Perlin permutation (values 0..1023): the
+    packed table (ops/altnoise.perlin_packed_tables) holds two 16-bit
+    entries per word across 4 chunks. Masking by 1023 is value-identical
+    to the reference's doubled table (perlin.h:59, p[i] == p[i & 1023])."""
+    e = idx & 1023
+    w = _chunked_gather(pperm, e >> 1)
+    return (w >> ((e & 1) << 4)) & 1023
+
+
+def _perlin_grad_dot(pgrad, idx, rx, ry, rz):
+    """dot(g3[idx], r) from the 3x10-bit packed gradient words; the f32
+    decode (q - 511.5) * (1/511.5) is bit-identical to the decoded table
+    ops/altnoise feeds the XLA engine."""
+    w = _chunked_gather(pgrad, idx & 1023)
+    mid = jnp.float32(511.5)
+    inv = jnp.float32(1.0 / 511.5)
+    gx = ((w & 1023).astype(jnp.float32) - mid) * inv
+    gy = (((w >> 10) & 1023).astype(jnp.float32) - mid) * inv
+    gz = (((w >> 20) & 1023).astype(jnp.float32) - mid) * inv
+    return rx * gx + ry * gy + rz * gz
+
+
+def perlin_raw_3d(pperm, pgrad, x, y, z):
+    """Classic Perlin gradient noise (perlin.cpp:99-150, x2 of
+    perlin.h:32-37) on an (R, 128) tile — the packed-table twin of
+    ops/altnoise.perlin_raw_3d (cross-engine image gate in
+    tests/test_noise_kind.py)."""
+
+    def setup(v):
+        t = v + 4096.0
+        it = t.astype(jnp.int32)  # trunc; t >= 0 over the sane input range
+        b0 = it & 1023
+        r0 = t - it.astype(jnp.float32)
+        return b0, (b0 + 1) & 1023, r0, r0 - 1.0
+
+    bx0, bx1, rx0, rx1 = setup(x)
+    by0, by1, ry0, ry1 = setup(y)
+    bz0, bz1, rz0, rz1 = setup(z)
+
+    i = perlin_perm_lookup(pperm, bx0)
+    j = perlin_perm_lookup(pperm, bx1)
+    b00 = perlin_perm_lookup(pperm, i + by0)
+    b10 = perlin_perm_lookup(pperm, j + by0)
+    b01 = perlin_perm_lookup(pperm, i + by1)
+    b11 = perlin_perm_lookup(pperm, j + by1)
+
+    def s_curve(t):
+        return t * t * (3.0 - 2.0 * t)
+
+    def lerp(w, a, b):
+        return a + w * (b - a)
+
+    t = s_curve(rx0)
+    sy = s_curve(ry0)
+    sz = s_curve(rz0)
+    a = lerp(t, _perlin_grad_dot(pgrad, b00 + bz0, rx0, ry0, rz0),
+             _perlin_grad_dot(pgrad, b10 + bz0, rx1, ry0, rz0))
+    b = lerp(t, _perlin_grad_dot(pgrad, b01 + bz0, rx0, ry1, rz0),
+             _perlin_grad_dot(pgrad, b11 + bz0, rx1, ry1, rz0))
+    c = lerp(sy, a, b)
+    a = lerp(t, _perlin_grad_dot(pgrad, b00 + bz1, rx0, ry0, rz1),
+             _perlin_grad_dot(pgrad, b10 + bz1, rx1, ry0, rz1))
+    b = lerp(t, _perlin_grad_dot(pgrad, b01 + bz1, rx0, ry1, rz1),
+             _perlin_grad_dot(pgrad, b11 + bz1, rx1, ry1, rz1))
+    d = lerp(sy, a, b)
+    return 2.0 * lerp(sz, c, d)
+
+
+def iq_raw_3d(x, y, z):
+    """IQ sin-hash trilinear value noise (iqnoise.cpp:34-53) on a tile.
+
+    floor is trunc-adjusted (Mosaic-safe); sin is the backend
+    transcendental — the TC core's sin and XLA's libm can disagree in the
+    last ulps, which the x753.5453123 fract hash amplifies, so the
+    cross-engine gate for this backend is image-statistical on hardware
+    (exact under CPU interpret, where both paths share one libm)."""
+
+    def fl(v):
+        t = jnp.trunc(v)
+        return t - (v < t).astype(v.dtype)
+
+    px, py, pz = fl(x), fl(y), fl(z)
+    fx, fy, fz = x - px, y - py, z - pz
+    fx = fx * fx * (3.0 - 2.0 * fx)
+    fy = fy * fy * (3.0 - 2.0 * fy)
+    fz = fz * fz * (3.0 - 2.0 * fz)
+    n = px + py * 157.0 + 113.0 * pz
+
+    def h(o):
+        v = jnp.sin(n + o) * 753.5453123
+        return v - fl(v)
+
+    def lerp(w, a, b):
+        return a + w * (b - a)
+
+    return lerp(
+        fz,
+        lerp(fy, lerp(fx, h(0.0), h(1.0)), lerp(fx, h(157.0), h(158.0))),
+        lerp(fy, lerp(fx, h(113.0), h(114.0)), lerp(fx, h(270.0), h(271.0))),
+    )
+
+
+def octave_noise_3d(perm_rows, octaves: int, persistence, scale, x, y, z,
+                    raw_fn=None):
+    """noise.cpp:162-180; octaves static, unrolled. ``raw_fn`` swaps the
+    raw-noise backend (default: packed-table simplex via perm_rows)."""
     if ABLATE_OCTAVES:
         octaves = min(int(octaves), ABLATE_OCTAVES)
+    raw = ((lambda a, b, c: raw_noise_3d(perm_rows, a, b, c))
+           if raw_fn is None else raw_fn)
     total = jnp.zeros_like(x)
     freq = scale
     amp = 1.0
     max_amp = 0.0
     for _ in range(int(octaves)):
-        total = total + raw_noise_3d(perm_rows, x * freq, y * freq, z * freq) * amp
+        total = total + raw(x * freq, y * freq, z * freq) * amp
         freq = freq * 2.0
         max_amp = max_amp + amp
         amp = amp * persistence
     return total / max_amp
 
 
-def ridged_mf(perm_rows, x, y, z, spectral_weights, lacunarity, offset, gain):
+def ridged_mf(perm_rows, x, y, z, spectral_weights, lacunarity, offset, gain,
+              raw_fn=None):
     """noise.cpp:81-128; per-octave f32 coordinate scaling is native here.
 
     spectral_weights: per-octave pow(freq_k, -0.05) scalars, computed by the
     caller OUTSIDE the kernel (scalar pow is not lowerable on the TC core);
-    its length sets the octave count.
+    its length sets the octave count. ``raw_fn`` swaps the raw-noise
+    backend (default: packed-table simplex via perm_rows).
     """
     if ABLATE_OCTAVES:
         spectral_weights = spectral_weights[:ABLATE_OCTAVES]
+    raw = ((lambda a, b, c: raw_noise_3d(perm_rows, a, b, c))
+           if raw_fn is None else raw_fn)
     value = jnp.zeros_like(x)
     weight = jnp.ones_like(x)
     vx, vy, vz = x, y, z
     for sw in spectral_weights:
-        signal = raw_noise_3d(perm_rows, vx, vy, vz)
+        signal = raw(vx, vy, vz)
         signal = offset - jnp.abs(signal)
         signal = signal * signal
         signal = signal * weight

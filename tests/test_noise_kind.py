@@ -8,10 +8,10 @@ engine. Contract:
 
 - the default ("simplex") stays bit-identical to the pre-knob engine;
 - "perlin"/"iq" render deterministic, finite, non-trivial images that
-  differ from simplex (no conformance oracle exists — the reference never
-  renders with them);
-- the production Pallas kernel rejects non-simplex kinds with a clear
-  error (it implements the engine default, like the reference hardcoding).
+  differ from simplex (scalar algorithm oracles: tests/test_altnoise_oracle);
+- the production Pallas kernel renders all three kinds, cross-engine gated
+  against the XLA path at the established tolerance, so the service
+  accepts them too.
 """
 
 from __future__ import annotations
@@ -78,12 +78,23 @@ def test_combinators_accept_raw_fn_explicitly():
         jnoise.resolve_raw("white")
 
 
-def test_pallas_rejects_non_simplex(fixtures_dir):
+@pytest.mark.parametrize("kind", ["perlin", "iq"])
+def test_pallas_matches_xla_for_alt_kinds(fixtures_dir, kind):
+    """Production-kernel alt noise vs the XLA engine: the established
+    cross-engine tolerance (<=2 uint8 LSB, same gate as simplex in
+    tests/test_pallas.py). Under CPU interpret both share one libm, so the
+    IQ sin-hash agrees too; on hardware the IQ gate is statistical (the TC
+    core's sin differs in last ulps — scripts/ladder.py re-checks there)."""
     from gamer_tpu.engine.pallas_render import render_scene_pallas
+    from gamer_tpu.engine.render import render_scene
 
     g = gax.load(fixtures_dir / "Spiral.gax")
-    with pytest.raises(ValueError, match="noise_kind='simplex'"):
-        render_scene_pallas(_scene(g, noise_kind="perlin"))
+    scene = _scene(g, noise_kind=kind)
+    ours = render_scene_pallas(scene)
+    ref = render_scene(scene)
+    assert np.asarray(ours).sum() > 0
+    d = np.abs(ours.astype(np.int16) - ref.astype(np.int16))
+    assert d.max() <= 2, f"pallas vs xla ({kind}) max diff {d.max()}"
 
 
 def test_config_validates_kind():
@@ -103,12 +114,31 @@ def test_scene_dict_round_trips_kind(fixtures_dir):
     assert scene_from_dict(d).config.noise_kind == "simplex"
 
 
-def test_serve_rejects_non_simplex_at_submission(fixtures_dir):
-    """The service renders through the Pallas kernel; a non-simplex scene
-    must fail at submission (-> HTTP 400), not minutes later on the worker."""
+def test_serve_accepts_alt_kinds(fixtures_dir):
+    """The service's Pallas path now renders all three kinds — submission
+    must accept them (and still 400 on a genuinely unknown kind via the
+    RenderConfig validator)."""
     from gamer_tpu.serve import RenderService
 
     g = gax.load(fixtures_dir / "Spiral.gax")
     svc = RenderService(autostart=False)
-    with pytest.raises(ValueError, match="noise_kind='simplex'"):
-        svc.submit(_scene(g, noise_kind="perlin"))
+    jid = svc.submit(_scene(g, noise_kind="perlin"))
+    assert svc.jobs[jid].state == "queued"
+    jid2 = svc.submit(_scene(g, noise_kind="iq"))
+    assert svc.jobs[jid2].state == "queued"
+
+
+def test_serve_renders_perlin_end_to_end(fixtures_dir):
+    """One 16^2 perlin render through the service worker (interpret-mode
+    Pallas on CPU) — the full submit -> worker -> finished-frame path."""
+    from gamer_tpu.serve import RenderService
+
+    g = gax.load(fixtures_dir / "Spiral.gax")
+    svc = RenderService()
+    try:
+        jid = svc.submit(_scene(g, noise_kind="perlin"))
+        job = svc.wait(jid, timeout=600.0)
+        assert job.state == "done", job.error
+        assert job.image.sum() > 0
+    finally:
+        svc.stop()
