@@ -140,14 +140,23 @@ class RenderService:
     max_finished: finished jobs retained for retrieval; beyond that the
     oldest finished job (and its frame buffers) is evicted — a long-running
     service must not grow ~MB per served frame forever.
+    single_fuse_below: single-frame jobs smaller than this render as ONE
+    fused launch instead of `bands` progressive dispatches — below ~512^2
+    the frame takes a fraction of a second and each extra dispatch costs a
+    full host<->device round trip, so banding multiplied small-frame
+    latency for progress nobody can see (measured: the serving p50 at
+    256^2 was dominated by it, BASELINE.md). Larger frames keep the banded
+    path (partial frames + mid-frame abort). 0 disables fusing.
     """
 
     def __init__(self, batch_window_s: float = 0.0, bands: int = 8,
                  mesh=None, autostart: bool = True,
                  max_queue: Optional[int] = 256,
-                 max_finished: Optional[int] = 512):
+                 max_finished: Optional[int] = 512,
+                 single_fuse_below: int = 512):
         self.batch_window_s = batch_window_s
         self.bands = bands
+        self.single_fuse_below = single_fuse_below
         self.mesh = mesh
         self.max_queue = max_queue
         self.max_finished = max_finished
@@ -163,6 +172,7 @@ class RenderService:
             "jobs_aborted": 0, "batches": 0, "batched_frames": 0,
             "padded_frames": 0, "jobs_rejected": 0, "jobs_evicted": 0,
             "worker_preemptions": 0, "warmed_executables": 0,
+            "singles_fused": 0, "long_polls": 0,
             "render_seconds": 0.0, "started_at": time.time(),
         }
         self._preempting = False
@@ -213,14 +223,10 @@ class RenderService:
             scene = scene_from_dict(scene)
         if not isinstance(scene, Scene):
             raise ValueError(f"expected Scene or scene dict, got {type(scene)}")
-        if scene.config.noise_kind != "simplex":
-            # the service renders through the production Pallas kernel,
-            # which implements the engine-default simplex noise only;
-            # reject at submission so the request 400s instead of failing
-            # on the worker (alternative kinds: XLA engine, library API)
-            raise ValueError(
-                f"the render service supports noise_kind='simplex' only "
-                f"(got {scene.config.noise_kind!r})")
+        # all three noise_kind backends are accepted: the production Pallas
+        # kernel renders simplex/perlin/iq natively (engine/pallas_render),
+        # and fit jobs run through the XLA/diff engines, which thread the
+        # backend via render._component_sample
         return scene
 
     def submit_warm(self, scene, buckets=(1, 2, 4, 8),
@@ -501,10 +507,21 @@ class RenderService:
         return True
 
     def wait(self, job_id: int, timeout: float = 300.0) -> Job:
+        """Block until the job reaches a terminal state (or timeout) —
+        event-driven on the service condition (_finish notifies), so a
+        waiter costs nothing while the job runs. The HTTP long-poll
+        (GET /job/<id>?wait=s) rides this too: one blocked request replaces
+        a 20 ms polling loop per client, which at 8+ concurrent clients
+        was hundreds of handler threads/s of pure GIL pressure on the
+        render worker (BASELINE.md serving row)."""
         job = self.jobs[job_id]
         deadline = time.time() + timeout
-        while job.state in (QUEUED, RUNNING) and time.time() < deadline:
-            time.sleep(0.005)
+        with self._cond:
+            while job.state in (QUEUED, RUNNING):
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                self._cond.wait(remaining)
         return job
 
     def queue_depth(self) -> int:
@@ -567,6 +584,7 @@ class RenderService:
                    and len(self._finished_order) > self.max_finished):
                 self.jobs.pop(self._finished_order.popleft(), None)
                 self.metrics["jobs_evicted"] += 1
+            self._cond.notify_all()  # wake wait()/long-poll clients
 
     def healthy(self) -> bool:
         return self.consecutive_failures < self.max_consecutive_failures
@@ -882,6 +900,15 @@ class RenderService:
             self._finish(job, DONE)
             return
 
+        if 0 < job.scene.config.size < self.single_fuse_below:
+            # small frame: one fused launch; banding would pay `bands`
+            # dispatch round trips for sub-second work (see __init__ doc)
+            job.image = np.asarray(render_scene_pallas(job.scene))
+            with self._cond:
+                self.metrics["singles_fused"] += 1
+            self._finish(job, ABORTED if job.abort.is_set() else DONE)
+            return
+
         def on_progress(frac: float, partial: np.ndarray):
             job.progress = frac
             job.image = partial
@@ -1054,6 +1081,20 @@ def make_handler(service: RenderService):
                 if job is None:
                     self._json(404, {"error": "no such job"})
                 else:
+                    # long-poll: ?wait=SECONDS blocks (cap 60 s) until the
+                    # job is terminal — one request replaces a client-side
+                    # polling loop. Each waiter occupies only a handler
+                    # thread parked on the service condition.
+                    q = urllib.parse.parse_qs(
+                        urllib.parse.urlparse(self.path).query)
+                    if "wait" in q:
+                        try:
+                            timeout = min(float(q["wait"][0]), 60.0)
+                        except ValueError:
+                            return self._json(400, {"error": "bad wait="})
+                        with service._cond:
+                            service.metrics["long_polls"] += 1
+                        service.wait(job.id, timeout=timeout)
                     self._json(200, job.info())
             else:
                 self._json(404, {"error": "not found"})

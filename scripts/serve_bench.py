@@ -146,12 +146,20 @@ def main_http() -> None:
 
     payloads = [scene_to_dict(s) for s in _scenes(size, n_clients)]
 
+    def wait_done(jid: int) -> dict:
+        # long-poll (?wait=) — one blocked GET per job instead of a 20 ms
+        # client polling loop (which at 8 clients was ~400 handler
+        # threads/s of GIL pressure against the render worker)
+        while True:
+            info = get(f"/job/{jid}?wait=30")
+            if info["state"] not in ("queued", "running"):
+                return info
+
     # warm: one request per distinct camera (compiles the padded buckets)
     t0 = time.perf_counter()
     warm_ids = [post("/render", p)[1]["job"] for p in payloads]
     for jid in warm_ids:
-        while get(f"/job/{jid}")["state"] not in ("done", "failed"):
-            time.sleep(0.05)
+        wait_done(jid)
     print(f"warm pass ({n_clients} requests): "
           f"{time.perf_counter() - t0:.1f}s (includes compile)")
 
@@ -165,12 +173,7 @@ def main_http() -> None:
             t0 = time.perf_counter()
             try:
                 status, body = post("/render", payload)
-                jid = body["job"]
-                while True:
-                    info = get(f"/job/{jid}")
-                    if info["state"] in ("done", "failed", "aborted"):
-                        break
-                    time.sleep(0.02)
+                info = wait_done(body["job"])
                 dt = time.perf_counter() - t0
                 with lock:
                     (lat if info["state"] == "done" else errors).append(dt)

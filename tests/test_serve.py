@@ -43,7 +43,7 @@ def test_bucket_padding():
 def test_single_job_lifecycle(vortex_scene):
     from gamer_tpu.engine.pallas_render import render_progressive_pallas
 
-    svc = RenderService(bands=8)
+    svc = RenderService(bands=8, single_fuse_below=0)  # exercise banding
     try:
         t_submit = time.time()
         jid = svc.submit(vortex_scene)
@@ -60,6 +60,24 @@ def test_single_job_lifecycle(vortex_scene):
         assert info["state"] == "done" and info["error"] is None
         assert 0 <= info["queued_s"] <= time.time() - t_submit + 1
         assert svc.metrics["frames_rendered"] == 1
+    finally:
+        svc.stop()
+
+
+def test_small_single_is_one_fused_launch(vortex_scene):
+    """Default service: a small single frame renders as ONE fused launch
+    (no progressive banding — each band is a device round trip), and the
+    image equals the fused production render exactly."""
+    from gamer_tpu.engine.pallas_render import render_scene_pallas
+
+    svc = RenderService()  # default single_fuse_below=512
+    try:
+        jid = svc.submit(vortex_scene)
+        job = svc.wait(jid)
+        assert job.state == DONE
+        assert svc.metrics["singles_fused"] == 1
+        np.testing.assert_array_equal(
+            job.image, np.asarray(render_scene_pallas(vortex_scene)))
     finally:
         svc.stop()
 
@@ -140,7 +158,8 @@ def test_abort_running_job_keeps_partial_frame(vortex_scene):
     big = dataclasses.replace(
         vortex_scene,
         config=dataclasses.replace(vortex_scene.config, size=96))
-    svc = RenderService(autostart=False, bands=3)  # 3 x 32-row bands at 96px
+    svc = RenderService(autostart=False, bands=3,  # 3 x 32-row bands at 96px
+                        single_fuse_below=0)  # keep the banded-abort path
     try:
         jid = svc.submit(big)
         job = svc.jobs[jid]
@@ -568,15 +587,17 @@ def test_http_surface(vortex_scene):
             assert r.status == 202
             jid = json.loads(r.read())["job"]
 
-        deadline = time.time() + 120
+        # long-poll: one blocked GET replaces the client polling loop
+        # (?wait= caps at 60 s server-side, so loop for slow first compiles)
+        deadline = time.time() + 300
         state = None
         while time.time() < deadline:
-            _, body = get(f"/job/{jid}")
+            _, body = get(f"/job/{jid}?wait=30")
             state = json.loads(body)["state"]
             if state not in ("queued", "running"):
                 break
-            time.sleep(0.02)
         assert state == "done"
+        assert httpd.service.metrics["long_polls"] >= 1
 
         status, png = get(f"/job/{jid}/image.png")
         assert status == 200 and png[:8] == b"\x89PNG\r\n\x1a\n"
