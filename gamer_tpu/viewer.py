@@ -38,7 +38,11 @@ Endpoints (GET unless noted):
     /delgalaxy?galaxy= remove a galaxy from the library (not the last one)
     POST /upload?name= add a galaxy from .gax bytes in the request body
     /fullrender?galaxy=&size=&h=&v=&zoom=&ss=   full-quality render (exact
-                       octaves, full min step, configured ray_step)
+                       octaves, full min step, configured ray_step);
+                       &stream=1 pushes each progressive row band as a
+                       multipart/x-mixed-replace part, so the frame PAINTS
+                       in the browser like the reference GUI's 50 ms
+                       partial-frame loop (mainwindow.cpp:581-644)
     /skybox?galaxy=&size=       6 cube faces in ONE batched launch,
                        returned as a 3x2 montage PNG (renderqueue.cpp:129-173)
     /reset?galaxy=     drop all edits for the galaxy
@@ -237,7 +241,7 @@ async function delGalaxy(){
 function fullRender(){S('rendering...');
   const s=prompt('full render size',cfg.full_size||512);if(!s)return S('');
   window.open('/fullrender?galaxy='+encodeURIComponent(cur)+'&size='+s+
-    '&h='+h+'&v='+v+'&zoom='+zoom,'_blank');S('');}
+    '&h='+h+'&v='+v+'&zoom='+zoom+'&stream=1','_blank');S('');}
 function skybox(){window.open('/skybox?galaxy='+encodeURIComponent(cur),'_blank');}
 async function resetEdits(){
   await fetch('/reset?galaxy='+encodeURIComponent(cur));await pull();refresh();}
@@ -565,6 +569,34 @@ class _ViewerState:
             img = render_progressive_pallas(scene)
         return self._png(img)
 
+    def fullrender_progressive(self, name: str, size: int, h_deg: float,
+                               v_deg: float, zoom: float, ss: int,
+                               emit, bands: int = 16) -> None:
+        """Stream the Render button's frame as it fills: one
+        ``emit(frac, png_bytes)`` per completed row band, each a full-frame
+        PNG with un-rendered rows black — the Qt GUI's 50 ms partial-frame
+        repaint loop (mainwindow.cpp:581-644) as server push. emit
+        exceptions (client hung up) abort the render between bands via the
+        progressive callback's False return."""
+        if not 8 <= size <= _FULLRENDER_MAX:
+            raise ValueError(f"size must be in [8, {_FULLRENDER_MAX}]")
+        scene = self._scene(name, h_deg, v_deg, zoom, size,
+                            preview=False, lod=0, ss=ss)
+        with self.lock:
+            from .engine.pallas_render import render_progressive_pallas
+
+            def on_progress(frac, partial):
+                try:
+                    emit(frac, self._png(partial))
+                except OSError:
+                    return False  # client disconnected — stop rendering
+                return True
+
+            # the callback fires at frac=1.0 with the finished frame, so
+            # the last emitted part IS the complete render
+            render_progressive_pallas(scene, bands=bands,
+                                      on_progress=on_progress)
+
     def skybox_png(self, name: str, size: int) -> bytes:
         """Six cube faces in ONE batched launch, tiled 3x2 (face order
         Z- Z+ Y- / Y+ X- X+, renderqueue.cpp:129-173)."""
@@ -674,11 +706,41 @@ def make_handler(state: _ViewerState):
                                extra=(("Content-Disposition",
                                        f'attachment; filename="{fname}"'),))
                 elif url.path == "/fullrender":
-                    png = state.fullrender_png(
-                        name, int(get("size", state.cfg["full_size"])),
-                        get("h", 0), get("v", 0), get("zoom", 0),
-                        int(get("ss", 1)))
-                    self._send(200, "image/png", png)
+                    if qs("stream"):
+                        # multipart/x-mixed-replace: the browser repaints
+                        # each part in place, so the frame PAINTS band by
+                        # band like the reference GUI's progressive loop
+                        self.send_response(200)
+                        self.send_header(
+                            "Content-Type",
+                            "multipart/x-mixed-replace; boundary=gamerband")
+                        self.end_headers()
+
+                        def emit(frac, png):
+                            self.wfile.write(
+                                b"--gamerband\r\n"
+                                b"Content-Type: image/png\r\n"
+                                + f"Content-Length: {len(png)}\r\n"
+                                  f"X-Progress: {frac:.4f}\r\n\r\n".encode())
+                            self.wfile.write(png)
+                            self.wfile.write(b"\r\n")
+                            self.wfile.flush()
+
+                        state.fullrender_progressive(
+                            name, int(get("size", state.cfg["full_size"])),
+                            get("h", 0), get("v", 0), get("zoom", 0),
+                            int(get("ss", 1)), emit,
+                            bands=int(get("bands", 16)))
+                        try:
+                            self.wfile.write(b"--gamerband--\r\n")
+                        except OSError:
+                            pass
+                    else:
+                        png = state.fullrender_png(
+                            name, int(get("size", state.cfg["full_size"])),
+                            get("h", 0), get("v", 0), get("zoom", 0),
+                            int(get("ss", 1)))
+                        self._send(200, "image/png", png)
                 elif url.path == "/skybox":
                     png = state.skybox_png(name, int(get("size", 128)))
                     self._send(200, "image/png", png)

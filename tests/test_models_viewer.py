@@ -321,3 +321,49 @@ def test_viewer_galaxy_library_ops():
         json.loads(u(f"/reset?galaxy={g}"))
     finally:
         httpd.shutdown()
+
+
+def test_viewer_fullrender_streams_progressive_bands():
+    """/fullrender?stream=1 pushes MULTIPLE multipart parts — partial
+    frames first (un-rendered bottom rows black), the finished frame last
+    (the reference GUI's progressive repaint loop, mainwindow.cpp:581-644,
+    as server push)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from gamer_tpu.viewer import serve
+
+    httpd = serve(port=8769, size=12, poll=False)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        time.sleep(0.2)
+        base = "http://127.0.0.1:8769"
+        names = json.loads(urllib.request.urlopen(base + "/galaxies").read())
+        with urllib.request.urlopen(
+                base + f"/fullrender?galaxy={names[0]}&size=96&stream=1"
+                       "&bands=3") as r:
+            assert r.headers["Content-Type"].startswith(
+                "multipart/x-mixed-replace")
+            raw = r.read()
+        # split the stream into its PNG parts
+        parts = []
+        for chunk in raw.split(b"--gamerband"):
+            idx = chunk.find(b"\x89PNG")
+            if idx >= 0:
+                parts.append(chunk[idx:])
+        assert len(parts) >= 3, f"expected >=3 progressive parts, got {len(parts)}"
+        first = np.asarray(Image.open(io.BytesIO(parts[0])))
+        last = np.asarray(Image.open(io.BytesIO(parts[-1])))
+        assert first.shape == last.shape == (96, 96, 3)
+        # first band: top rows rendered, bottom band still black
+        assert int(first[:32].sum()) > 0
+        assert int(first[64:].sum()) == 0
+        # finished frame: bottom band has content, and the first band's
+        # rendered rows are already final (identical in the last part)
+        assert int(last[64:].sum()) > 0
+        np.testing.assert_array_equal(first[:32], last[:32])
+    finally:
+        httpd.shutdown()
