@@ -24,17 +24,22 @@ int32 word per lattice point (perlin_packed_tables /
 ops/pallas_noise.perlin_raw_3d) while this jnp path and the kernel decode
 BIT-IDENTICAL float32 gradient values.
 
-TPU perf caveat: this module's table lookups are plain jnp.take — on the
-XLA:TPU backend small-table gathers serialize (~10 M lookups/s, see
-ops/noise.py), so full-octave perlin through the XLA/diff engines is slow
-there. TPU renders route through the Pallas kernel's packed-table perlin
-instead; only alt-noise FITS (engine/fit.py) pay the gather-bound path.
+Backend-dispatched lookups (the ops/noise._perm_take treatment): XLA:TPU
+serializes small-table gathers (~10 M lookups/s — ops/noise.py), which
+would make full-octave perlin through the XLA/diff engines (alt-noise
+FITS) gather-bound, so on TPU the perm and gradient lookups run as
+one-hot bfloat16 matmuls against byte-split tables — integer-exact
+(every table piece <= 255 is exact in bf16, the f32 dot accumulates one
+nonzero term) and value-identical to jnp.take. Hardware RENDERS route
+through the Pallas kernel's packed-table twin either way
+(ops/pallas_noise.perlin_raw_3d).
 """
 
 from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -87,6 +92,61 @@ def perlin_packed_tables(seed: int = 94):
     return perm_packed, grad_packed
 
 
+def _onehot_dot(idx, table_bf16):
+    """one_hot(idx & 1023, 1024) @ table on the MXU — the gather-free
+    TPU lookup. Every table entry is <= 255 (byte pieces), so the bf16
+    one-hot rows and table are exact and the f32 dot accumulates exactly
+    one nonzero term: value-identical to jnp.take."""
+    i = idx & (SAMPLE_SIZE - 1)
+    oh = (i[..., None] == jnp.arange(SAMPLE_SIZE, dtype=jnp.int32)).astype(
+        jnp.bfloat16)
+    return jax.lax.dot_general(
+        oh, table_bf16, (((oh.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _byte_split_tables(seed: int):
+    """bf16 byte-piece tables for the one-hot lookups: perm as (1024, 2)
+    [lo, hi] bytes; gradients as (1024, 6) [qx_lo, qx_hi, qy_lo, ...] of
+    the EXACT quantized q values the decoded table was built from."""
+    perm, q, _ = _perlin_build(seed)
+    p64 = perm.astype(np.int64)
+    perm_bytes = np.stack([p64 & 255, p64 >> 8], axis=-1)
+    q64 = q.astype(np.int64)
+    grad_bytes = np.stack([q64[:, 0] & 255, q64[:, 0] >> 8,
+                           q64[:, 1] & 255, q64[:, 1] >> 8,
+                           q64[:, 2] & 255, q64[:, 2] >> 8], axis=-1)
+    return perm_bytes.astype(np.float32), grad_bytes.astype(np.float32)
+
+
+def _perm_take_1024(perm, idx, seed: int):
+    """perm[idx] — jnp.take off-TPU; byte-split one-hot matmul on TPU
+    (values 0..1023 ride as lo/hi bytes, both bf16-exact)."""
+    if jax.default_backend() != "tpu":
+        return jnp.take(perm, idx, axis=0)
+    perm_bytes, _ = _byte_split_tables(seed)
+    out = _onehot_dot(idx, jnp.asarray(perm_bytes, jnp.bfloat16))
+    return (out[..., 0] + 256.0 * out[..., 1]).astype(jnp.int32)
+
+
+def _grad_take_1024(g3, idx, dtype, seed: int):
+    """g3[idx] (the 10-bit-quantized gradient triples) — jnp.take off-TPU;
+    on TPU one byte-split one-hot matmul reconstructs the three quantized
+    components (q = lo + 256*hi, each piece bf16-exact) and decodes them
+    with the SAME f32 constants as the table build, so the values are
+    bit-identical to the stored table."""
+    if jax.default_backend() != "tpu":
+        return jnp.take(g3, idx, axis=0)
+    _, grad_bytes = _byte_split_tables(seed)
+    out = _onehot_dot(idx, jnp.asarray(grad_bytes, jnp.bfloat16))
+    qf = jnp.stack([out[..., 0] + 256.0 * out[..., 1],
+                    out[..., 2] + 256.0 * out[..., 3],
+                    out[..., 4] + 256.0 * out[..., 5]], axis=-1)
+    g = (qf - _GRAD_MID) * _GRAD_INV
+    return g.astype(dtype)
+
+
 def perlin_raw_3d(x, y, z, seed: int = 94):
     """Classic Perlin gradient noise in roughly [-1, 1] (x2 scaling like
     Perlin::raw_3d, perlin.h:32-37)."""
@@ -107,18 +167,18 @@ def perlin_raw_3d(x, y, z, seed: int = 94):
     by0, by1, ry0, ry1 = setup(jnp.asarray(y, dtype))
     bz0, bz1, rz0, rz1 = setup(jnp.asarray(z, dtype))
 
-    i = jnp.take(perm, bx0, axis=0)
-    j = jnp.take(perm, bx1, axis=0)
-    b00 = jnp.take(perm, i + by0, axis=0)
-    b10 = jnp.take(perm, j + by0, axis=0)
-    b01 = jnp.take(perm, i + by1, axis=0)
-    b11 = jnp.take(perm, j + by1, axis=0)
+    i = _perm_take_1024(perm, bx0, seed)
+    j = _perm_take_1024(perm, bx1, seed)
+    b00 = _perm_take_1024(perm, i + by0, seed)
+    b10 = _perm_take_1024(perm, j + by0, seed)
+    b01 = _perm_take_1024(perm, i + by1, seed)
+    b11 = _perm_take_1024(perm, j + by1, seed)
 
     def s_curve(t):
         return t * t * (3.0 - 2.0 * t)
 
     def at3(q_idx, rx, ry, rz):
-        g = jnp.take(g3, q_idx, axis=0)
+        g = _grad_take_1024(g3, q_idx, dtype, seed)
         return rx * g[..., 0] + ry * g[..., 1] + rz * g[..., 2]
 
     t = s_curve(rx0)

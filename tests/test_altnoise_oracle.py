@@ -112,3 +112,25 @@ def test_perlin_doubled_table_is_periodic():
     idx = np.arange(perm_full.shape[0])
     np.testing.assert_array_equal(perm_full, perm_full[idx & 1023])
     np.testing.assert_array_equal(g3_full, g3_full[idx & 1023])
+
+
+def test_onehot_lookup_paths_are_value_exact():
+    """The TPU one-hot byte-split matmul lookups (altnoise._perm_take_1024 /
+    _grad_take_1024 on the tpu backend) must be VALUE-identical to jnp.take:
+    every byte piece is bf16-exact and the f32 dot accumulates one nonzero
+    term. Exercised here by driving the matmul path directly (the dispatch
+    picks take on this CPU backend)."""
+    perm_full, g3_full = jalt._perlin_tables(94)
+    pb, gb = jalt._byte_split_tables(94)
+    idx = np.random.default_rng(3).integers(0, 2046, size=257).astype(np.int32)
+    out = np.asarray(jalt._onehot_dot(jnp.asarray(idx),
+                                      jnp.asarray(pb, jnp.bfloat16)))
+    vals = (out[..., 0] + 256.0 * out[..., 1]).astype(np.int64)
+    np.testing.assert_array_equal(vals, perm_full[idx])
+    out = np.asarray(jalt._onehot_dot(jnp.asarray(idx),
+                                      jnp.asarray(gb, jnp.bfloat16)))
+    q = np.stack([out[..., 0] + 256.0 * out[..., 1],
+                  out[..., 2] + 256.0 * out[..., 3],
+                  out[..., 4] + 256.0 * out[..., 5]], -1).astype(np.float32)
+    dec = (q - np.float32(511.5)) * np.float32(1.0 / 511.5)
+    np.testing.assert_array_equal(dec.astype(np.float64), g3_full[idx])
