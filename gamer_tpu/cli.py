@@ -65,9 +65,10 @@ Commands:
    fitjoint <camera x y z> <target x y z> <up x y z> <fov> <exposure> <gamma>
        <saturation> <ray step> <gax file> <target image> <out scene.json>
        [rounds=2] [posesteps=30] [scenesteps=60] [fields=strength,r0,z0]
-       [ckpt=FILE] [march=frozen]  (UNKNOWN camera AND unknown parameters:
-       alternating pose-ladder / parameter-block descent; also writes the
-       fitted galaxy next to the scene as <out>.gax)
+       [ckpt=FILE] [march=frozen] [pose=multiscale|fd]  (UNKNOWN camera AND
+       unknown parameters: alternating pose-block / parameter-block
+       descent — pose=fd probes the production kernel instead of the
+       differentiable ladder; also writes the fitted galaxy as <out>.gax)
    serve [port=8100] [batch window s=0.05] [bands=8] [mesh] [warm=GAX[:SIZES]]
    viewer [port=8000] [size=256] [gax dir]
 <method>: omp | thread | pallas (TPU kernel) | xla | oracle | sharded
@@ -621,11 +622,13 @@ def cmd_fitjoint(argv) -> int:
                 None)
     march = next((a[len("march="):] for a in argv if a.startswith("march=")),
                  "frozen")
+    pose_method = next((a[len("pose="):] for a in argv
+                        if a.startswith("pose=")), "multiscale")
     fields_arg = next((a[len("fields="):] for a in argv
                        if a.startswith("fields=")), None)
     argv = [a for a in argv
             if not (a.startswith("ckpt=") or a.startswith("march=")
-                    or a.startswith("fields="))]
+                    or a.startswith("pose=") or a.startswith("fields="))]
     if not 18 <= len(argv) <= 21:
         print(f"{len(argv)}\nIncorrect usage/parameters for fitjoint. Usage:")
         print(USAGE)
@@ -659,10 +662,13 @@ def cmd_fitjoint(argv) -> int:
                             exposure=vals[10], gamma=vals[11],
                             saturation=vals[12]),
     )
-    total = rounds * (pose_steps * len(DEFAULT_POSE_SCHEDULE) + scene_steps)
+    pose_block = (pose_steps * len(DEFAULT_POSE_SCHEDULE)
+                  if pose_method == "multiscale" else pose_steps)
+    total = rounds * (pose_block + scene_steps)
     print(f"Jointly fitting camera + {','.join(fields)} of {gax_file} to "
           f"{target_file} ({rounds} rounds, {pose_steps} pose + "
-          f"{scene_steps} scene steps/round, march={march}) ...")
+          f"{scene_steps} scene steps/round, march={march}, "
+          f"pose={pose_method}) ...")
     t0 = time.perf_counter()
 
     def on_step(i, loss):
@@ -671,7 +677,8 @@ def cmd_fitjoint(argv) -> int:
 
     result = fit_joint(scene, target, fields, rounds=rounds,
                        pose_steps=pose_steps, scene_steps=scene_steps,
-                       march=march, on_step=on_step, checkpoint_path=ckpt)
+                       march=march, pose_method=pose_method,
+                       on_step=on_step, checkpoint_path=ckpt)
     cam = result.scene.camera
     print(f"\nloss {result.losses[0]:.6f} -> {min(result.losses):.6f} in "
           f"{format_ms((time.perf_counter() - t0) * 1000.0)}")
