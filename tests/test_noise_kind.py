@@ -128,6 +128,7 @@ def test_serve_accepts_alt_kinds(fixtures_dir):
     assert svc.jobs[jid2].state == "queued"
 
 
+@pytest.mark.slow
 def test_serve_renders_perlin_end_to_end(fixtures_dir):
     """One 16^2 perlin render through the service worker (interpret-mode
     Pallas on CPU) — the full submit -> worker -> finished-frame path."""
