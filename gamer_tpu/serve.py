@@ -751,6 +751,9 @@ class RenderService:
             if b is None:  # the path a lone interactive request takes
                 if self.mesh is not None:
                     np.asarray(render_scene_pallas(sc, mesh=self.mesh))
+                elif 0 < sc.config.size < self.single_fuse_below:
+                    # small singles fuse (see _render_single) — warm THAT
+                    np.asarray(render_scene_pallas(sc))
                 else:
                     render_progressive_pallas(sc, bands=self.bands)
                 label = f"{sc.config.size}px/single"
