@@ -155,8 +155,15 @@ def main_http() -> None:
             if info["state"] not in ("queued", "running"):
                 return info
 
-    # warm: one request per distinct camera (compiles the padded buckets)
+    # warm THROUGH the service's own pre-warm job: the single fused path +
+    # every pad bucket the measured burst can hit. Rendering 8 warm
+    # requests instead leaves whichever buckets they didn't happen to
+    # coalesce into cold — the r4 first measurement paid exactly one such
+    # cold compile as a 26 s p99 outlier that ate 80% of the wall.
     t0 = time.perf_counter()
+    _, body = post("/warm", {"scene": payloads[0],
+                             "buckets": [1, 2, 4, 8]})
+    wait_done(body["job"])
     warm_ids = [post("/render", p)[1]["job"] for p in payloads]
     for jid in warm_ids:
         wait_done(jid)
