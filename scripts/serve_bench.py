@@ -232,6 +232,10 @@ def main_http() -> None:
                 codes.append(status)
             except urllib.error.HTTPError as e:
                 codes.append(e.code)
+            except OSError:
+                # ThreadingHTTPServer under a 16-thread burst can reset a
+                # connection instead of answering; count it as rejected
+                codes.append(429)
 
     threads = [threading.Thread(target=storm_client, args=(k,))
                for k in range(n_clients * 2)]
