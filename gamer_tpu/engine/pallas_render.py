@@ -1517,7 +1517,8 @@ def render_progressive_pallas(scene: Scene, bands: int = 16,
 
     band_out = band_rows // ss
     out = np.zeros((n_bands * band_out, cfg.size, 3), np.uint8)
-    for b in range(n_bands):
+
+    def dispatch(b: int):
         row0 = np.float32(b * band_rows)
         if overlay is not None:
             ob = np.zeros((band_out, cfg.size, 3), np.float32)
@@ -1525,13 +1526,35 @@ def render_progressive_pallas(scene: Scene, bands: int = 16,
             hi = min(cfg.size, lo + band_out)
             if hi > lo:
                 ob[: hi - lo] = overlay[lo:hi]
-            band = run_post_ov(sp, row0, jnp.asarray(ob), exposure, gamma,
+            return run_post_ov(sp, row0, jnp.asarray(ob), exposure, gamma,
                                saturation)
-        else:
-            band = run_post(sp, row0, exposure, gamma, saturation)
-        out[b * band_out : (b + 1) * band_out] = np.asarray(band)
-        if on_progress is not None:
-            partial = out[: cfg.size].copy()
-            if on_progress((b + 1) / n_bands, partial) is False:
-                return partial
+        return run_post(sp, row0, exposure, gamma, saturation)
+
+    # one-band software pipeline: band b+1 is DISPATCHED before band b is
+    # downloaded, so the uint8 band transfer overlaps the next band's
+    # device march (jax dispatch is async; np.asarray forces). At giant
+    # frames the transfer is material — a 16K^2 band is 50 MB of uint8,
+    # seconds on a degraded tunnel link — and without overlap it
+    # serializes with the march (measured r4: 16384^2 streamed at ~3.4x
+    # the fused per-pixel rate in a slow-link hour). Values are unchanged
+    # (same executables, same order); progress/abort now trail the
+    # dispatch by one band, which still stops a cancelled render at the
+    # NEXT band boundary like the reference's abort slack.
+    pending_b = None
+    pending = None
+    for b in range(n_bands):
+        band = dispatch(b)
+        if pending is not None:
+            out[pending_b * band_out: (pending_b + 1) * band_out] = (
+                np.asarray(pending))
+            if on_progress is not None:
+                partial = out[: cfg.size].copy()
+                if on_progress((pending_b + 1) / n_bands, partial) is False:
+                    return partial
+        pending_b, pending = b, band
+    out[pending_b * band_out: (pending_b + 1) * band_out] = np.asarray(pending)
+    if on_progress is not None:
+        partial = out[: cfg.size].copy()
+        if on_progress(1.0, partial) is False:
+            return partial
     return out[: cfg.size]

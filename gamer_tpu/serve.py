@@ -619,8 +619,14 @@ class RenderService:
                     and head.fit_spec is None and head.warm_spec is None:
                 # animations, fit and warm jobs never merge with other
                 # requests (their keys are unique by construction) — don't
-                # pay the batching window for them
-                time.sleep(self.batch_window_s)
+                # pay the batching window for them. Under sustained load,
+                # compatible requests pile up DURING the previous launch,
+                # so if any are already queued the window is pure added
+                # latency — sleep only when the head is (so far) alone.
+                with self._cond:
+                    alone = not any(j.key == head.key for j in self._queue)
+                if alone:
+                    time.sleep(self.batch_window_s)
             self._execute_head(head)
 
     def _execute_head(self, head: Job) -> None:
