@@ -70,6 +70,7 @@ Commands:
        descent — pose=fd probes the production kernel instead of the
        differentiable ladder; also writes the fitted galaxy as <out>.gax)
    serve [port=8100] [batch window s=0.05] [bands=8] [mesh] [warm=GAX[:SIZES]]
+         [maxbatch=N]
    viewer [port=8000] [size=256] [gax dir]
 <method>: omp | thread | pallas (TPU kernel) | xla | oracle | sharded
 """
@@ -712,15 +713,20 @@ def cmd_serve(argv) -> int:
     row-sharded, batches/animations sharded on the batch axis. A
     'warm=FILE.gax[:SIZE,SIZE...]' token pre-compiles that galaxy's launch
     shapes (single path + pad buckets) at startup, so the first client at
-    each size never pays a cold compile."""
+    each size never pays a cold compile. 'maxbatch=N' caps how many
+    compatible requests merge into one launch (latency/throughput dial —
+    serve.py RenderService docstring)."""
     from .serve import serve
 
     args = argv[1:]
     use_mesh = any(a.lower() == "mesh" for a in args)
     warm = next((a[len("warm="):] for a in args if a.startswith("warm=")),
                 None)
+    max_batch = next((int(a[len("maxbatch="):]) for a in args
+                      if a.startswith("maxbatch=")), None)
     args = [a for a in args
-            if a.lower() != "mesh" and not a.startswith("warm=")]
+            if a.lower() != "mesh" and not a.startswith("warm=")
+            and not a.startswith("maxbatch=")]
     port = int(args[0]) if len(args) > 0 else 8100
     window = float(args[1]) if len(args) > 1 else 0.05
     bands = int(args[2]) if len(args) > 2 else 8
@@ -747,7 +753,8 @@ def cmd_serve(argv) -> int:
             print(f"warming {path} at sizes {sizes or [scene.config.size]} "
                   f"(job {jid})")
 
-    serve(port, window, bands, mesh=mesh, on_start=warm_submit)
+    serve(port, window, bands, mesh=mesh, on_start=warm_submit,
+          max_batch=max_batch)
     return 0
 
 

@@ -147,16 +147,30 @@ class RenderService:
     latency for progress nobody can see (measured: the serving p50 at
     256^2 was dominated by it, BASELINE.md). Larger frames keep the banded
     path (partial frames + mid-frame abort). 0 disables fusing.
+    max_batch: latency/throughput dial — cap on how many compatible
+    requests merge into one device launch (None = unlimited). Per-request
+    latency is quantized to the launch the request lands in, so at N
+    concurrent clients the uncapped service batches all N and every
+    request pays the full bucket-N device time (BASELINE.md: p50 567 ms at
+    8 clients / 256^2, bucket-8 launch ~0.45 s). Capping at N/2 splits the
+    wave into two cheaper launches — the first wave's requests return in
+    roughly half the time — at the cost of some frames/launch batching
+    efficiency. Excess compatible jobs stay queued in FIFO order and form
+    the next launch immediately.
     """
 
     def __init__(self, batch_window_s: float = 0.0, bands: int = 8,
                  mesh=None, autostart: bool = True,
                  max_queue: Optional[int] = 256,
                  max_finished: Optional[int] = 512,
-                 single_fuse_below: int = 512):
+                 single_fuse_below: int = 512,
+                 max_batch: Optional[int] = None):
         self.batch_window_s = batch_window_s
         self.bands = bands
         self.single_fuse_below = single_fuse_below
+        if max_batch is not None and max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        self.max_batch = max_batch
         self.mesh = mesh
         self.max_queue = max_queue
         self.max_finished = max_finished
@@ -590,14 +604,16 @@ class RenderService:
         return self.consecutive_failures < self.max_consecutive_failures
 
     def _drain_compatible(self, head: Job) -> List[Job]:
-        """Pull every queued job sharing head's compiled structure/size
-        (FIFO order preserved for the rest)."""
+        """Pull every queued job sharing head's compiled structure/size,
+        up to ``max_batch`` total (FIFO order preserved for the rest)."""
         batch = [head]
         with self._cond:
             keep = deque()
             while self._queue:
                 j = self._queue.popleft()
-                if j.key == head.key and not j.abort.is_set():
+                if (j.key == head.key and not j.abort.is_set()
+                        and (self.max_batch is None
+                             or len(batch) < self.max_batch)):
                     batch.append(j)
                 else:
                     keep.append(j)
@@ -1112,7 +1128,8 @@ def make_handler(service: RenderService):
 
 
 def serve(port: int = 8100, batch_window_s: float = 0.05, bands: int = 8,
-          mesh=None, poll: bool = True, on_start=None):
+          mesh=None, poll: bool = True, on_start=None,
+          max_batch: Optional[int] = None):
     """Start the render API. Returns the HTTPServer (caller-managed when
     poll=False — used by tests and embedders). on_start(service) runs once
     the service exists — e.g. to submit a startup warm job (CLI warm=)."""
@@ -1120,7 +1137,7 @@ def serve(port: int = 8100, batch_window_s: float = 0.05, bands: int = 8,
 
     enable_persistent_cache()  # first-of-a-shape requests compile once ever
     service = RenderService(batch_window_s=batch_window_s, bands=bands,
-                            mesh=mesh)
+                            mesh=mesh, max_batch=max_batch)
     if on_start is not None:
         on_start(service)
     httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(service))
@@ -1142,5 +1159,6 @@ if __name__ == "__main__":
     ap.add_argument("--port", type=int, default=8100)
     ap.add_argument("--batch-window", type=float, default=0.05)
     ap.add_argument("--bands", type=int, default=8)
+    ap.add_argument("--max-batch", type=int, default=None)
     args = ap.parse_args()
-    serve(args.port, args.batch_window, args.bands)
+    serve(args.port, args.batch_window, args.bands, max_batch=args.max_batch)

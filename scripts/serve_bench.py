@@ -21,7 +21,10 @@ Usage:
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/serve_bench.py \
       [size=256] [requests=16]              # inproc A/B
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/serve_bench.py \
-      http [size=256] [clients=8] [requests_per_client=8]
+      http [size=256] [clients=8] [requests_per_client=8] [maxbatch=N]
+
+maxbatch=N caps frames per launch (the RenderService latency dial) so
+the p50-vs-throughput tradeoff can be measured at the same load.
 """
 
 from __future__ import annotations
@@ -123,11 +126,14 @@ def main_http() -> None:
     from gamer_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
-    size = int(sys.argv[2]) if len(sys.argv) > 2 else 256
-    n_clients = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    per_client = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    args = [a for a in sys.argv[2:] if "=" not in a]
+    kw = dict(a.split("=", 1) for a in sys.argv[2:] if "=" in a)
+    size = int(args[0]) if len(args) > 0 else 256
+    n_clients = int(args[1]) if len(args) > 1 else 8
+    per_client = int(args[2]) if len(args) > 2 else 8
+    max_batch = int(kw["maxbatch"]) if "maxbatch" in kw else None
 
-    service = RenderService(batch_window_s=0.05)
+    service = RenderService(batch_window_s=0.05, max_batch=max_batch)
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
     port = httpd.server_address[1]
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
@@ -206,7 +212,7 @@ def main_http() -> None:
     lat_ms = np.sort(np.array(lat)) * 1e3
     p = lambda q: float(np.percentile(lat_ms, q))
     print(f"\n{n_clients} clients x {per_client} requests at {size}^2 "
-          f"(window 0.05s):")
+          f"(window 0.05s, max_batch={max_batch}):")
     print(f"  throughput  {total / wall:.2f} req/s ({wall:.1f}s wall)")
     print(f"  latency     p50 {p(50):.0f} ms   p90 {p(90):.0f} ms   "
           f"p99 {p(99):.0f} ms")

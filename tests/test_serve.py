@@ -112,6 +112,39 @@ def test_cross_request_batching(vortex_scene):
         svc.stop()
 
 
+def test_max_batch_caps_launch_size(vortex_scene):
+    """max_batch splits a 5-deep compatible queue into capped launches —
+    the latency dial (a request's latency is quantized to the launch it
+    lands in, BASELINE.md serving rows). Leftovers stay FIFO and form the
+    next launch; results still match the direct renders."""
+    import dataclasses
+
+    cams = orbit_path(vortex_scene.camera, 5, horizontal_deg=80.0)
+    scenes = [dataclasses.replace(vortex_scene, camera=c) for c in cams]
+
+    svc = RenderService(autostart=False, max_batch=2)
+    try:
+        jids = [svc.submit(s) for s in scenes]
+        svc.start()
+        jobs = [svc.wait(j) for j in jids]
+        assert all(j.state == DONE for j in jobs)
+        # 5 jobs at cap 2 -> launches of 2, 2, 1 (the final solo renders
+        # through the single path, not a batch launch)
+        assert svc.metrics["batches"] == 2
+        assert svc.metrics["batched_frames"] == 4
+        # frames are per-camera correct regardless of which launch served
+        # them: distinct cameras -> distinct frames
+        for a, b in zip(jobs, jobs[1:]):
+            assert not np.array_equal(a.image, b.image)
+    finally:
+        svc.stop()
+
+
+def test_max_batch_validation():
+    with pytest.raises(ValueError):
+        RenderService(autostart=False, max_batch=0)
+
+
 def test_incompatible_sizes_do_not_batch(vortex_scene):
     import dataclasses
 
@@ -452,7 +485,8 @@ def test_metrics_text_format(vortex_scene):
 
 
 def test_cli_serve_args(monkeypatch):
-    """`gamer-tpu serve [port] [window] [bands] [mesh]` arg plumbing."""
+    """`gamer-tpu serve [port] [window] [bands] [mesh] [maxbatch=N]` arg
+    plumbing."""
     import gamer_tpu.cli as cli
     import gamer_tpu.parallel
     import gamer_tpu.serve
@@ -460,10 +494,12 @@ def test_cli_serve_args(monkeypatch):
     calls = {}
     monkeypatch.setattr(
         gamer_tpu.serve, "serve",
-        lambda port, w, b, mesh=None, on_start=None: calls.update(
-            port=port, w=w, b=b, mesh=mesh, on_start=on_start))
+        lambda port, w, b, mesh=None, on_start=None, max_batch=None:
+        calls.update(port=port, w=w, b=b, mesh=mesh, on_start=on_start,
+                     max_batch=max_batch))
     assert cli.cmd_serve(["serve", "9000", "0.1", "4"]) == 0
-    assert calls == dict(port=9000, w=0.1, b=4, mesh=None, on_start=None)
+    assert calls == dict(port=9000, w=0.1, b=4, mesh=None, on_start=None,
+                         max_batch=None)
     class FakeMesh:
         devices = np.zeros(8)
 
@@ -473,8 +509,12 @@ def test_cli_serve_args(monkeypatch):
     assert cli.cmd_serve(["serve", "9000", "0.1", "4", "mesh"]) == 0
     assert calls["mesh"] is fake
     calls.clear()
+    assert cli.cmd_serve(["serve", "9000", "maxbatch=4"]) == 0
+    assert calls["max_batch"] == 4
+    calls.clear()
     assert cli.cmd_serve(["serve"]) == 0
-    assert calls == dict(port=8100, w=0.05, b=8, mesh=None, on_start=None)
+    assert calls == dict(port=8100, w=0.05, b=8, mesh=None, on_start=None,
+                         max_batch=None)
 
 
 def test_cli_serve_warm(monkeypatch, fixtures_dir):
@@ -486,8 +526,8 @@ def test_cli_serve_warm(monkeypatch, fixtures_dir):
     calls = {}
     monkeypatch.setattr(
         gamer_tpu.serve, "serve",
-        lambda port, w, b, mesh=None, on_start=None: calls.update(
-            port=port, on_start=on_start))
+        lambda port, w, b, mesh=None, on_start=None, max_batch=None:
+        calls.update(port=port, on_start=on_start))
     gaxfile = str(fixtures_dir / "VortexCloud.gax")
     assert cli.cmd_serve(["serve", "9000", f"warm={gaxfile}:16,32"]) == 0
     assert calls["port"] == 9000 and calls["on_start"] is not None
