@@ -173,7 +173,8 @@ def render_batch_linear(scenes: Sequence[Scene],
     return linear
 
 
-def render_batch(scenes: Sequence[Scene], mesh: Optional[Mesh] = None) -> np.ndarray:
+def render_batch(scenes: Sequence[Scene], mesh: Optional[Mesh] = None,
+                 device_out: bool = False) -> np.ndarray:
     """Render B scenes (same size/supersample) -> (B, S, S, 3) uint8.
 
     Scenes are grouped by component structure — one launch per group — so
@@ -181,6 +182,13 @@ def render_batch(scenes: Sequence[Scene], mesh: Optional[Mesh] = None) -> np.nda
     work (each frame composites its instances in ITS camera's far->near
     order). With a mesh, each group's batch axis is sharded across the
     mesh's devices (uneven groups are padded to the mesh divisor).
+
+    ``device_out=True`` returns the uint8 stack as a DEVICE array without
+    blocking on the host download — JAX's async dispatch means the call
+    returns as soon as the launch is enqueued, so a caller can overlap the
+    readback of this batch with packing/dispatching the next one (the
+    serve worker's pipelined completer; same contract as
+    render_scene_pallas(device_out=True)).
     """
     size = scenes[0].config.size
     linear = render_batch_linear(scenes, mesh)
@@ -219,7 +227,7 @@ def render_batch(scenes: Sequence[Scene], mesh: Optional[Mesh] = None) -> np.nda
     gammas = np.asarray([s.config.gamma for s in scenes], np.float32)
     saturations = np.asarray([s.config.saturation for s in scenes], np.float32)
     img = _post_batch_jit()(linear, exposures, gammas, saturations)
-    return np.asarray(img)
+    return img if device_out else np.asarray(img)
 
 
 def render_flythrough(scene: Scene, cameras: Sequence[CameraParams],

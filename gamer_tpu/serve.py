@@ -66,6 +66,7 @@ from __future__ import annotations
 
 import io
 import json
+import queue
 import threading
 import time
 import urllib.parse
@@ -157,6 +158,16 @@ class RenderService:
     roughly half the time — at the cost of some frames/launch batching
     efficiency. Excess compatible jobs stay queued in FIFO order and form
     the next launch immediately.
+    pipeline: overlap the host readback+PNG-side finish of launch N with
+    packing/dispatching launch N+1 (default on). JAX dispatch is async, so
+    the worker hands the still-on-device frames to a completer thread and
+    immediately drains the next batch; the device serializes the launches
+    while the host download of the previous one rides alongside (the same
+    one-launch-deep pipeline as the 16K band renderer, BASELINE.md). Only
+    the two production hot paths hand off (batched launches + fused small
+    singles); animations/fits/warm/progressive singles keep their internal
+    progress semantics. ``render_seconds`` then counts worker-thread
+    dispatch occupancy, not readback.
     """
 
     def __init__(self, batch_window_s: float = 0.0, bands: int = 8,
@@ -164,13 +175,21 @@ class RenderService:
                  max_queue: Optional[int] = 256,
                  max_finished: Optional[int] = 512,
                  single_fuse_below: int = 512,
-                 max_batch: Optional[int] = None):
+                 max_batch: Optional[int] = None,
+                 pipeline: bool = True):
         self.batch_window_s = batch_window_s
         self.bands = bands
         self.single_fuse_below = single_fuse_below
         if max_batch is not None and max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
         self.max_batch = max_batch
+        self.pipeline = pipeline
+        # one-launch-deep readback pipeline: worker puts (jobs, finalize)
+        # after dispatch; the completer thread downloads + finishes while
+        # the worker packs the next launch. maxsize bounds how many
+        # launches' device frames can be held pending download.
+        self._completions: "queue.Queue" = queue.Queue(maxsize=2)
+        self._completer: Optional[threading.Thread] = None
         self.mesh = mesh
         self.max_queue = max_queue
         self.max_finished = max_finished
@@ -566,6 +585,12 @@ class RenderService:
             self._worker = threading.Thread(target=self._run, daemon=True,
                                             name="gamer-render-worker")
             self._worker.start()
+        if self.pipeline and (self._completer is None
+                              or not self._completer.is_alive()):
+            self._completer = threading.Thread(
+                target=self._completer_run, daemon=True,
+                name="gamer-render-completer")
+            self._completer.start()
 
     def stop(self, timeout: float = 30.0) -> None:
         with self._cond:
@@ -573,6 +598,11 @@ class RenderService:
             self._cond.notify_all()
         if self._worker is not None:
             self._worker.join(timeout)
+        if self._completer is not None:
+            # the worker is down, so every handoff is already enqueued; the
+            # sentinel lands behind them and the completer drains in order
+            self._completions.put(None)
+            self._completer.join(timeout)
 
     def _finish(self, job: Job, state: str, error: str | None = None) -> None:
         # under the lock: called from the worker AND from abort() on HTTP
@@ -674,6 +704,40 @@ class RenderService:
         with self._cond:
             self.metrics["render_seconds"] += time.time() - t0
 
+    # -- readback pipeline ---------------------------------------------------
+
+    def _handoff(self, batch: List[Job], finalize) -> None:
+        """Queue ``finalize`` (the host readback + job finish for an
+        already-DISPATCHED launch) on the completer thread so the worker
+        can immediately drain/pack/dispatch the next launch. Runs inline
+        when pipelining is off or the completer isn't up (direct
+        _execute_head callers in tests)."""
+        if (self.pipeline and self._completer is not None
+                and self._completer.is_alive()):
+            self._completions.put((batch, finalize))
+        else:
+            self._complete(batch, finalize)
+
+    def _complete(self, batch: List[Job], finalize) -> None:
+        """Run a launch's readback+finish with the same failure isolation
+        as _execute_head: a poisoned readback fails THOSE jobs and bumps
+        the healthz counter; the service lives on."""
+        try:
+            finalize()
+        except Exception as e:  # noqa: BLE001 — job isolation
+            with self._cond:
+                self.consecutive_failures += 1
+            for j in batch:
+                if j.state == RUNNING:
+                    self._finish(j, FAILED, f"{type(e).__name__}: {e}")
+
+    def _completer_run(self) -> None:
+        while True:
+            item = self._completions.get()
+            if item is None:
+                return
+            self._complete(*item)
+
     def _preempt_quick_jobs(self) -> None:
         """Interactive lane: between optimizer steps of a long fit, serve
         every queued NON-fit job so a multi-minute fit cannot head-of-line
@@ -722,15 +786,23 @@ class RenderService:
         scenes = [j.scene for j in batch]
         bucket = _bucket(len(scenes), multiple_of=n_dev)
         scenes = scenes + [scenes[-1]] * (bucket - len(scenes))
-        frames = render_batch(scenes, mesh=self._batch_mesh())
+        # dispatch only — frames stay on device; the completer downloads
+        # them while the worker packs the next launch (pipeline=True)
+        frames = render_batch(scenes, mesh=self._batch_mesh(),
+                              device_out=True)
         with self._cond:
             self.metrics["padded_frames"] += bucket - len(batch)
             self.metrics["batches"] += 1
             self.metrics["batched_frames"] += len(batch)
-        for j, frame in zip(batch, frames):
-            j.batched = True
-            j.image = np.asarray(frame)
-            self._finish(j, DONE)
+
+        def finalize():
+            host = np.asarray(frames)
+            for j, frame in zip(batch, host):
+                j.batched = True
+                j.image = frame
+                self._finish(j, DONE)
+
+        self._handoff(batch, finalize)
 
     def _render_animation(self, job: Job) -> None:
         """One batched launch for a whole fly-through/morph (BASELINE
@@ -927,11 +999,18 @@ class RenderService:
 
         if 0 < job.scene.config.size < self.single_fuse_below:
             # small frame: one fused launch; banding would pay `bands`
-            # dispatch round trips for sub-second work (see __init__ doc)
-            job.image = np.asarray(render_scene_pallas(job.scene))
+            # dispatch round trips for sub-second work (see __init__ doc).
+            # Dispatch-then-handoff like batches: the download of this
+            # frame overlaps the worker's next launch.
+            frame = render_scene_pallas(job.scene, device_out=True)
             with self._cond:
                 self.metrics["singles_fused"] += 1
-            self._finish(job, ABORTED if job.abort.is_set() else DONE)
+
+            def finalize():
+                job.image = np.asarray(frame)
+                self._finish(job, ABORTED if job.abort.is_set() else DONE)
+
+            self._handoff([job], finalize)
             return
 
         def on_progress(frac: float, partial: np.ndarray):

@@ -221,7 +221,12 @@ def test_abort_running_job_keeps_partial_frame(vortex_scene):
 
 
 def test_render_failure_isolates_job(vortex_scene, monkeypatch):
-    """A poisoned render fails THAT job; the worker keeps serving."""
+    """A poisoned render fails THAT job; the worker keeps serving.
+
+    Patches render_scene_pallas — the fused path a default service takes
+    for small singles (single_fuse_below) — so the poison raises at
+    dispatch, exercising _execute_head's isolation (the readback-side
+    twin is test_readback_failure_isolates_job)."""
     from gamer_tpu.engine import pallas_render
 
     def boom(*a, **k):
@@ -229,7 +234,7 @@ def test_render_failure_isolates_job(vortex_scene, monkeypatch):
 
     svc = RenderService(autostart=False)
     try:
-        monkeypatch.setattr(pallas_render, "render_progressive_pallas", boom)
+        monkeypatch.setattr(pallas_render, "render_scene_pallas", boom)
         svc.start()
         j1 = svc.submit(vortex_scene)
         job = svc.wait(j1)
@@ -244,6 +249,51 @@ def test_render_failure_isolates_job(vortex_scene, monkeypatch):
         assert svc.wait(j2).state == DONE
         assert svc.healthy()  # a success resets the failure streak
         assert svc.metrics["jobs_failed"] == 3
+    finally:
+        svc.stop()
+
+
+def test_readback_failure_isolates_job(vortex_scene, monkeypatch):
+    """A launch that dispatches fine but whose READBACK poisons (async
+    dispatch surfaces device crashes at download — the failure mode the
+    pipelined completer must isolate) fails that job, counts toward
+    healthz, and the service keeps serving."""
+    from gamer_tpu.engine import pallas_render
+
+    class PoisonFrame:
+        def __array__(self, *a, **k):
+            raise RuntimeError("readback poisoned")
+
+    def poisoned(scene, mesh=None, device_out=False):
+        assert device_out, "fused single path must dispatch device-out"
+        return PoisonFrame()
+
+    svc = RenderService(autostart=False)
+    try:
+        monkeypatch.setattr(pallas_render, "render_scene_pallas", poisoned)
+        svc.start()
+        job = svc.wait(svc.submit(vortex_scene))
+        assert job.state == FAILED
+        assert "readback poisoned" in job.error
+        assert svc.healthy()  # one failure is not yet a poisoned runtime
+        assert svc.consecutive_failures == 1
+        monkeypatch.undo()
+        job2 = svc.wait(svc.submit(vortex_scene))
+        assert job2.state == DONE
+        assert svc.healthy()  # success resets the streak
+    finally:
+        svc.stop()
+
+
+def test_pipeline_off_is_synchronous(vortex_scene):
+    """pipeline=False: no completer thread; the worker finishes jobs
+    inline (the pre-pipeline behavior, kept reachable)."""
+    svc = RenderService(autostart=False, pipeline=False)
+    try:
+        svc.start()
+        assert svc._completer is None
+        job = svc.wait(svc.submit(vortex_scene))
+        assert job.state == DONE and int(job.image.sum()) > 0
     finally:
         svc.stop()
 
