@@ -1643,7 +1643,11 @@ def fit_joint(
     block (``pose_steps`` finite-difference steps at full quality through
     the production kernel — no LOD rungs, no differentiable march), the
     cheaper pose block whenever the camera is within the secant basin
-    (~tens of pixels of image motion).
+    (~tens of pixels of image motion). Measured on the BASELINE joint-fit
+    case (128² full quality, camera +0.055, strengths ×1.8):
+    pose_method='fd' rounds=3 lands pos err 0.00081 / strength err 0.097
+    in 10.3 min wall vs 50.5 min for the multiscale-pose baseline at
+    worse errors (BASELINE.md; scripts/fit_joint_bench.py reproduces).
     """
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
