@@ -78,6 +78,26 @@ def test_combinators_accept_raw_fn_explicitly():
         jnoise.resolve_raw("white")
 
 
+def test_noise_statistics():
+    """Noise::calculate_statistics parity (noise.cpp:132-160): simplex raw
+    noise over uniform random points is zero-mean-ish and bounded in
+    [-1, 1]; the helper is deterministic under a fixed seed."""
+    from gamer_tpu.ops import noise as jnoise
+
+    s1 = jnoise.noise_statistics(jnoise.raw_noise_3d, n=20000, seed=7)
+    s2 = jnoise.noise_statistics(jnoise.raw_noise_3d, n=20000, seed=7)
+    assert s1 == s2  # seeded -> reproducible
+    assert -1.0 <= s1["min"] < s1["max"] <= 1.0
+    assert abs(s1["mean"]) < 0.05
+    assert 0.1 < s1["std"] < 0.5
+    # a constant sampler: degenerate stats come out exact
+    import jax.numpy as jnp
+
+    s3 = jnoise.noise_statistics(
+        lambda x, y, z: jnp.full_like(x, 0.25), n=100)
+    assert s3 == {"min": 0.25, "max": 0.25, "mean": 0.25, "std": 0.0}
+
+
 @pytest.mark.parametrize("kind", ["perlin", "iq"])
 def test_pallas_matches_xla_for_alt_kinds(fixtures_dir, kind):
     """Production-kernel alt noise vs the XLA engine: the established
