@@ -209,6 +209,13 @@ class RenderService:
             "render_seconds": 0.0, "started_at": time.time(),
         }
         self._preempting = False
+        # request-latency histogram (submit -> done), Prometheus buckets;
+        # only DONE render/animation jobs are recorded (fits/warms are
+        # minutes-long worker jobs, not request latency)
+        self._lat_le = (0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0, 30.0)
+        self._lat_buckets = [0] * (len(self._lat_le) + 1)  # +Inf last
+        self._lat_sum = 0.0
+        self._lat_count = 0
         # A TPU-runtime crash poisons the whole client process (tunneled
         # workers especially — see bench.py's subprocess isolation): after
         # enough consecutive render failures the service declares itself
@@ -575,6 +582,18 @@ class RenderService:
             lines.append(f"# TYPE gamer_{k} "
                          f"{'gauge' if k in gauges else 'counter'}")
             lines.append(f"gamer_{k} {v}")
+        with self._cond:
+            buckets = list(self._lat_buckets)
+            lat_sum, lat_count = self._lat_sum, self._lat_count
+        lines.append("# TYPE gamer_request_seconds histogram")
+        cum = 0
+        for le, n in zip(self._lat_le, buckets):
+            cum += n
+            lines.append(f'gamer_request_seconds_bucket{{le="{le}"}} {cum}')
+        lines.append(
+            f'gamer_request_seconds_bucket{{le="+Inf"}} {cum + buckets[-1]}')
+        lines.append(f"gamer_request_seconds_sum {round(lat_sum, 6)}")
+        lines.append(f"gamer_request_seconds_count {lat_count}")
         return "\n".join(lines) + "\n"
 
     # -- worker ------------------------------------------------------------
@@ -617,6 +636,16 @@ class RenderService:
                 job.progress = 1.0
                 self.metrics["frames_rendered"] += 1
                 self.consecutive_failures = 0
+                if job.fit_spec is None and job.warm_spec is None:
+                    dt = job.finished - job.submitted
+                    for i, le in enumerate(self._lat_le):
+                        if dt <= le:
+                            self._lat_buckets[i] += 1
+                            break
+                    else:
+                        self._lat_buckets[-1] += 1
+                    self._lat_sum += dt
+                    self._lat_count += 1
             elif state == FAILED:
                 self.metrics["jobs_failed"] += 1
             elif state == ABORTED:

@@ -530,6 +530,18 @@ def test_metrics_text_format(vortex_scene):
         assert "gamer_frames_rendered 1" in text
         assert "# TYPE gamer_queue_depth gauge" in text
         assert "gamer_uptime_seconds" in text
+        # request-latency histogram: one DONE render recorded, cumulative
+        # buckets monotone, +Inf equals the count
+        assert "# TYPE gamer_request_seconds histogram" in text
+        assert "gamer_request_seconds_count 1" in text
+        import re
+
+        cums = [int(v) for v in re.findall(
+            r'gamer_request_seconds_bucket\{le="[^"]+"\} (\d+)', text)]
+        assert cums == sorted(cums) and cums[-1] == 1
+        s = float(re.search(r"gamer_request_seconds_sum ([\d.e+-]+)",
+                            text).group(1))
+        assert s > 0
     finally:
         svc.stop()
 
