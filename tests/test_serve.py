@@ -285,6 +285,32 @@ def test_readback_failure_isolates_job(vortex_scene, monkeypatch):
         svc.stop()
 
 
+def test_pipeline_mixed_size_stress(vortex_scene):
+    """Interleaved incompatible sizes under the pipelined worker: every
+    job finishes with the right-shaped frame, none lost or cross-wired
+    between the worker and the completer."""
+    import dataclasses
+
+    other = dataclasses.replace(
+        vortex_scene,
+        config=dataclasses.replace(vortex_scene.config, size=24))
+    svc = RenderService(autostart=False)
+    try:
+        jids = []
+        for k in range(10):
+            jids.append(svc.submit(vortex_scene if k % 2 == 0 else other))
+        svc.start()
+        jobs = [svc.wait(j) for j in jids]
+        assert all(j.state == DONE for j in jobs)
+        for k, j in enumerate(jobs):
+            want = 16 if k % 2 == 0 else 24
+            assert j.image.shape == (want, want, 3), (k, j.image.shape)
+            assert int(j.image.sum()) > 0
+        assert svc.metrics["frames_rendered"] == 10
+    finally:
+        svc.stop()
+
+
 def test_pipeline_off_is_synchronous(vortex_scene):
     """pipeline=False: no completer thread; the worker finishes jobs
     inline (the pre-pipeline behavior, kept reachable)."""
