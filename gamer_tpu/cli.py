@@ -57,8 +57,10 @@ Commands:
    fit <camera x y z> <target x y z> <up x y z> <fov> <exposure> <gamma>
        <saturation> <ray step> <gax file> <target image> <out gax>
        [steps=100] [lr=0.02] [fields=strength,r0,z0] [multiscale] [ckpt=FILE]
-       [march=tensor|scan|frozen]  (frozen: noise precomputed once — the
-       fastest and most accurate gradients when fields don't feed the noise)
+       [march=tensor|scan|frozen|fd]  (frozen: noise precomputed once — the
+       fastest and most accurate gradients when fields don't feed the noise;
+       fd: central-difference probes through the production kernel — the
+       trustworthy fast path for winding/winding_b/winding_n/scale/ks)
    fitpose <camera x y z> <target x y z> <up x y z> <fov> <exposure> <gamma>
        <saturation> <ray step> <gax file> <target image> <out scene.json>
        [steps=80] [lr=0.01] [noise LOD=3 | multiscale | fd] [ckpt=FILE]
@@ -486,7 +488,22 @@ def cmd_fit(argv) -> int:
           f"({steps} steps, lr {lr}){mode} ...")
     t0 = time.perf_counter()
 
-    if multiscale:
+    if march == "fd" and multiscale:
+        print("fit: march=fd has no multiscale ladder (it needs none — "
+              "FD probes are stable at full octaves); drop 'multiscale'")
+        return 1
+    if march == "fd":
+        # central differences through the PRODUCTION kernel — the
+        # trustworthy fast path for winding/scale/ks (fit.fit_scene_fd)
+        from .engine.fit import fit_scene_fd
+
+        def on_step(i, loss):
+            print(f"\r[ step {i + 1}/{steps} ]  loss {loss:.6f} ",
+                  end="", flush=True)
+
+        result = fit_scene_fd(scene, target, fields, steps=steps, lr=lr,
+                              on_step=on_step, checkpoint_path=ckpt)
+    elif multiscale:
         from .engine.fit import DEFAULT_SCENE_SCHEDULE, fit_scene_multiscale
 
         total = steps * len(DEFAULT_SCENE_SCHEDULE)
@@ -722,8 +739,17 @@ def cmd_serve(argv) -> int:
     use_mesh = any(a.lower() == "mesh" for a in args)
     warm = next((a[len("warm="):] for a in args if a.startswith("warm=")),
                 None)
-    max_batch = next((int(a[len("maxbatch="):]) for a in args
-                      if a.startswith("maxbatch=")), None)
+    raw_maxbatch = next((a[len("maxbatch="):] for a in args
+                         if a.startswith("maxbatch=")), None)
+    max_batch = None
+    if raw_maxbatch is not None:
+        try:
+            max_batch = int(raw_maxbatch)
+        except ValueError:
+            print(f"bad maxbatch value {raw_maxbatch!r} (want an integer). "
+                  "Usage:")
+            print(USAGE)
+            return 1
     args = [a for a in args
             if a.lower() != "mesh" and not a.startswith("warm=")
             and not a.startswith("maxbatch=")]

@@ -7,7 +7,7 @@ from .scene_prep import SceneStatic, flatten_scene  # noqa: F401
 def __getattr__(name):
     # Lazy: the differentiable path + fitting pull in extra deps (optax)
     # that plain rendering never needs.
-    if name in ("fit_scene", "fit_pose", "fit_pose_fd",
+    if name in ("fit_scene", "fit_pose", "fit_pose_fd", "fit_scene_fd",
                 "fit_scene_multiscale",
                 "fit_pose_multiscale", "fit_scene_batch",
                 "fit_scene_multiview", "fit_joint",

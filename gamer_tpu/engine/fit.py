@@ -408,7 +408,9 @@ def _check_march_fields(march: str, fit_fields) -> None:
             f"fitting winding-family fields {sorted(bad)} with the tensor "
             "march: their reassociated gradients diverge from the true "
             "linearization (chaotic winding sensitivity) — pass "
-            "march='scan' for trustworthy winding gradients.",
+            "march='scan' for trustworthy winding gradients, or use "
+            "fit_scene_fd (march='fd' on the CLI) for the fast "
+            "production-kernel probe path.",
             RuntimeWarning, stacklevel=3)
 
 
@@ -1398,6 +1400,284 @@ def fit_pose_fd(
     new_scene.camera.fov = float(fitted["fov"])
     return FitResult(scene=new_scene, params=fitted, losses=losses,
                      fit_fields=tuple(fit_fields))
+
+
+# Vector-valued fittable leaves and their lengths (everything else is a
+# scalar); used by fit_scene_fd's probe-dimension enumeration.
+_FD_VECTOR_FIELDS = {"position": 3, "axis": 3, "arms": 4, "spec": 3}
+
+# Leaves whose NONZERO-ness is compiled into SceneStatic (scene_prep.py:
+# arm_enabled / winding_enabled): an FD probe or update crossing zero would
+# change the executable AND the semantics mid-fit, so these stay on their
+# initial sign.
+_FD_SIGN_STATIC = frozenset({"winding", "arm"})
+
+
+def fit_scene_fd(
+    scene: Scene,
+    target_image,
+    fit_fields: Sequence[str] = ("winding_b", "winding_n"),
+    *,
+    steps: int = 60,
+    lr: float = 2e-2,
+    eps: float = 0.05,
+    on_step: Optional[Callable[[int, float], None]] = None,
+    normalize: bool = False,
+    pool: int = 1,
+    mesh=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 10,
+) -> FitResult:
+    """Scene-parameter fitting by central differences through the
+    PRODUCTION Pallas kernel — the trustworthy fast path for the chaotic
+    structure fields.
+
+    fit_scene's differentiable marches cover the default strength/r0/z0
+    family well, but the spiral-DEFINING knobs are exactly the ones they
+    handle worst: winding/winding_b/winding_n gradients diverge under the
+    tensor march's reassociation (chaotic sensitivity — _check_march_fields
+    warns and routes to the slow sequential scan), and scale/ks move the
+    noise inputs, so the frozen march excludes them and infinitesimal
+    autodiff through full-octave noise reads decorrelation noise rather
+    than structure (galaxycomponent.h:156-165 is the reference math that
+    makes these fields the structure-critical set). This is the same
+    problem fit_pose_fd solved for camera scalars, generalized: probe every
+    fitted scalar at ±h where h is a RELATIVE step (``eps``·max(|θ|, 0.1) —
+    a few percent of the value, far above the noise correlation length),
+    render all 2K+1 probes as ONE batched production-kernel launch per step
+    (engine/batch.render_batch_linear — parameter changes never recompile),
+    and run host-side Adam on the K scalars with fit_pose_fd's relative
+    stepping. No differentiable march, no LOD ladder, full production
+    quality and speed.
+
+    Field handling: any FITTABLE_FIELDS leaf is accepted (per-component
+    scalars probe one dim per active component; position/axis/arms/spec
+    probe per vector lane). Bounded leaves (_FIT_BOUNDS) keep their probes
+    and updates above the bound (the FD denominator uses the actual probe
+    spread). winding/arm keep their initial sign — their nonzero-ness is
+    part of the compiled structure (scene_prep CompStatic) — and dims whose
+    initial value is exactly 0 are dropped with a warning (the flag is off;
+    the render is insensitive to them).
+
+    No reference analog; completes the inverse-rendering suite for the
+    parameter family the reference itself documents as "what makes it a
+    spiral" (TabGalaxyHelp.txt winding section).
+    """
+    import warnings
+
+    from .batch import render_batch_linear
+
+    wanted = set(fit_fields)
+    unknown = wanted - set(FITTABLE_FIELDS)
+    if unknown:
+        raise ValueError(
+            f"unknown fit fields {sorted(unknown)}; fittable: {FITTABLE_FIELDS}"
+        )
+
+    target = np.asarray(target_image, np.float32) / 255.0
+    size = target.shape[0]
+    if target.shape != (size, size, 3) or size != scene.config.size:
+        raise ValueError(
+            f"target must be ({scene.config.size}, {scene.config.size}, 3), "
+            f"got {target.shape}"
+        )
+    if pool < 1 or size % pool != 0:
+        raise ValueError(f"pool {pool} must divide the size {size}")
+
+    cfg = scene.config
+    _, params0 = flatten_scene(scene)
+    # mutable float64 working copy (written scalar-wise by the probe loop)
+    params0 = jax.tree_util.tree_map(
+        lambda a: np.array(a, np.float64), params0)
+
+    # --- probe-dimension enumeration (fixed order: checkpoint + gradient
+    # layout key on it) ---------------------------------------------------
+    dims: List[tuple] = []  # (inst_k, field, comp_j | None, lane_i | None)
+    dropped = []
+    for k, pr in enumerate(params0):
+        for fld in INSTANCE_FITTABLE:
+            if fld not in wanted:
+                continue
+            n = _FD_VECTOR_FIELDS.get(fld)
+            dims += [(k, fld, None, i) for i in range(n)] if n else [
+                (k, fld, None, None)]
+        for j, cp in enumerate(pr["comps"]):
+            for fld in COMP_FITTABLE:
+                if fld not in wanted:
+                    continue
+                if fld in _FD_SIGN_STATIC and float(cp[fld]) == 0.0:
+                    dropped.append((k, j, fld))
+                    continue
+                n = _FD_VECTOR_FIELDS.get(fld)
+                dims += [(k, fld, j, i) for i in range(n)] if n else [
+                    (k, fld, j, None)]
+    if dropped:
+        warnings.warn(
+            f"fit_scene_fd: dropping zero-valued structure-flag dims "
+            f"{dropped} — winding/arm nonzero-ness is compiled structure "
+            f"and the render is insensitive to a disabled flag's value",
+            RuntimeWarning, stacklevel=2)
+    K = len(dims)
+    if K == 0:
+        raise ValueError("no probe dimensions: fit_fields matched nothing")
+
+    def _get(params, dim) -> float:
+        k, fld, j, i = dim
+        node = params[k]["comps"][j][fld] if j is not None else params[k][fld]
+        return float(node if i is None else node[i])
+
+    def _set(params, dim, val: float) -> None:
+        k, fld, j, i = dim
+        tgt = params[k]["comps"][j] if j is not None else params[k]
+        if i is None:
+            tgt[fld] = np.float64(val)
+        else:
+            tgt[fld][i] = val
+
+    def _theta(params):
+        return np.array([_get(params, d) for d in dims], np.float64)
+
+    def _clamp(dim, val: float) -> float:
+        fld = dim[1]
+        lo = _FIT_BOUNDS.get(fld)
+        if lo is not None:
+            val = max(val, lo)
+        if fld in _FD_SIGN_STATIC:
+            s = np.sign(_get(params0, dim)) or 1.0
+            val = s * max(s * val, 1e-4)  # stay on the initial sign
+        return val
+
+    theta = _theta(params0)
+
+    def params_of(th):
+        p = jax.tree_util.tree_map(lambda a: np.array(a), params0)
+        for d, v in zip(dims, th):
+            _set(p, d, v)
+        return p
+
+    # --- device loss (identical shape to fit_pose_fd's) -------------------
+    tprep = target
+    if pool > 1:
+        o = size // pool
+        tprep = tprep.reshape(o, pool, o, pool, 3).mean(axis=(1, 3))
+    if normalize:
+        tprep = tprep / (tprep.mean() + 1e-6)
+    tprep_j = jnp.asarray(tprep)
+    f = jnp.float32
+
+    @jax.jit
+    def losses_of(linear):
+        img = post_process_float(
+            linear, f(cfg.exposure), f(cfg.gamma), f(cfg.saturation)
+        ) / 255.0
+        if pool > 1:
+            o = size // pool
+            img = img.reshape(-1, o, pool, o, pool, 3).mean(axis=(2, 4))
+        if normalize:
+            img = img / (jnp.mean(img, axis=(1, 2, 3), keepdims=True) + 1e-6)
+        return jnp.mean((img - tprep_j) ** 2, axis=(1, 2, 3))
+
+    def _h(th):
+        return float(eps) * np.maximum(np.abs(th), 0.1)
+
+    def probe_scenes(th):
+        """[current, +h/-h per dim] as Scenes sharing ONE static."""
+        h = _h(th)
+        out = [apply_fit_to_scene(scene, params_of(th), fit_fields)]
+        spreads = np.empty(K, np.float64)
+        for kd, d in enumerate(dims):
+            vp = _clamp(d, th[kd] + h[kd])
+            vm = _clamp(d, th[kd] - h[kd])
+            spreads[kd] = vp - vm
+            for v in (vp, vm):
+                tq = th.copy()
+                tq[kd] = v
+                out.append(apply_fit_to_scene(scene, params_of(tq),
+                                              fit_fields))
+        return out, spreads
+
+    # --- host Adam with relative stepping ---------------------------------
+    rel = np.maximum(np.abs(theta), 0.1)
+    m = np.zeros(K, np.float32)
+    v = np.zeros(K, np.float32)
+    t = 0
+    b1, b2, aeps = 0.9, 0.999, 1e-8
+
+    fingerprint = _fit_fingerprint(
+        "scenefd", fit_fields, lr, "fd", size, params0, target,
+        extra=f"pool{pool}|norm{int(normalize)}|eps{eps:g}|ss{cfg.supersample}",
+        aux=(scene.camera.camera, scene.camera.target, scene.camera.up,
+             scene.camera.fov, cfg.ray_step, cfg.min_ray_step,
+             cfg.exposure, cfg.gamma, cfg.saturation))
+
+    losses: List[float] = []
+    best_loss = np.inf
+    best_theta = theta.copy()
+    start = 0
+    if checkpoint_path:
+        resumed = _ckpt_load(checkpoint_path, fingerprint, {"th": theta},
+                             {"m": m, "t": np.int64(t), "v": v},
+                             {"th": best_theta})
+        if resumed is not None:
+            start, th_j, opt_j, losses, bl, best_j = resumed
+            theta = np.array(th_j["th"], np.float64)
+            m = np.array(opt_j["m"], np.float32)
+            v = np.array(opt_j["v"], np.float32)
+            t = int(opt_j["t"])
+            best_loss = float(bl)
+            best_theta = np.array(best_j["th"], np.float64)
+            if start > steps:
+                raise ValueError(
+                    f"checkpoint {checkpoint_path} already holds {start} "
+                    f"steps but only {steps} were requested — increase "
+                    f"steps to extend the run, or delete the checkpoint "
+                    f"to start over")
+
+    aborted = False
+    for i in range(start, steps):
+        scenes, spreads = probe_scenes(theta)
+        L = np.asarray(losses_of(render_batch_linear(scenes, mesh=mesh)),
+                       np.float64)
+        losses.append(float(L[0]))
+        if L[0] < best_loss:
+            best_loss = float(L[0])
+            best_theta = theta.copy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            g = np.where(spreads > 0,
+                         (L[1::2] - L[2::2]) / spreads, 0.0)
+        g = np.nan_to_num(g)
+        t += 1
+        m = (b1 * m + (1 - b1) * g).astype(np.float32)
+        v = (b2 * v + (1 - b2) * g * g).astype(np.float32)
+        upd = lr * (m / (1 - b1 ** t)) / (np.sqrt(v / (1 - b2 ** t)) + aeps)
+        theta = theta - upd * rel
+        theta = np.array([_clamp(d, th) for d, th in zip(dims, theta)],
+                         np.float64)
+        if checkpoint_path and ((i + 1) % max(1, checkpoint_every) == 0
+                                or i + 1 == steps):
+            _ckpt_save(checkpoint_path, fingerprint, i + 1, {"th": theta},
+                       {"m": m, "t": np.int64(t), "v": v}, losses,
+                       best_loss, {"th": best_theta})
+        if on_step is not None and on_step(i, losses[-1]) is False:
+            aborted = True
+            break
+    if not aborted:
+        # score the final iterate with the SAME batch shape (a 1-frame
+        # eval would compile a second executable)
+        scenes, _ = probe_scenes(theta)
+        L = np.asarray(losses_of(render_batch_linear(scenes, mesh=mesh)),
+                       np.float64)
+        losses.append(float(L[0]))
+        if L[0] < best_loss:
+            best_loss = float(L[0])
+            best_theta = theta.copy()
+
+    fitted_params = params_of(best_theta)
+    fitted_params = jax.tree_util.tree_map(
+        lambda a: np.asarray(a, np.float32), fitted_params)
+    return FitResult(
+        scene=apply_fit_to_scene(scene, fitted_params, fit_fields),
+        params=fitted_params, losses=losses, fit_fields=tuple(fit_fields))
 
 
 # (noise LOD, loss pool) rungs of the default pose ladder: coarse-noise +

@@ -1348,9 +1348,66 @@ def _compiled_dirs(static: SceneStatic, n_rays: int):
     return lay, rows * cols, run
 
 
-def render_dirs_pallas(scene: Scene, dirs) -> np.ndarray:
+@functools.lru_cache(maxsize=16)
+def _compiled_dirs_rowshard(static: SceneStatic, n_rays: int, mesh):
+    """Ray-list kernel with the ray rows sharded over a 1-D mesh — the
+    multi-device all-sky path (the HEALPix renderer, hpxrasterizer.cpp:
+    61-140, gets the same multi-chip story as the frame renderers).
+    Unlike the frame row slabs (_compiled_rowshard) there is no per-device
+    row offset to thread: rays arrive EXPLICITLY as (rows, 128) direction
+    arrays, and the kernel body has no dependence on the global ray index
+    (rays_input branch of _make_kernel), so each device just runs the same
+    tile program over its slab of direction rows. Padding rays are zero
+    vectors (never intersect). The only collective is XLA's output gather
+    at assembly."""
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if len(mesh.axis_names) != 1:
+        raise ValueError(f"need a 1-D mesh, got axes {mesh.axis_names}")
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    lay = _build_layout(static)
+    rows = -(-n_rays // TILE_C)
+    rows_local = -(-rows // (n_dev * TILE_R)) * TILE_R
+    rows = rows_local * n_dev
+    cols = TILE_C
+    kernel = _make_kernel(static, lay, 0, rows, cols, rays_input=True)
+
+    dir_spec = pl.BlockSpec((TILE_R, TILE_C), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    call = _tile_call(kernel, lay, TILE_R, cols, (rows_local // TILE_R, 1),
+                      rows_local,
+                      extra_in_specs=(dir_spec, dir_spec, dir_spec))
+    perm_rows = _tables_const(TILE_R, lay)
+
+    def _local(sp, dx, dy, dz):
+        return call(sp, perm_rows, dx, dy, dz)
+
+    sharded = shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis, None), P(axis, None)),
+        out_specs=P(axis, None),
+        check_vma=False,  # pallas_call out_shapes carry no vma info
+    )
+
+    @jax.jit
+    def run(sp, dx, dy, dz):
+        r, g, b = sharded(sp, dx, dy, dz)
+        flat = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)],
+                         axis=-1)
+        return flat[:n_rays]
+
+    return lay, rows * cols, run
+
+
+def render_dirs_pallas(scene: Scene, dirs, mesh=None) -> np.ndarray:
     """Linear radiance for an arbitrary (N, 3) ray-direction list via the
-    Pallas kernel (the HPXRasterizer work-list analog)."""
+    Pallas kernel (the HPXRasterizer work-list analog). With ``mesh`` (a
+    1-D device mesh) the ray rows are sharded across its devices."""
     static, params = flatten_scene(scene, jnp.float32)
     camera = np.asarray(scene.camera.camera, np.float32)
     inv_vp = cam_ops.inv_view_projection_host(
@@ -1358,7 +1415,10 @@ def render_dirs_pallas(scene: Scene, dirs) -> np.ndarray:
     cfg = scene.config
     dirs = np.asarray(dirs, np.float32)
     n = dirs.shape[0]
-    lay, padded, run = _compiled_dirs(static, n)
+    if mesh is not None:
+        lay, padded, run = _compiled_dirs_rowshard(static, n, mesh)
+    else:
+        lay, padded, run = _compiled_dirs(static, n)
     sp = _pack_scalars(static, lay, params, camera, inv_vp,
                        np.float32(cfg.ray_step), np.float32(cfg.min_ray_step))
     pad = padded - n

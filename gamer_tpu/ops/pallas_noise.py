@@ -199,6 +199,10 @@ def _chunked_gather(chunks, widx):
     dynamic gather is lane-local (128 lanes), so an N*128-word table rides
     as N row-broadcast chunks — one lane gather per chunk + selects."""
     lane = widx & 127
+    if ABLATE_GATHERS:
+        # arithmetic of similar register shape, zero gathers/selects —
+        # measures the chunked-gather share of a perlin/alt-noise eval
+        return (widx * jnp.int32(1103515245)) & jnp.int32(0x3FFFFFFF)
     sel = widx >> 7
     out = jnp.take_along_axis(chunks[0], lane, axis=1)
     for c in range(1, len(chunks)):

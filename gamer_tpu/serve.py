@@ -27,6 +27,12 @@ The JSON scene payload is the scene-dict API (scene.schema.scene_from_dict),
 so everything the CLI and library can render is servable. Endpoints:
 
   POST   /render            scene dict (or {"scene": {...}}) -> {"job": id}
+                            with "preview": true|octaves, the job first
+                            publishes a fast LOD frame (poll
+                            /job/<id>?wait=s&until=preview), then replaces
+                            it with the exact frame (preview-then-refine —
+                            the reference's preview→full contract,
+                            mainwindow.cpp:483-495, as a service)
   POST   /flythrough        {"scene": {...}, "frames": N, "orbit_deg": D}
                             -> orbit animation, ONE batched launch
   POST   /morph             {"scene": {...}, "target_galaxy": {...},
@@ -101,6 +107,8 @@ class Job:
     fit_spec: Optional[dict] = None     # inverse-rendering job parameters
     fit_result: Optional[dict] = None   # fitted scene dict + loss trace
     warm_spec: Optional[dict] = None    # executable pre-warm parameters
+    preview_lod: Optional[int] = None   # preview-then-refine: LOD octaves
+    preview_ready: bool = False         # the fast LOD frame is in .image
     submitted: float = field(default_factory=time.time)
     started: Optional[float] = None
     finished: Optional[float] = None
@@ -113,6 +121,7 @@ class Job:
             "progress": round(self.progress, 4), "batched": self.batched,
             "error": self.error, "size": self.scene.config.size,
             "frames": self.n_frames or None,
+            "preview_ready": self.preview_ready or None,
             "elapsed_s": round(end - (self.started or end), 4),
             "queued_s": round((self.started or end) - self.submitted, 4),
         }
@@ -167,7 +176,12 @@ class RenderService:
     the two production hot paths hand off (batched launches + fused small
     singles); animations/fits/warm/progressive singles keep their internal
     progress semantics. ``render_seconds`` then counts worker-thread
-    dispatch occupancy, not readback.
+    dispatch occupancy, not readback. Failure-isolation note: with the
+    pipeline on, healthz/consecutive_failures lag ONE launch behind
+    dispatch — the worker can dispatch launch N+1 into an already-poisoned
+    runtime before the completer records launch N's readback failure, so
+    the 3-failure 503 threshold can take one extra poisoned launch to trip
+    (bounded by the maxsize=2 completion queue).
     """
 
     def __init__(self, batch_window_s: float = 0.0, bands: int = 8,
@@ -205,7 +219,7 @@ class RenderService:
             "jobs_aborted": 0, "batches": 0, "batched_frames": 0,
             "padded_frames": 0, "jobs_rejected": 0, "jobs_evicted": 0,
             "worker_preemptions": 0, "warmed_executables": 0,
-            "singles_fused": 0, "long_polls": 0,
+            "singles_fused": 0, "long_polls": 0, "previews_rendered": 0,
             "render_seconds": 0.0, "started_at": time.time(),
         }
         self._preempting = False
@@ -228,18 +242,39 @@ class RenderService:
 
     # -- client surface ----------------------------------------------------
 
-    def submit(self, scene) -> int:
+    def submit(self, scene, preview=None) -> int:
         """Queue a Scene (or scene dict) for rendering; returns the job id.
 
         Raises ValueError for payloads that cannot flatten to a compilable
         scene — invalid requests fail at submission, not on the worker.
+
+        ``preview`` enables preview-then-refine (the reference's
+        preview→full contract, mainwindow.cpp:483-495, as a service): the
+        worker first renders a fast LOD frame (noise octaves capped at
+        ``preview`` — ``True`` means 4 — with the preview min-step) and
+        publishes it in ``job.image`` with ``preview_ready`` set, then
+        renders the EXACT frame in the long-running lane (queued quick
+        jobs are served first) and replaces the image. Poll
+        ``GET /job/<id>?wait=s&until=preview`` (or ``wait(until=
+        "preview")``) for the fast frame; the terminal image is bit-equal
+        to a direct exact render.
         """
         from .engine.scene_prep import flatten_scene
 
         scene = self._coerce_scene(scene)
         static, _ = flatten_scene(scene)  # validates; also the batching key
         key = (static, scene.config.size, scene.config.supersample)
-        return self._enqueue(Job(id=0, scene=scene, key=key))
+        lod = None
+        if preview is not None and preview is not False and preview != 0:
+            lod = 4 if preview is True else int(preview)
+            if lod < 1:
+                raise ValueError(f"preview octaves must be >= 1, got {lod}")
+            # two-phase jobs never merge into request batches: a unique
+            # key keeps _drain_compatible away (object() equality is
+            # identity — the same construction as fit/warm/anim keys)
+            key = ("preview", object())
+        return self._enqueue(Job(id=0, scene=scene, key=key,
+                                 preview_lod=lod))
 
     def _enqueue(self, job: Job) -> int:
         """Backpressure check + id allocation + FIFO append, under the lock."""
@@ -546,18 +581,26 @@ class RenderService:
                 self._finish(job, ABORTED)
         return True
 
-    def wait(self, job_id: int, timeout: float = 300.0) -> Job:
+    def wait(self, job_id: int, timeout: float = 300.0,
+             until: str = "done") -> Job:
         """Block until the job reaches a terminal state (or timeout) —
         event-driven on the service condition (_finish notifies), so a
         waiter costs nothing while the job runs. The HTTP long-poll
         (GET /job/<id>?wait=s) rides this too: one blocked request replaces
         a 20 ms polling loop per client, which at 8+ concurrent clients
         was hundreds of handler threads/s of pure GIL pressure on the
-        render worker (BASELINE.md serving row)."""
+        render worker (BASELINE.md serving row).
+
+        ``until="preview"`` returns as soon as a preview-then-refine job's
+        fast LOD frame is published (or the job terminates)."""
+        if until not in ("done", "preview"):
+            raise ValueError(f"until must be 'done' or 'preview', not {until!r}")
         job = self.jobs[job_id]
         deadline = time.time() + timeout
         with self._cond:
             while job.state in (QUEUED, RUNNING):
+                if until == "preview" and job.preview_ready:
+                    break
                 remaining = deadline - time.time()
                 if remaining <= 0:
                     break
@@ -606,6 +649,18 @@ class RenderService:
             self._worker.start()
         if self.pipeline and (self._completer is None
                               or not self._completer.is_alive()):
+            # a prior stop() can leave a stale sentinel (worker joined but
+            # completer join timed out) or stranded handoff items (worker
+            # join timed out) in _completions; drain them so the fresh
+            # completer doesn't exit immediately — running any stranded
+            # finalizers inline so their jobs still finish.
+            while True:
+                try:
+                    item = self._completions.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None:
+                    self._complete(*item)
             self._completer = threading.Thread(
                 target=self._completer_run, daemon=True,
                 name="gamer-render-completer")
@@ -615,13 +670,25 @@ class RenderService:
         with self._cond:
             self._stop = True
             self._cond.notify_all()
+        worker_down = True
         if self._worker is not None:
             self._worker.join(timeout)
-        if self._completer is not None:
+            worker_down = not self._worker.is_alive()
+        if self._completer is not None and worker_down:
             # the worker is down, so every handoff is already enqueued; the
-            # sentinel lands behind them and the completer drains in order
-            self._completions.put(None)
-            self._completer.join(timeout)
+            # sentinel lands behind them and the completer drains in order.
+            # If the worker join TIMED OUT (a tunnel compile can run 600 s
+            # vs the 30 s default) a sentinel now could land AHEAD of a
+            # handoff the still-alive worker enqueues next, stranding those
+            # jobs RUNNING forever — so leave the completer up in that case;
+            # a later stop()/start() cleans up. put() is bounded so stop()
+            # honors its own timeout even with maxsize=2 full of pending
+            # downloads.
+            try:
+                self._completions.put(None, timeout=timeout)
+                self._completer.join(timeout)
+            except queue.Full:
+                pass
 
     def _finish(self, job: Job, state: str, error: str | None = None) -> None:
         # under the lock: called from the worker AND from abort() on HTTP
@@ -691,9 +758,10 @@ class RenderService:
                 self._finish(head, ABORTED)
                 continue
             if self.batch_window_s > 0 and head.anim_scenes is None \
-                    and head.fit_spec is None and head.warm_spec is None:
-                # animations, fit and warm jobs never merge with other
-                # requests (their keys are unique by construction) — don't
+                    and head.fit_spec is None and head.warm_spec is None \
+                    and head.preview_lod is None:
+                # animations, fit, warm and preview jobs never merge with
+                # other requests (their keys are unique by construction) — don't
                 # pay the batching window for them. Under sustained load,
                 # compatible requests pile up DURING the previous launch,
                 # so if any are already queued the window is pure added
@@ -720,6 +788,8 @@ class RenderService:
                 self._run_warm(head)
             elif head.anim_scenes is not None:
                 self._render_animation(head)
+            elif head.preview_lod is not None:
+                self._render_preview_refine(head)
             elif len(batch) > 1:
                 self._render_batch(batch)
             else:
@@ -1015,6 +1085,62 @@ class RenderService:
             return self.mesh
         return None
 
+    def _render_preview_refine(self, job: Job) -> None:
+        """Preview-then-refine: publish a fast LOD frame, then replace it
+        with the exact frame — the reference's preview→full contract
+        (mainwindow.cpp:483-495: every edit re-renders at previewSize with
+        rayStep forced coarse, the Render button then produces the exact
+        frame) carried to the service. Phase 1 caps the fractal octaves at
+        ``preview_lod`` and uses the preview min-step (RenderConfig
+        is_preview — the rasterizer.cpp:439-442 coarse sampling), one
+        fused launch; the frame lands in ``job.image`` with
+        ``preview_ready`` set and waiters are woken. Phase 2 runs in the
+        long-running lane (queued quick jobs are served first, like fit
+        steps) and renders the EXACT frame — bit-equal to a direct
+        render_scene_pallas of the submitted scene; the preview stays
+        visible until the exact frame atomically replaces it (no partial
+        band frames)."""
+        import dataclasses
+
+        from .engine.pallas_render import (render_progressive_pallas,
+                                           render_scene_pallas)
+
+        pv_scene = dataclasses.replace(
+            job.scene, config=dataclasses.replace(
+                job.scene.config, noise_octaves=int(job.preview_lod),
+                is_preview=True))
+        pv = np.asarray(render_scene_pallas(pv_scene, mesh=self.mesh))
+        with self._cond:
+            job.image = pv
+            job.preview_ready = True
+            job.progress = 0.5
+            self.metrics["previews_rendered"] += 1
+            self._cond.notify_all()  # wake wait(until="preview") clients
+        if job.abort.is_set():
+            self._finish(job, ABORTED)  # preview kept as the partial frame
+            return
+        # exact phase in the long-running lane: interactive work first
+        self._preempt_quick_jobs()
+        if job.abort.is_set():
+            self._finish(job, ABORTED)
+            return
+        if self.mesh is not None or 0 < job.scene.config.size < self.single_fuse_below:
+            exact = np.asarray(
+                render_scene_pallas(job.scene, mesh=self.mesh))
+        else:
+            def on_progress(frac: float, partial: np.ndarray):
+                # progress ticks, but the preview frame STAYS in job.image
+                job.progress = 0.5 + 0.5 * frac
+                return not job.abort.is_set()
+
+            exact = np.asarray(render_progressive_pallas(
+                job.scene, bands=self.bands, on_progress=on_progress))
+            if job.abort.is_set():
+                self._finish(job, ABORTED)
+                return
+        job.image = exact
+        self._finish(job, ABORTED if job.abort.is_set() else DONE)
+
     def _render_single(self, job: Job) -> None:
         from .engine.pallas_render import (render_progressive_pallas,
                                            render_scene_pallas)
@@ -1142,7 +1268,8 @@ def make_handler(service: RenderService):
                             payload.get("pose_steps", 30),
                             payload.get("pose_method", "multiscale"))
                 else:
-                    job_id = service.submit(scene)
+                    job_id = service.submit(scene,
+                                            preview=payload.get("preview"))
                 self._json(202, {"job": job_id})
             except QueueFull as e:
                 self._json(429, {"error": str(e)})
@@ -1225,9 +1352,12 @@ def make_handler(service: RenderService):
                             timeout = min(float(q["wait"][0]), 60.0)
                         except ValueError:
                             return self._json(400, {"error": "bad wait="})
+                        until = q.get("until", ["done"])[0]
+                        if until not in ("done", "preview"):
+                            return self._json(400, {"error": "bad until="})
                         with service._cond:
                             service.metrics["long_polls"] += 1
-                        service.wait(job.id, timeout=timeout)
+                        service.wait(job.id, timeout=timeout, until=until)
                     self._json(200, job.info())
             else:
                 self._json(404, {"error": "not found"})

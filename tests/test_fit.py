@@ -298,6 +298,115 @@ def test_fit_pose_fd_checkpoint_resume(tmp_path):
                                   straight.params["camera"])
 
 
+def test_fit_scene_fd_rejects_unknown_fields():
+    scene = _scene(default_galaxy(), 12)
+    with pytest.raises(ValueError, match="unknown fit fields"):
+        gfit.fit_scene_fd(scene, np.zeros((12, 12, 3), np.uint8),
+                          fit_fields=("per",), steps=1)
+
+
+def test_fit_scene_fd_drops_zero_structure_flag_dims():
+    """winding/arm nonzero-ness is compiled structure (scene_prep
+    CompStatic): a dim whose initial value is exactly 0 is dropped with a
+    warning, and a field set that matches ONLY such dims is an error."""
+    import dataclasses
+
+    g = default_galaxy(1)
+    g = dataclasses.replace(
+        g, components=[dataclasses.replace(c, winding=0.0)
+                       for c in g.components])
+    scene = _scene(g, 12)
+    with pytest.warns(RuntimeWarning, match="structure-flag"):
+        with pytest.raises(ValueError, match="no probe dimensions"):
+            gfit.fit_scene_fd(scene, np.zeros((12, 12, 3), np.uint8),
+                              fit_fields=("winding",), steps=1)
+
+
+def test_fit_scene_fd_recovers_winding_b(fixtures_dir):
+    """The point of fit_scene_fd: the spiral-defining winding_b — whose
+    autodiff gradients are chaotic under the tensor march and excluded
+    from the frozen march — descends by production-kernel FD probes.
+    Perturb winding_b x1.3 and recover toward truth (small frame + LOD
+    for CPU interpret speed; TPU-scale numbers in BASELINE.md)."""
+    import dataclasses
+
+    g = gax.load(fixtures_dir / "Spiral.gax")
+    scene = _scene(g, 16)
+    scene.config = dataclasses.replace(scene.config, noise_octaves=2)
+    from gamer_tpu.engine.render import render_scene
+
+    target = render_scene(scene)
+    truth = float(g.params.winding_b)
+    start = gamer_tpu.Scene(
+        camera=scene.camera,
+        instances=[gamer_tpu.GalaxyInstance(
+            galaxy=dataclasses.replace(
+                g, params=dataclasses.replace(g.params,
+                                              winding_b=truth * 1.3)))],
+        config=scene.config,
+    )
+    res = gfit.fit_scene_fd(start, target, ("winding_b",), steps=10,
+                            lr=3e-2)
+    fitted = float(res.scene.instances[0].galaxy.params.winding_b)
+    err0 = abs(truth * 1.3 - truth)
+    err1 = abs(fitted - truth)
+    assert err1 < 0.6 * err0, f"winding_b {truth*1.3:.4f} -> {fitted:.4f} (truth {truth:.4f})"
+    assert min(res.losses) < res.losses[0]
+
+
+def test_fit_scene_fd_checkpoint_resume(tmp_path):
+    """Interrupted-at-step-2 + resume replays the uninterrupted 4-step
+    trajectory exactly (host Adam moments live in the checkpoint)."""
+    import dataclasses
+
+    scene = _scene(default_galaxy(), 12)
+    scene.config = dataclasses.replace(scene.config, noise_octaves=2)
+    from gamer_tpu.engine.render import render_scene
+
+    target = render_scene(scene)
+    g2 = dataclasses.replace(
+        scene.instances[0].galaxy,
+        components=[dataclasses.replace(c, strength=c.strength * 1.4)
+                    for c in scene.instances[0].galaxy.components])
+    start = dataclasses.replace(
+        scene, instances=[gamer_tpu.GalaxyInstance(galaxy=g2)])
+    kw = dict(fit_fields=("strength",), lr=2e-2)
+    straight = gfit.fit_scene_fd(start, target, steps=4, **kw)
+    ckpt = str(tmp_path / "scenefd.ckpt")
+    gfit.fit_scene_fd(start, target, steps=2, checkpoint_path=ckpt,
+                      checkpoint_every=1, **kw)
+    resumed = gfit.fit_scene_fd(start, target, steps=4,
+                                checkpoint_path=ckpt,
+                                checkpoint_every=1, **kw)
+    np.testing.assert_array_equal(np.asarray(resumed.losses),
+                                  np.asarray(straight.losses))
+    for a, b in zip(jax.tree_util.tree_leaves(resumed.params),
+                    jax.tree_util.tree_leaves(straight.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_scene_fd_bounded_probe_spread():
+    """A value sitting ON a _FIT_BOUNDS bound still yields a usable
+    one-sided probe (the FD denominator is the realized spread) and the
+    update never crosses the bound."""
+    import dataclasses
+
+    scene = _scene(default_galaxy(), 12)
+    scene.config = dataclasses.replace(scene.config, noise_octaves=1)
+    g = scene.instances[0].galaxy
+    g2 = dataclasses.replace(
+        g, components=[dataclasses.replace(c, r0=gfit._FIT_BOUNDS["r0"])
+                       for c in g.components])
+    start = dataclasses.replace(
+        scene, instances=[gamer_tpu.GalaxyInstance(galaxy=g2)])
+    from gamer_tpu.engine.render import render_scene
+
+    res = gfit.fit_scene_fd(start, render_scene(scene), ("r0",), steps=2,
+                            lr=5e-2)
+    for cp in res.scene.instances[0].galaxy.components:
+        assert cp.r0 >= gfit._FIT_BOUNDS["r0"]
+
+
 def _ss_scene(size=12, ss=2):
     import dataclasses
 

@@ -82,6 +82,74 @@ def test_small_single_is_one_fused_launch(vortex_scene):
         svc.stop()
 
 
+def test_preview_then_refine(vortex_scene):
+    """Preview-then-refine: the fast LOD frame is published FIRST (observed
+    deterministically at the phase boundary via the preemption hook), then
+    the exact frame replaces it — bit-equal to a direct exact render
+    (mainwindow.cpp:483-495's preview→full contract as a service)."""
+    from gamer_tpu.engine.pallas_render import render_scene_pallas
+
+    svc = RenderService(autostart=False)
+    observed = {}
+    orig = svc._preempt_quick_jobs
+
+    def spy():
+        job = svc.jobs[jid]
+        observed["preview_ready"] = job.preview_ready
+        observed["state"] = job.state
+        observed["image"] = None if job.image is None else job.image.copy()
+        return orig()
+
+    svc._preempt_quick_jobs = spy
+    jid = svc.submit(vortex_scene, preview=2)
+    job = svc.jobs[jid]
+    with svc._cond:
+        svc._queue.clear()
+    svc._execute_head(job)
+
+    # at the phase boundary the preview was already published
+    assert observed["preview_ready"] and observed["state"] == "running"
+    assert observed["image"] is not None and int(observed["image"].sum()) > 0
+    assert job.state == DONE and job.preview_ready
+    assert svc.metrics["previews_rendered"] == 1
+    # the refined artifact is bit-equal to a direct exact render
+    np.testing.assert_array_equal(
+        job.image, np.asarray(render_scene_pallas(vortex_scene)))
+    # and the preview frame was a genuinely different (LOD) frame
+    assert not np.array_equal(observed["image"], job.image)
+    assert job.info()["preview_ready"] is True
+
+
+def test_preview_wait_until(vortex_scene):
+    """wait(until='preview') returns as soon as the LOD frame is up; the
+    terminal wait still returns the exact frame."""
+    svc = RenderService()
+    try:
+        jid = svc.submit(vortex_scene, preview=2)
+        job = svc.wait(jid, timeout=120.0, until="preview")
+        assert job.preview_ready
+        assert job.image is not None
+        job = svc.wait(jid, timeout=120.0)
+        assert job.state == DONE
+    finally:
+        svc.stop()
+    with pytest.raises(ValueError, match="until"):
+        svc.wait(jid, until="nonsense")
+
+
+def test_preview_validation(vortex_scene):
+    svc = RenderService(autostart=False)
+    with pytest.raises(ValueError, match="preview octaves"):
+        svc.submit(vortex_scene, preview=-1)
+    # 0/False mean "no preview", matching the HTTP payload's default
+    assert svc.jobs[svc.submit(vortex_scene, preview=0)].preview_lod is None
+    # preview jobs never merge into request batches
+    j1 = svc.jobs[svc.submit(vortex_scene, preview=True)]
+    j2 = svc.jobs[svc.submit(vortex_scene, preview=True)]
+    assert j1.key != j2.key
+    assert j1.preview_lod == 4
+
+
 def test_cross_request_batching(vortex_scene):
     """Concurrent compatible requests collapse into ONE padded device
     launch — the TPU-native serving shape."""

@@ -94,6 +94,31 @@ def test_rowshard_pallas_bitexact_vs_banded(fixtures_dir):
     assert d.max() <= 2, f"sharded vs fused max diff {d.max()}"
 
 
+def test_allsky_rowshard_matches_single(fixtures_dir):
+    """All-sky (HEALPix) ray rows sharded over the 8-device mesh agree
+    with the single-device map (pallas_render._compiled_dirs_rowshard).
+    Exact on TPU (same tile program, rays arrive explicitly so there is
+    no row-offset arithmetic at all); tight allclose here because
+    XLA:CPU interpret recompiles per grid shape."""
+    from gamer_tpu.engine.allsky import render_allsky_map
+
+    scene = _scene(gax.load(fixtures_dir / "Spiral.gax"), 16)
+    single = render_allsky_map(scene, nside=8)
+    sharded = render_allsky_map(scene, nside=8, mesh=make_pixel_mesh())
+    assert sharded.shape == single.shape
+    assert float(single.max()) > 0
+    np.testing.assert_allclose(sharded, single, rtol=2e-5, atol=1e-7)
+
+
+def test_allsky_mesh_requires_pallas_kernel(fixtures_dir):
+    from gamer_tpu.engine.allsky import render_allsky_map
+
+    scene = _scene(gax.load(fixtures_dir / "Spiral.gax"), 16)
+    with pytest.raises(ValueError, match="pallas"):
+        render_allsky_map(scene, nside=4, kernel="xla",
+                          mesh=make_pixel_mesh())
+
+
 def test_init_distributed_single_process_noop():
     from gamer_tpu.parallel import init_distributed
 
