@@ -197,6 +197,80 @@ def perlin_raw_3d(x, y, z, seed: int = 94):
     return 2.0 * lerp(sz, c, d)
 
 
+@functools.lru_cache(maxsize=8)
+def _perlin_build2(seed: int):
+    """(g2 decoded (1024, 2) f32) — the 2-D gradient table (perlin.cpp
+    init's g2), 10-bit quantized like g3. Drawn from an independent
+    MT19937 stream keyed off ``seed`` (the reference interleaves g1/g2/g3
+    from ONE libc rand stream — not an observable contract, see the
+    module docstring's table-generation note)."""
+    rng = np.random.Generator(np.random.MT19937(seed ^ 0x2D2D))
+    g2 = rng.uniform(-1.0, 1.0, (SAMPLE_SIZE, 2))
+    g2 /= np.linalg.norm(g2, axis=1, keepdims=True)
+    q = np.clip(np.rint(g2 * 511.5 + 511.5), 0, 1023).astype(np.int32)
+    return (q.astype(np.float32) - _GRAD_MID) * _GRAD_INV
+
+
+@functools.lru_cache(maxsize=8)
+def _perlin_tables2(seed: int):
+    """Doubled (+2) 2-D tables in the reference's layout (perlin.h:59-61)."""
+    perm, _, _ = _perlin_build(seed)
+    perm = np.concatenate([perm, perm, perm[:2]]).astype(np.int32)
+    g2q = _perlin_build2(seed)
+    g2 = np.concatenate([g2q, g2q, g2q[:2]], axis=0)
+    return perm, g2.astype(np.float64)
+
+
+def perlin_raw_2d(x, y, seed: int = 94):
+    """Classic Perlin 2-D gradient noise, x2 scaling (perlin.h:26-30) —
+    the 2-D half of the Noise interface. Library parity only: no
+    component samples 2-D noise, so this stays on plain jnp.take (no
+    one-hot/packed-table tiering like the production 3-D path)."""
+    perm_np, g2_np = _perlin_tables2(seed)
+    dtype = jnp.result_type(x, y)
+    perm = jnp.asarray(perm_np)
+    g2 = jnp.asarray(g2_np, dtype)
+
+    def setup(v):
+        t = v + _N_OFF
+        b0 = t.astype(jnp.int32) & (SAMPLE_SIZE - 1)
+        b1 = (b0 + 1) & (SAMPLE_SIZE - 1)
+        r0 = t - jnp.trunc(t)
+        r1 = r0 - 1.0
+        return b0, b1, r0, r1
+
+    bx0, bx1, rx0, rx1 = setup(jnp.asarray(x, dtype))
+    by0, by1, ry0, ry1 = setup(jnp.asarray(y, dtype))
+
+    i = jnp.take(perm, bx0, axis=0)
+    j = jnp.take(perm, bx1, axis=0)
+    b00 = jnp.take(perm, i + by0, axis=0)
+    b10 = jnp.take(perm, j + by0, axis=0)
+    b01 = jnp.take(perm, i + by1, axis=0)
+    b11 = jnp.take(perm, j + by1, axis=0)
+
+    def s_curve(t):
+        return t * t * (3.0 - 2.0 * t)
+
+    def lerp(w, a, b):
+        return a + w * (b - a)
+
+    def at2(q_idx, rx, ry):
+        g = jnp.take(g2, q_idx, axis=0)
+        return rx * g[..., 0] + ry * g[..., 1]
+
+    sx = s_curve(rx0)
+    sy = s_curve(ry0)
+    a = lerp(sx, at2(b00, rx0, ry0), at2(b10, rx1, ry0))
+    b = lerp(sx, at2(b01, rx0, ry1), at2(b11, rx1, ry1))
+    return 2.0 * lerp(sy, a, b)
+
+
+def iq_value_noise_2d(x, y):
+    """IQnoise::raw_2d (iqnoise.h:22-24): the 3-D value noise at z = 0."""
+    return iq_value_noise_3d(x, y, jnp.zeros_like(jnp.asarray(x)))
+
+
 def iq_value_noise_3d(x, y, z):
     """IQ sin-hash trilinear value noise (iqnoise.cpp:34-53), in [-1, 1]-ish
     (the hash is in [0,1); the reference's comment claims [-1,1] — kept

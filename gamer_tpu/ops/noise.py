@@ -185,6 +185,91 @@ def raw_noise_3d(x, y, z):
     return 32.0 * (n0 + n1 + n2 + n3)
 
 
+def _grad_dot_2d(gi, x, y):
+    """dot(GRAD3[gi].xy, (x, y)) without a table gather — the 2-D noise
+    uses the (x, y) components of the 3-D gradient set
+    (simplexnoise.cpp:219 'grad3 used for 2D gradient')."""
+    group = gi >> 2  # 0: (±1,±1,0)  1: (±1,0,±1)  2: (0,±1,±1)
+    b0 = (gi & 1).astype(jnp.bool_)
+    b1 = (gi & 2).astype(jnp.bool_)
+    # first nonzero component contributes x (groups 0,1) or y (group 2)
+    u = jnp.where(group == 2, y, x)
+    u = jnp.where(b0, -u, u)
+    # second component contributes y only in group 0 (its sign is bit 1)
+    v = jnp.where(b1, -y, y)
+    return u + jnp.where(group == 0, v, jnp.zeros_like(v))
+
+
+def raw_noise_2d(x, y):
+    """Raw 2-D simplex noise in [-1, 1], elementwise over any shape
+    (simplexnoise.cpp:173-239). Interface parity with Noise::raw_2d
+    (noise.h:41) — no component calls it."""
+    dtype = jnp.result_type(x, y)
+    F2 = jnp.asarray(0.5 * (np.sqrt(3.0) - 1.0), dtype)
+    G2 = jnp.asarray((3.0 - np.sqrt(3.0)) / 6.0, dtype)
+
+    s = (x + y) * F2
+    i = fastfloor(x + s)
+    j = fastfloor(y + s)
+    t = (i + j).astype(dtype) * G2
+    x0 = x - (i.astype(dtype) - t)
+    y0 = y - (j.astype(dtype) - t)
+
+    lower = x0 > y0
+    i1 = lower.astype(jnp.int32)
+    j1 = (~lower).astype(jnp.int32)
+
+    x1 = x0 - i1 + G2
+    y1 = y0 - j1 + G2
+    x2 = x0 - 1.0 + 2.0 * G2
+    y2 = y0 - 1.0 + 2.0 * G2
+
+    perm = _perm()
+    ii = i & 255
+    jj = j & 255
+    gi0 = _perm_take(perm, ii + _perm_take(perm, jj)) % 12
+    gi1 = _perm_take(perm, ii + i1 + _perm_take(perm, jj + j1)) % 12
+    gi2 = _perm_take(perm, ii + 1 + _perm_take(perm, jj + 1)) % 12
+
+    def contrib(tv, gi, cx, cy):
+        gd = _grad_dot_2d(gi, cx, cy)
+        tt = tv * tv
+        return jnp.where(tv < 0, 0.0, tt * tt * gd)
+
+    half = jnp.asarray(0.5, dtype)
+    n0 = contrib(half - x0 * x0 - y0 * y0, gi0, x0, y0)
+    n1 = contrib(half - x1 * x1 - y1 * y1, gi1, x1, y1)
+    n2 = contrib(half - x2 * x2 - y2 * y2, gi2, x2, y2)
+    return 70.0 * (n0 + n1 + n2)
+
+
+def octave_noise_2d(octaves: int, persistence, scale, x, y, raw_fn=None):
+    """Noise::get 2-D / octave_noise_2d (noise.cpp:47-63,
+    simplexnoise.cpp:55-71): the same frequency-doubling combinator over
+    raw_2d. ``raw_fn`` swaps the raw backend (simplex default)."""
+    import jax
+
+    raw = raw_noise_2d if raw_fn is None else raw_fn
+    dtype = jnp.result_type(x, y)
+    shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y))
+    pers = jnp.asarray(persistence, dtype)
+
+    def body(carry, _):
+        total, freq, amp, max_amp = carry
+        total = total + raw(x * freq, y * freq) * amp
+        return (total, freq * 2.0, amp * pers, max_amp + amp), None
+
+    init = (
+        jnp.zeros(shape, dtype),
+        jnp.asarray(scale, dtype),
+        jnp.asarray(1.0, dtype),
+        jnp.asarray(0.0, dtype),
+    )
+    (total, _, _, max_amp), _ = jax.lax.scan(body, init, None,
+                                             length=int(octaves))
+    return total / max_amp
+
+
 def resolve_raw(kind):
     """Raw-noise backend by name. The reference ships three Noise
     implementations but hardcodes Simplex in every rasterizer constructor

@@ -124,3 +124,47 @@ def perlin_noise3(p, g3, x, y, z):
 def perlin_raw_3d(p, g3, x, y, z):
     """Perlin::raw_3d = 2 * noise3 (perlin.h:32-37)."""
     return 2.0 * perlin_noise3(p, g3, x, y, z)
+
+
+def perlin_noise2(p, g2, x, y):
+    """Perlin::noise2 (perlin.cpp:56-97) with explicit tables — the 2-D
+    half of the Noise interface (noise.h:41). g2: (len(p), 2) unit-ish
+    gradient pairs, doubled like g3."""
+    p = np.asarray(p, np.int64)
+    g2 = np.asarray(g2, np.float64)
+    bx0, bx1, rx0, rx1 = _setup(x)
+    by0, by1, ry0, ry1 = _setup(y)
+
+    i = p[bx0]
+    j = p[bx1]
+    b00 = p[i + by0]
+    b10 = p[j + by0]
+    b01 = p[i + by1]
+    b11 = p[j + by1]
+
+    def s_curve(t):
+        return t * t * (3.0 - 2.0 * t)
+
+    def lerp(t, a, b):
+        return a + t * (b - a)
+
+    sx = s_curve(rx0)
+    sy = s_curve(ry0)
+
+    def at2(q, rx, ry):
+        g = g2[q]
+        return rx * g[..., 0] + ry * g[..., 1]
+
+    a = lerp(sx, at2(b00, rx0, ry0), at2(b10, rx1, ry0))
+    b = lerp(sx, at2(b01, rx0, ry1), at2(b11, rx1, ry1))
+    return lerp(sy, a, b)
+
+
+def perlin_raw_2d(p, g2, x, y):
+    """Perlin::raw_2d = 2 * noise2 (perlin.h:26-30)."""
+    return 2.0 * perlin_noise2(p, g2, x, y)
+
+
+def iq_raw_2d(x, y):
+    """IQnoise::raw_2d (iqnoise.h:22-24): the 3-D noise at z = 0."""
+    return iq_noise(x, y, 0.0)

@@ -90,6 +90,64 @@ def raw_noise_3d(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
     return 32.0 * (n0 + n1 + n2 + n3)
 
 
+def raw_noise_2d(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Raw 2-D simplex noise in [-1, 1], vectorized float64
+    (simplexnoise.cpp:173-239). Part of the Noise interface
+    (noise.h:41 raw_2d) — no component calls it; kept for interface
+    parity with the reference."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+
+    F2 = 0.5 * (np.sqrt(3.0) - 1.0)
+    G2 = (3.0 - np.sqrt(3.0)) / 6.0
+    s = (x + y) * F2
+    i = fastfloor(x + s)
+    j = fastfloor(y + s)
+    t = (i + j).astype(np.float64) * G2
+    x0 = x - (i - t)
+    y0 = y - (j - t)
+
+    lower = x0 > y0  # lower triangle: (1,0); upper: (0,1)
+    i1 = lower.astype(np.int64)
+    j1 = (~lower).astype(np.int64)
+
+    x1 = x0 - i1 + G2
+    y1 = y0 - j1 + G2
+    x2 = x0 - 1.0 + 2.0 * G2
+    y2 = y0 - 1.0 + 2.0 * G2
+
+    ii = i & 255
+    jj = j & 255
+    gi0 = _PERM[ii + _PERM[jj]] % 12
+    gi1 = _PERM[ii + i1 + _PERM[jj + j1]] % 12
+    gi2 = _PERM[ii + 1 + _PERM[jj + 1]] % 12
+
+    def contrib(tv, gi, cx, cy):
+        gd = _GX[gi] * cx + _GY[gi] * cy
+        tt = tv * tv
+        return np.where(tv < 0, 0.0, tt * tt * gd)
+
+    n0 = contrib(0.5 - x0 * x0 - y0 * y0, gi0, x0, y0)
+    n1 = contrib(0.5 - x1 * x1 - y1 * y1, gi1, x1, y1)
+    n2 = contrib(0.5 - x2 * x2 - y2 * y2, gi2, x2, y2)
+    return 70.0 * (n0 + n1 + n2)
+
+
+def octave_noise_2d(octaves: int, persistence: float, scale: float, x, y) -> np.ndarray:
+    """simplexnoise.cpp:55-71 / Noise::get 2-D (noise.cpp:47-63) — the
+    same frequency-doubling combinator over raw_2d."""
+    total = 0.0
+    frequency = float(scale)
+    amplitude = 1.0
+    max_amp = 0.0
+    for _ in range(int(octaves)):
+        total = total + raw_noise_2d(x * frequency, y * frequency) * amplitude
+        frequency *= 2.0
+        max_amp += amplitude
+        amplitude *= persistence
+    return total / max_amp
+
+
 def octave_noise_3d(octaves: int, persistence: float, scale: float, x, y, z) -> np.ndarray:
     """noise.cpp:162-180 — frequency doubling, persistence amplitudes,
     normalized by the total amplitude."""

@@ -134,3 +134,41 @@ def test_onehot_lookup_paths_are_value_exact():
                   out[..., 4] + 256.0 * out[..., 5]], -1).astype(np.float32)
     dec = (q - np.float32(511.5)) * np.float32(1.0 / 511.5)
     np.testing.assert_array_equal(dec.astype(np.float64), g3_full[idx])
+
+
+def test_perlin_2d_matches_fixed_table_oracle_f64():
+    """The 2-D half of the Noise interface (noise.h:41, perlin.h:26-30):
+    same fixed-table discipline as the 3-D gate — the seeded tables feed
+    both the f64 oracle twin (perlin.cpp:56-97 transcription) and the jnp
+    path."""
+    perm, g2 = jalt._perlin_tables2(94)
+    pts = _points(seed=23)
+    want = oracle_alt.perlin_raw_2d(perm, g2, pts[:, 0], pts[:, 1])
+    with jax.enable_x64(True):
+        got = np.asarray(jalt.perlin_raw_2d(
+            jnp.asarray(pts[:, 0], jnp.float64),
+            jnp.asarray(pts[:, 1], jnp.float64)))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+    assert np.abs(want).max() <= 2.0
+
+
+def test_iq_2d_matches_oracle_f64():
+    """IQnoise::raw_2d == noise(x, y, 0) (iqnoise.h:22-24)."""
+    pts = _points(seed=29)
+    want = oracle_alt.iq_raw_2d(pts[:, 0], pts[:, 1])
+    with jax.enable_x64(True):
+        got = np.asarray(jalt.iq_value_noise_2d(
+            jnp.asarray(pts[:, 0], jnp.float64),
+            jnp.asarray(pts[:, 1], jnp.float64)))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-11)
+    # z = 0 must reproduce the 3-D noise exactly
+    want3 = oracle_alt.iq_noise(pts[:, 0], pts[:, 1], np.zeros(len(pts)))
+    np.testing.assert_array_equal(want, want3)
+
+
+def test_perlin_2d_table_is_unit_and_periodic():
+    perm, g2 = jalt._perlin_tables2(94)
+    idx = np.arange(perm.shape[0])
+    np.testing.assert_array_equal(g2, g2[idx & 1023])
+    norms = np.linalg.norm(g2[:1024], axis=1)
+    assert norms.min() > 0.99 and norms.max() < 1.01

@@ -41,6 +41,21 @@ def test_raw_noise_f64(points):
     np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-12)
 
 
+def test_raw_noise_2d_f64(points):
+    """The 2-D half of the Noise interface (noise.h:41 raw_2d,
+    simplexnoise.cpp:173-239): no component calls it, but the interface is
+    part of the reference surface — same f64 gate as the 3-D noise."""
+    with jax.enable_x64(True):
+        x = jnp.asarray(points[:, 0]); y = jnp.asarray(points[:, 1])
+        ours = np.asarray(jnoise.raw_noise_2d(x, y))
+        oct_j = np.asarray(jnoise.octave_noise_2d(8, 0.6, 0.4, x, y))
+    ref = onoise.raw_noise_2d(points[:, 0], points[:, 1])
+    oct_r = onoise.octave_noise_2d(8, 0.6, 0.4, points[:, 0], points[:, 1])
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(oct_j, oct_r, rtol=0, atol=1e-13)
+    assert np.abs(ref).max() <= 1.0  # [-1, 1] contract
+
+
 def test_octave_ridged_f64(points):
     with jax.enable_x64(True):
         x = jnp.asarray(points[:, 0]); y = jnp.asarray(points[:, 1]); z = jnp.asarray(points[:, 2])
