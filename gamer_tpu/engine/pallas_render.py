@@ -158,7 +158,9 @@ def _build_layout(static: SceneStatic) -> _Layout:
         raise ValueError(f"unknown noise_kind(s) {sorted(bad)!r}")
     lay = _Layout()
     if "perlin" in kinds:
-        lay.table_blocks = 13
+        # simplex block + 4 packed-perm chunks (gradients are hash-
+        # regenerated in-register, no blocks — ops/altnoise GRAD_HASH note)
+        lay.table_blocks = 5
     lay.add("inv_vp", 16)
     lay.add("camera", 3)
     lay.add("ray_step", 1)
@@ -258,24 +260,24 @@ def _qt_clamp(v, lo, hi):
 class _NoiseEnv:
     """In-kernel noise tables, threaded through the component kernels:
     ``perm`` is the (tr, 128) byte-packed simplex table (always present —
-    block 0 of the tables input); ``pperm``/``pgrad`` are the packed Perlin
-    chunks when the scene uses noise_kind='perlin'. ``raw_fn(kind)``
+    block 0 of the tables input); ``pperm`` is the packed Perlin
+    permutation chunks when the scene uses noise_kind='perlin' (perlin
+    gradients are hash-regenerated in-register, no table). ``raw_fn(kind)``
     returns the per-component raw-noise override for the pn combinators
     (None for simplex, keeping the default scene's trace unchanged)."""
 
-    __slots__ = ("perm", "pperm", "pgrad")
+    __slots__ = ("perm", "pperm")
 
-    def __init__(self, perm, pperm=None, pgrad=None):
+    def __init__(self, perm, pperm=None):
         self.perm = perm
         self.pperm = pperm
-        self.pgrad = pgrad
 
     def raw_fn(self, kind: str):
         if kind == "simplex":
             return None
         if kind == "perlin":
-            pperm, pgrad = self.pperm, self.pgrad
-            return lambda x, y, z: pn.perlin_raw_3d(pperm, pgrad, x, y, z)
+            pperm = self.pperm
+            return lambda x, y, z: pn.perlin_raw_3d(pperm, x, y, z)
         return pn.iq_raw_3d
 
 
@@ -320,7 +322,6 @@ def _make_kernel(static: SceneStatic, lay: _Layout, size: int,
             nz = _NoiseEnv(
                 tabs[:tr],
                 pperm=tuple(tabs[(1 + c) * tr:(2 + c) * tr] for c in range(4)),
-                pgrad=tuple(tabs[(5 + c) * tr:(6 + c) * tr] for c in range(8)),
             )
 
         if rays_input:
@@ -1004,19 +1005,16 @@ def _tables_const(tr: int, lay: _Layout):
     int32. Block 0 is the byte-packed simplex permutation broadcast to
     (tr, 128) rows (one lane-gather + byte-extract per lookup); when the
     scene uses noise_kind='perlin', blocks 1-4 carry the packed 1024-entry
-    Perlin permutation and blocks 5-12 its packed gradient words
-    (ops/altnoise.perlin_packed_tables), each 128-word chunk row-broadcast
-    the same way."""
+    Perlin permutation (ops/altnoise.perlin_packed_tables), each 128-word
+    chunk row-broadcast the same way. Gradients have no blocks: the kernel
+    regenerates them in-register (pallas_noise._perlin_grad_dot)."""
     blocks = [np.broadcast_to(PERM_PACKED32, (tr, 128))]
     if lay.table_blocks > 1:
         from ..ops.altnoise import perlin_packed_tables
 
-        pp, gp = perlin_packed_tables()
+        pp = perlin_packed_tables()
         for c in range(4):
             blocks.append(np.broadcast_to(pp[c * 128:(c + 1) * 128],
-                                          (tr, 128)))
-        for c in range(8):
-            blocks.append(np.broadcast_to(gp[c * 128:(c + 1) * 128],
                                           (tr, 128)))
     return jnp.asarray(np.concatenate(blocks, axis=0).astype(np.int32))
 

@@ -17,12 +17,12 @@ same interface as ops.noise for library parity:
   - iq_value_noise_3d: sin-hash trilinear value noise, exact semantics
     (iqnoise.cpp:34-53), gated against oracle/altnoise.iq_noise.
 
-Both are traceable jnp ops (jit/vmap-safe). Gradient components are
-quantized to a 10-bit grid at table-build time (max error ~1e-3 on unit
-vectors) so the production Pallas kernel can gather them as one packed
-int32 word per lattice point (perlin_packed_tables /
-ops/pallas_noise.perlin_raw_3d) while this jnp path and the kernel decode
-BIT-IDENTICAL float32 gradient values.
+Both are traceable jnp ops (jit/vmap-safe). Gradient q-triples are
+10-bit integer-hash outputs of the lattice index (GRAD_HASH below) so the
+production Pallas kernel can regenerate them IN-REGISTER with zero
+gathers (ops/pallas_noise._perlin_grad_dot) while this jnp path, the
+stored table, and the kernel all decode BIT-IDENTICAL float32 gradient
+values.
 
 Backend-dispatched lookups (the ops/noise._perm_take treatment): XLA:TPU
 serializes small-table gathers (~10 M lookups/s — ops/noise.py), which
@@ -51,17 +51,64 @@ _N_OFF = 0x1000
 _GRAD_MID = np.float32(511.5)
 _GRAD_INV = np.float32(1.0 / 511.5)
 
+# Gradient HASH (since round 5): the gradient triples are a pure integer
+# mix of the lattice index instead of a stored table. Measured motivation
+# (scripts/perf_perlin.py, v5e-1, 512^2 interleaved A/B): 76.7% of a
+# production perlin frame was the chunked lane-gathers, 64 of the 88
+# gathers/eval being the 8-chunk gradient table — computing the same
+# 10-bit q-triples in-register removes them all. The mix is two rounds of
+# multiply-xorshift (lowbias32 constants) over int32 with two's-complement
+# wraparound and ARITHMETIC right shifts, so the numpy table build below
+# and the Mosaic/jnp in-register twins are bit-identical; component
+# extraction uses shift+mask, which reads the same bit fields regardless
+# of shift sign-fill. Deviation note: hash gradients are uniform on the
+# quantized cube, NOT normalized like perlin.cpp init's g3 — the table
+# generation procedure was already a documented deviation (libc rand is
+# unobservable; the class is never instantiated), and the oracle gates
+# take the tables as arguments, so the lattice ALGORITHM stays gated.
+GRAD_HASH_M1 = int(np.uint32(0x7FEB352D).view(np.int32))
+GRAD_HASH_M2 = int(np.uint32(0x846CA68B).view(np.int32))
+
+
+def grad_hash_seedk(seed: int) -> int:
+    """The per-seed xor key folded into the gradient hash."""
+    return int(np.uint32((seed * 0x9E3779B9) & 0xFFFFFFFF).view(np.int32))
+
+
+# the Pallas kernel has no seed plumbing (like the packed tables before it,
+# the production path renders the default table set)
+PERLIN_DEFAULT_SEEDK = grad_hash_seedk(94)
+
+
+def _grad_hash_q(idx, seed: int):
+    """(qx, qy, qz) 10-bit gradient components of lattice index ``idx`` —
+    the numpy twin of ops/pallas_noise._perlin_grad_dot's in-register mix
+    (kept op-for-op identical; tests/test_altnoise_oracle.py gates the
+    equality)."""
+    sk = np.int32(grad_hash_seedk(seed))
+    with np.errstate(over="ignore"):
+        h = (np.asarray(idx, np.int32) & np.int32(SAMPLE_SIZE - 1)) ^ sk
+        h = h * np.int32(GRAD_HASH_M1)
+        h = h ^ (h >> 15)
+        h = h * np.int32(GRAD_HASH_M2)
+        h = h ^ (h >> 13)
+    return h & 1023, (h >> 10) & 1023, (h >> 20) & 1023
+
 
 @functools.lru_cache(maxsize=8)
 def _perlin_build(seed: int):
-    """(perm_base (1024,) i32, q (1024, 3) i32, g3 decoded (1024, 3) f32)."""
+    """(perm_base (1024,) i32, q (1024, 3) i32, g3 decoded (1024, 3) f32).
+
+    perm is a true MT19937-shuffled permutation (the bijection is part of
+    classic Perlin's structure); the gradient q-triples come from
+    _grad_hash_q so the Pallas kernel can regenerate them in-register
+    without a table gather."""
     rng = np.random.Generator(np.random.MT19937(seed))
     B = SAMPLE_SIZE
     perm = np.arange(B)
     rng.shuffle(perm)
-    g3 = rng.uniform(-1.0, 1.0, (B, 3))
-    g3 /= np.linalg.norm(g3, axis=1, keepdims=True)
-    q = np.clip(np.rint(g3 * 511.5 + 511.5), 0, 1023).astype(np.int32)
+    qx, qy, qz = _grad_hash_q(np.arange(B), seed)
+    q = np.stack([qx, qy, qz], axis=-1).astype(np.int32)
     g3q = (q.astype(np.float32) - _GRAD_MID) * _GRAD_INV
     return perm.astype(np.int32), q, g3q
 
@@ -78,18 +125,17 @@ def _perlin_tables(seed: int):
 
 @functools.lru_cache(maxsize=8)
 def perlin_packed_tables(seed: int = 94):
-    """Packed int32 tables for the Pallas kernel's chunked lane gathers:
+    """Packed int32 permutation for the Pallas kernel's chunked lane
+    gathers:
 
     perm_packed: (512,) — word w holds perm_base[2w] | perm_base[2w+1]<<16
-    grad_packed: (1024,) — word i holds qx | qy<<10 | qz<<20 of gradient i
+
+    (Gradients are no longer packed: the kernel regenerates the q-triples
+    in-register via the gradient hash — see the GRAD_HASH note above.)
     """
-    perm, q, _ = _perlin_build(seed)
+    perm, _, _ = _perlin_build(seed)
     p64 = perm.astype(np.int64)
-    perm_packed = (p64[0::2] | (p64[1::2] << 16)).astype(np.int32)
-    q64 = q.astype(np.int64)
-    grad_packed = (q64[:, 0] | (q64[:, 1] << 10) | (q64[:, 2] << 20)).astype(
-        np.int32)
-    return perm_packed, grad_packed
+    return (p64[0::2] | (p64[1::2] << 16)).astype(np.int32)
 
 
 def _onehot_dot(idx, table_bf16):
@@ -107,17 +153,12 @@ def _onehot_dot(idx, table_bf16):
 
 @functools.lru_cache(maxsize=8)
 def _byte_split_tables(seed: int):
-    """bf16 byte-piece tables for the one-hot lookups: perm as (1024, 2)
-    [lo, hi] bytes; gradients as (1024, 6) [qx_lo, qx_hi, qy_lo, ...] of
-    the EXACT quantized q values the decoded table was built from."""
-    perm, q, _ = _perlin_build(seed)
+    """bf16 byte-piece perm table for the one-hot lookups: (1024, 2)
+    [lo, hi] bytes (each piece <= 255 is bf16-exact)."""
+    perm, _, _ = _perlin_build(seed)
     p64 = perm.astype(np.int64)
     perm_bytes = np.stack([p64 & 255, p64 >> 8], axis=-1)
-    q64 = q.astype(np.int64)
-    grad_bytes = np.stack([q64[:, 0] & 255, q64[:, 0] >> 8,
-                           q64[:, 1] & 255, q64[:, 1] >> 8,
-                           q64[:, 2] & 255, q64[:, 2] >> 8], axis=-1)
-    return perm_bytes.astype(np.float32), grad_bytes.astype(np.float32)
+    return perm_bytes.astype(np.float32)
 
 
 def _perm_take_1024(perm, idx, seed: int):
@@ -125,35 +166,34 @@ def _perm_take_1024(perm, idx, seed: int):
     (values 0..1023 ride as lo/hi bytes, both bf16-exact)."""
     if jax.default_backend() != "tpu":
         return jnp.take(perm, idx, axis=0)
-    perm_bytes, _ = _byte_split_tables(seed)
+    perm_bytes = _byte_split_tables(seed)
     out = _onehot_dot(idx, jnp.asarray(perm_bytes, jnp.bfloat16))
     return (out[..., 0] + 256.0 * out[..., 1]).astype(jnp.int32)
 
 
-def _grad_take_1024(g3, idx, dtype, seed: int):
-    """g3[idx] (the 10-bit-quantized gradient triples) — jnp.take off-TPU;
-    on TPU one byte-split one-hot matmul reconstructs the three quantized
-    components (q = lo + 256*hi, each piece bf16-exact) and decodes them
-    with the SAME f32 constants as the table build, so the values are
-    bit-identical to the stored table."""
-    if jax.default_backend() != "tpu":
-        return jnp.take(g3, idx, axis=0)
-    _, grad_bytes = _byte_split_tables(seed)
-    out = _onehot_dot(idx, jnp.asarray(grad_bytes, jnp.bfloat16))
-    qf = jnp.stack([out[..., 0] + 256.0 * out[..., 1],
-                    out[..., 2] + 256.0 * out[..., 3],
-                    out[..., 4] + 256.0 * out[..., 5]], axis=-1)
-    g = (qf - _GRAD_MID) * _GRAD_INV
-    return g.astype(dtype)
+def _grad_decode(idx, dtype, seed: int):
+    """The gradient triple of lattice index ``idx``, regenerated
+    in-register (no table, no gather — the hash twin of the stored g3;
+    BIT-identical to _perlin_build's decoded table on every backend: the
+    mix is pure int32 and the decode constants are the same two f32s)."""
+    sk = jnp.int32(grad_hash_seedk(seed))
+    h = (idx.astype(jnp.int32) & jnp.int32(SAMPLE_SIZE - 1)) ^ sk
+    h = h * jnp.int32(GRAD_HASH_M1)
+    h = h ^ (h >> 15)
+    h = h * jnp.int32(GRAD_HASH_M2)
+    h = h ^ (h >> 13)
+    g = jnp.stack([(h & 1023).astype(jnp.float32),
+                   ((h >> 10) & 1023).astype(jnp.float32),
+                   ((h >> 20) & 1023).astype(jnp.float32)], axis=-1)
+    return ((g - _GRAD_MID) * _GRAD_INV).astype(dtype)
 
 
 def perlin_raw_3d(x, y, z, seed: int = 94):
     """Classic Perlin gradient noise in roughly [-1, 1] (x2 scaling like
     Perlin::raw_3d, perlin.h:32-37)."""
-    perm_np, g3_np = _perlin_tables(seed)
+    perm_np, _g3_np = _perlin_tables(seed)
     dtype = jnp.result_type(x, y, z)
     perm = jnp.asarray(perm_np)
-    g3 = jnp.asarray(g3_np, dtype)
 
     def setup(v):
         t = v + _N_OFF
@@ -178,7 +218,7 @@ def perlin_raw_3d(x, y, z, seed: int = 94):
         return t * t * (3.0 - 2.0 * t)
 
     def at3(q_idx, rx, ry, rz):
-        g = _grad_take_1024(g3, q_idx, dtype, seed)
+        g = _grad_decode(q_idx, dtype, seed)
         return rx * g[..., 0] + ry * g[..., 1] + rz * g[..., 2]
 
     t = s_curve(rx0)

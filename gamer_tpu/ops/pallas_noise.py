@@ -221,23 +221,34 @@ def perlin_perm_lookup(pperm, idx):
     return (w >> ((e & 1) << 4)) & 1023
 
 
-def _perlin_grad_dot(pgrad, idx, rx, ry, rz):
-    """dot(g3[idx], r) from the 3x10-bit packed gradient words; the f32
-    decode (q - 511.5) * (1/511.5) is bit-identical to the decoded table
-    ops/altnoise feeds the XLA engine."""
-    w = _chunked_gather(pgrad, idx & 1023)
+def _perlin_grad_dot(idx, rx, ry, rz):
+    """dot(g3[idx], r) with the gradient triple regenerated IN-REGISTER by
+    the gradient hash (ops/altnoise GRAD_HASH note) — no table, no gather.
+    Measured motivation (scripts/perf_perlin.py): the 8-chunk gradient
+    gathers were 64 of perlin's 88 gathers/eval and the chunked gathers
+    were 76.7% of the 512^2 frame. The int32 mix (mul/xor/arith-shift,
+    two's-complement wrap) and the f32 decode constants are op-for-op the
+    numpy table build, so the values are bit-identical to the g3 table the
+    XLA engine and the scalar oracle use."""
+    from .altnoise import (GRAD_HASH_M1, GRAD_HASH_M2, PERLIN_DEFAULT_SEEDK)
+
+    h = (idx & 1023) ^ jnp.int32(PERLIN_DEFAULT_SEEDK)
+    h = h * jnp.int32(GRAD_HASH_M1)
+    h = h ^ (h >> 15)
+    h = h * jnp.int32(GRAD_HASH_M2)
+    h = h ^ (h >> 13)
     mid = jnp.float32(511.5)
     inv = jnp.float32(1.0 / 511.5)
-    gx = ((w & 1023).astype(jnp.float32) - mid) * inv
-    gy = (((w >> 10) & 1023).astype(jnp.float32) - mid) * inv
-    gz = (((w >> 20) & 1023).astype(jnp.float32) - mid) * inv
+    gx = ((h & 1023).astype(jnp.float32) - mid) * inv
+    gy = (((h >> 10) & 1023).astype(jnp.float32) - mid) * inv
+    gz = (((h >> 20) & 1023).astype(jnp.float32) - mid) * inv
     return rx * gx + ry * gy + rz * gz
 
 
-def perlin_raw_3d(pperm, pgrad, x, y, z):
+def perlin_raw_3d(pperm, x, y, z):
     """Classic Perlin gradient noise (perlin.cpp:99-150, x2 of
-    perlin.h:32-37) on an (R, 128) tile — the packed-table twin of
-    ops/altnoise.perlin_raw_3d (cross-engine image gate in
+    perlin.h:32-37) on an (R, 128) tile — the packed-perm + hash-gradient
+    twin of ops/altnoise.perlin_raw_3d (cross-engine image gate in
     tests/test_noise_kind.py)."""
 
     def setup(v):
@@ -267,15 +278,15 @@ def perlin_raw_3d(pperm, pgrad, x, y, z):
     t = s_curve(rx0)
     sy = s_curve(ry0)
     sz = s_curve(rz0)
-    a = lerp(t, _perlin_grad_dot(pgrad, b00 + bz0, rx0, ry0, rz0),
-             _perlin_grad_dot(pgrad, b10 + bz0, rx1, ry0, rz0))
-    b = lerp(t, _perlin_grad_dot(pgrad, b01 + bz0, rx0, ry1, rz0),
-             _perlin_grad_dot(pgrad, b11 + bz0, rx1, ry1, rz0))
+    a = lerp(t, _perlin_grad_dot(b00 + bz0, rx0, ry0, rz0),
+             _perlin_grad_dot(b10 + bz0, rx1, ry0, rz0))
+    b = lerp(t, _perlin_grad_dot(b01 + bz0, rx0, ry1, rz0),
+             _perlin_grad_dot(b11 + bz0, rx1, ry1, rz0))
     c = lerp(sy, a, b)
-    a = lerp(t, _perlin_grad_dot(pgrad, b00 + bz1, rx0, ry0, rz1),
-             _perlin_grad_dot(pgrad, b10 + bz1, rx1, ry0, rz1))
-    b = lerp(t, _perlin_grad_dot(pgrad, b01 + bz1, rx0, ry1, rz1),
-             _perlin_grad_dot(pgrad, b11 + bz1, rx1, ry1, rz1))
+    a = lerp(t, _perlin_grad_dot(b00 + bz1, rx0, ry0, rz1),
+             _perlin_grad_dot(b10 + bz1, rx1, ry0, rz1))
+    b = lerp(t, _perlin_grad_dot(b01 + bz1, rx0, ry1, rz1),
+             _perlin_grad_dot(b11 + bz1, rx1, ry1, rz1))
     d = lerp(sy, a, b)
     return 2.0 * lerp(sz, c, d)
 

@@ -17,6 +17,7 @@ ALGORITHMS (oracle/altnoise.py):
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gamer_tpu.oracle import altnoise as oracle_alt
 from gamer_tpu.ops import altnoise as jalt
@@ -84,25 +85,35 @@ def test_perlin_oracle_interpolates_to_zero_at_lattice():
 
 
 def test_perlin_packed_tables_decode_exactly():
-    """The packed int32 tables the Pallas kernel gathers decode to the SAME
-    values the jnp path uses: perm words carry two 10-bit entries, gradient
-    words three 10-bit quantized components whose f32 decode is the table."""
-    perm_full, g3_full = jalt._perlin_tables(94)
-    perm_packed, grad_packed = jalt.perlin_packed_tables(94)
+    """The packed int32 permutation the Pallas kernel gathers decodes to
+    the SAME values the jnp path uses (two 16-bit entries per word)."""
+    perm_full, _ = jalt._perlin_tables(94)
+    perm_packed = jalt.perlin_packed_tables(94)
     base = perm_full[:1024].astype(np.int64)
     w = perm_packed.astype(np.int64) & 0xFFFFFFFF
     np.testing.assert_array_equal(w & 0xFFFF, base[0::2])
     np.testing.assert_array_equal((w >> 16) & 0xFFFF, base[1::2])
-    gw = grad_packed.astype(np.int64)
-    qx = gw & 1023
-    qy = (gw >> 10) & 1023
-    qz = (gw >> 20) & 1023
-    dec = np.stack([qx, qy, qz], -1).astype(np.float32)
-    dec = (dec - np.float32(511.5)) * np.float32(1.0 / 511.5)
-    np.testing.assert_array_equal(dec.astype(np.float64), g3_full[:1024])
-    # quantization keeps the gradients unit-ish (|g| in [0.99, 1.01])
-    norms = np.linalg.norm(g3_full[:1024], axis=1)
-    assert norms.min() > 0.99 and norms.max() < 1.01
+
+
+def test_perlin_grad_hash_matches_table():
+    """The in-register gradient hash (ops/pallas_noise._perlin_grad_dot's
+    mix == altnoise._grad_decode) regenerates the stored g3 table
+    BIT-exactly — the property that lets the production kernel drop all
+    64 gradient gathers per eval (scripts/perf_perlin.py: chunked gathers
+    were 76.7% of a perlin frame). Also pins the hash's distribution:
+    10-bit cube-uniform (a documented deviation from perlin.cpp's
+    normalized gradients — the table generation was never reproducible
+    against libc rand anyway)."""
+    _, g3_full = jalt._perlin_tables(94)
+    idx = np.random.default_rng(5).integers(0, 2046, size=513)
+    dec = np.asarray(jalt._grad_decode(jnp.asarray(idx, jnp.int32),
+                                       jnp.float64, 94))
+    np.testing.assert_array_equal(dec, g3_full[idx & 1023])
+    # distribution sanity: components fill the cube roughly uniformly
+    g = g3_full[:1024]
+    assert np.abs(g).max() <= 1.0
+    assert g.mean() == pytest.approx(0.0, abs=0.05)
+    assert (np.abs(g) > 0.5).mean() == pytest.approx(0.5, abs=0.08)
 
 
 def test_perlin_doubled_table_is_periodic():
@@ -115,25 +126,20 @@ def test_perlin_doubled_table_is_periodic():
 
 
 def test_onehot_lookup_paths_are_value_exact():
-    """The TPU one-hot byte-split matmul lookups (altnoise._perm_take_1024 /
-    _grad_take_1024 on the tpu backend) must be VALUE-identical to jnp.take:
-    every byte piece is bf16-exact and the f32 dot accumulates one nonzero
-    term. Exercised here by driving the matmul path directly (the dispatch
-    picks take on this CPU backend)."""
-    perm_full, g3_full = jalt._perlin_tables(94)
-    pb, gb = jalt._byte_split_tables(94)
+    """The TPU one-hot byte-split matmul perm lookup
+    (altnoise._perm_take_1024 on the tpu backend) must be VALUE-identical
+    to jnp.take: every byte piece is bf16-exact and the f32 dot
+    accumulates one nonzero term. Exercised here by driving the matmul
+    path directly (the dispatch picks take on this CPU backend).
+    (Gradients no longer look up at all — see
+    test_perlin_grad_hash_matches_table.)"""
+    perm_full, _ = jalt._perlin_tables(94)
+    pb = jalt._byte_split_tables(94)
     idx = np.random.default_rng(3).integers(0, 2046, size=257).astype(np.int32)
     out = np.asarray(jalt._onehot_dot(jnp.asarray(idx),
                                       jnp.asarray(pb, jnp.bfloat16)))
     vals = (out[..., 0] + 256.0 * out[..., 1]).astype(np.int64)
     np.testing.assert_array_equal(vals, perm_full[idx])
-    out = np.asarray(jalt._onehot_dot(jnp.asarray(idx),
-                                      jnp.asarray(gb, jnp.bfloat16)))
-    q = np.stack([out[..., 0] + 256.0 * out[..., 1],
-                  out[..., 2] + 256.0 * out[..., 3],
-                  out[..., 4] + 256.0 * out[..., 5]], -1).astype(np.float32)
-    dec = (q - np.float32(511.5)) * np.float32(1.0 / 511.5)
-    np.testing.assert_array_equal(dec.astype(np.float64), g3_full[idx])
 
 
 def test_perlin_2d_matches_fixed_table_oracle_f64():
