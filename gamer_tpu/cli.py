@@ -53,7 +53,7 @@ Commands:
    flythrough <gax file> <frames> <size> <outprefix>
    morph <gax A> <gax B> <frames> <size> <outprefix>
    scene <gax[,gax...]> <n> <box> <seed> <size> <outfile>
-   dataset <gax> <n> <seed> <size> <chunk> <out dir>
+   dataset <gax[,gax...]> <n per gax> <seed> <size> <chunk> <out dir>
    fit <camera x y z> <target x y z> <up x y z> <fov> <exposure> <gamma>
        <saturation> <ray step> <gax file> <target image> <out gax>
        [steps=100] [lr=0.02] [fields=strength,r0,z0] [multiscale] [ckpt=FILE]
@@ -356,17 +356,27 @@ def cmd_scene(argv) -> int:
 
 def cmd_dataset(argv) -> int:
     """Resumable dataset generation (BASELINE config 5): n structure-
-    preserving variations of a galaxy rendered to .npy chunks with a
-    manifest (re-running the same out_dir resumes after interruption)."""
+    preserving variations of each galaxy rendered to .npy chunks with a
+    manifest (re-running the same out_dir resumes after interruption).
+
+    A comma-separated gax list generates a HETEROGENEOUS corpus — n
+    variations per template, template-major ordered so chunks stay
+    homogeneous except at structure boundaries (render_batch groups a
+    mixed chunk by compiled structure: one launch per group, so a
+    k-structure corpus compiles k chunk-sized executables plus the
+    boundary-size stragglers). The realistic training-corpus case of the
+    GUI scene mode's N-random-instances ambition (mainwindow.cpp:
+    1137-1170) at dataset scale."""
     if len(argv) != 7:
         print(USAGE)
         return 1
     import dataclasses
 
     from .engine.jobs import DatasetJob
+    from .engine.scene_prep import flatten_scene
     from .scene.generate import generate_galaxy_variations
 
-    template = gax.load(argv[1])
+    templates = [gax.load(p) for p in argv[1].split(",")]
     n, seed, size = int(argv[2]), int(argv[3]), int(argv[4])
     chunk = int(argv[5])
     base = Scene(
@@ -376,13 +386,19 @@ def cmd_dataset(argv) -> int:
     )
     scenes = [
         dataclasses.replace(base, instances=[GalaxyInstance(galaxy=g)])
-        for g in generate_galaxy_variations(template, n, seed=seed)
+        for t, template in enumerate(templates)
+        for g in generate_galaxy_variations(template, n, seed=seed + t)
     ]
+    if len(templates) > 1:
+        statics = {flatten_scene(s)[0] for s in scenes}
+        print(f"{len(templates)} templates, {len(scenes)} scenes, "
+              f"{len(statics)} distinct compiled structures")
     job = DatasetJob(scenes, argv[6], chunk_size=chunk)
     done = {"frames": 0}
 
     def on_chunk(c, cdt):
-        done["frames"] += min(chunk, n - c * chunk)  # last chunk may be short
+        total = len(scenes)
+        done["frames"] += min(chunk, total - c * chunk)  # last may be short
         print(f"chunk {c + 1}/{job.n_chunks} in {format_ms(cdt * 1000.0)}")
 
     t0 = time.perf_counter()

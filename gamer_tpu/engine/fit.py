@@ -1421,6 +1421,10 @@ def fit_scene_fd(
     steps: int = 60,
     lr: float = 2e-2,
     eps: float = 0.05,
+    sweep: int = 0,
+    sweep_span: float = 0.5,
+    sweep_rounds: int = 3,
+    sweep_groups: Optional[Sequence[Sequence[str]]] = None,
     on_step: Optional[Callable[[int, float], None]] = None,
     normalize: bool = False,
     pool: int = 1,
@@ -1458,6 +1462,34 @@ def fit_scene_fd(
     part of the compiled structure (scene_prep CompStatic) — and dims whose
     initial value is exactly 0 are dropped with a warning (the flag is off;
     the render is insensitive to them).
+
+    ``sweep``: the chaotic fields' loss landscapes are hostile to pure
+    local descent in THREE measured ways (Spiral, 128^2, production
+    kernel): winding_b has a SPURIOUS basin at 1.42x truth that captures
+    any start beyond ~1.2x (arm aliasing, present at every loss pooling);
+    per-component scale has a funnel only ~2% wide around truth with
+    noise-decorrelation bumps outside it; and the two COUPLE deceptively —
+    with every scale at 1.2x, the loss-vs-winding_b minimum sits at 0.74x
+    truth, so no per-coordinate method (descent OR exhaustive coordinate
+    search) can reach the joint minimum. A nonzero ``sweep`` prepends a
+    staged global search, every stage a handful of batched
+    production-kernel launches:
+
+      stage 0 (only with ``sweep_groups``): a JOINT Cartesian grid over
+        grouped super-dims — each group is a set of field names moved by
+        one COMMON relative multiplier (e.g. ``(("winding_b",),
+        ("scale",))`` grids spiral geometry against a global noise-scale
+        factor, the measured deceptive pair). ``sweep`` points per group;
+        grids above 4096 frames are rejected.
+      stage 1: ``sweep_rounds`` ZOOMING per-dim coordinate sweeps —
+        ``sweep`` points spanning +-``sweep_span`` (relative, floored
+        like the FD probes), one launch per (dim, round), span shrinking
+        to 2x the previous grid's resolution each round, a move accepted
+        only if it beats the current point.
+
+    The sweeps land inside the true funnel; the FD descent then polishes
+    (use a small ``eps``, ~0.01, when sweeping — the probes must sit
+    inside the funnel).
 
     No reference analog; completes the inverse-rendering suite for the
     parameter family the reference itself documents as "what makes it a
@@ -1605,7 +1637,10 @@ def fit_scene_fd(
 
     fingerprint = _fit_fingerprint(
         "scenefd", fit_fields, lr, "fd", size, params0, target,
-        extra=f"pool{pool}|norm{int(normalize)}|eps{eps:g}|ss{cfg.supersample}",
+        extra=(f"pool{pool}|norm{int(normalize)}|eps{eps:g}"
+               f"|sw{sweep}x{sweep_span:g}r{sweep_rounds}"
+               f"g{'/'.join(','.join(sorted(g)) for g in (sweep_groups or ()))}"
+               f"|ss{cfg.supersample}"),
         aux=(scene.camera.camera, scene.camera.target, scene.camera.up,
              scene.camera.fov, cfg.ray_step, cfg.min_ray_step,
              cfg.exposure, cfg.gamma, cfg.saturation))
@@ -1632,6 +1667,72 @@ def fit_scene_fd(
                     f"steps but only {steps} were requested — increase "
                     f"steps to extend the run, or delete the checkpoint "
                     f"to start over")
+
+    if sweep and start == 0:
+        # zooming coordinate-sweep init (see docstring): sweep_rounds
+        # batched launches of K*sweep ladder frames + the base, the span
+        # shrinking each round to twice the previous round's resolution
+        # (a per-coordinate golden-ish zoom). Each dim jumps to its own
+        # argmin if it beats the base; recentering between rounds also
+        # iterates out dim coupling, coordinate-descent style. Runs only
+        # on a FRESH fit — a resumed checkpoint already holds the
+        # post-sweep trajectory (and `rel` stays anchored to the
+        # PRE-sweep theta either way, so resume replays bitwise).
+        if sweep_groups:
+            import itertools
+
+            group_dims = []
+            for grp in sweep_groups:
+                gd = [kd for kd, d in enumerate(dims) if d[1] in set(grp)]
+                if not gd:
+                    raise ValueError(
+                        f"sweep group {tuple(grp)} matches no probe dims")
+                group_dims.append(gd)
+            # the grid launch is capped at ~1024 frames (a 128^2 grid of
+            # 1024 is ~200 MB of linear output); per-group points shrink
+            # to fit — the per-dim zoom rounds recover the resolution
+            g = len(group_dims)
+            pts = int(sweep)
+            while pts > 2 and pts ** g > 1024:
+                pts -= 1
+            mults = np.linspace(1.0 - float(sweep_span),
+                                1.0 + float(sweep_span), pts)
+            combos = list(itertools.product(range(pts), repeat=g))
+            grid_scenes = []
+            for combo in combos:
+                tq = theta.copy()
+                for gi, mi in enumerate(combo):
+                    for kd in group_dims[gi]:
+                        tq[kd] = _clamp(dims[kd], theta[kd] * mults[mi])
+                grid_scenes.append(apply_fit_to_scene(
+                    scene, params_of(tq), fit_fields))
+            L = np.asarray(losses_of(render_batch_linear(
+                grid_scenes, mesh=mesh)), np.float64)
+            best = combos[int(np.argmin(L))]
+            for gi, mi in enumerate(best):
+                for kd in group_dims[gi]:
+                    theta[kd] = _clamp(dims[kd], theta[kd] * mults[mi])
+
+        span_r = float(sweep_span)
+        for _round in range(int(sweep_rounds)):
+            for kd, d in enumerate(dims):
+                span = span_r * max(abs(theta[kd]), 0.1)
+                vals = [_clamp(d, v) for v in np.linspace(
+                    theta[kd] - span, theta[kd] + span, int(sweep))]
+                ladder = [apply_fit_to_scene(scene, params_of(theta),
+                                             fit_fields)]
+                for v in vals:
+                    tq = theta.copy()
+                    tq[kd] = v
+                    ladder.append(apply_fit_to_scene(
+                        scene, params_of(tq), fit_fields))
+                L = np.asarray(losses_of(render_batch_linear(
+                    ladder, mesh=mesh)), np.float64)
+                j = int(np.argmin(L[1:]))
+                if L[1 + j] < L[0]:  # only ever improve on the base
+                    theta[kd] = vals[j]
+            # next round resolves 2x finer than this round's grid spacing
+            span_r = 4.0 * span_r / max(int(sweep) - 1, 1)
 
     aborted = False
     for i in range(start, steps):
