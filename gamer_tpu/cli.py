@@ -61,6 +61,9 @@ Commands:
        fastest and most accurate gradients when fields don't feed the noise;
        fd: central-difference probes through the production kernel — the
        trustworthy fast path for winding/winding_b/winding_n/scale/ks)
+       [sweep=N]  (fd only: staged global search — N-point zooming
+       coordinate sweeps + a joint winding_b x scale grid when both are
+       fitted; escapes the measured spurious basins of the chaotic fields)
    fitpose <camera x y z> <target x y z> <up x y z> <fov> <exposure> <gamma>
        <saturation> <ray step> <gax file> <target image> <out scene.json>
        [steps=80] [lr=0.01] [noise LOD=3 | multiscale | fd] [ckpt=FILE]
@@ -460,8 +463,22 @@ def cmd_fit(argv) -> int:
                 None)
     march = next((a[len("march="):] for a in argv if a.startswith("march=")),
                  "tensor")
+    raw_sweep = next((a[len("sweep="):] for a in argv
+                      if a.startswith("sweep=")), None)
     argv = [a for a in argv
-            if not (a.startswith("ckpt=") or a.startswith("march="))]
+            if not (a.startswith("ckpt=") or a.startswith("march=")
+                    or a.startswith("sweep="))]
+    sweep = 0
+    if raw_sweep is not None:
+        try:
+            sweep = int(raw_sweep)
+        except ValueError:
+            print(f"bad sweep value {raw_sweep!r} (want an integer). Usage:")
+            print(USAGE)
+            return 1
+        if march != "fd":
+            print("fit: sweep= is the staged global search of march=fd")
+            return 1
     multiscale = bool(argv) and argv[-1].lower() == "multiscale"
     if multiscale:
         argv = argv[:-1]
@@ -517,7 +534,13 @@ def cmd_fit(argv) -> int:
             print(f"\r[ step {i + 1}/{steps} ]  loss {loss:.6f} ",
                   end="", flush=True)
 
+        # chaotic fields get the joint winding_b x scale grid stage when
+        # both families are fitted (the measured deceptive pair)
+        groups = None
+        if sweep and "winding_b" in fields and "scale" in fields:
+            groups = (("winding_b",), ("scale",))
         result = fit_scene_fd(scene, target, fields, steps=steps, lr=lr,
+                              sweep=sweep, sweep_groups=groups,
                               on_step=on_step, checkpoint_path=ckpt)
     elif multiscale:
         from .engine.fit import DEFAULT_SCENE_SCHEDULE, fit_scene_multiscale

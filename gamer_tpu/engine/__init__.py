@@ -10,8 +10,9 @@ def __getattr__(name):
     if name in ("fit_scene", "fit_pose", "fit_pose_fd", "fit_scene_fd",
                 "fit_scene_multiscale",
                 "fit_pose_multiscale", "fit_scene_batch",
-                "fit_scene_multiview", "fit_joint",
-                "apply_fit_to_scene", "FitResult", "BatchFitResult"):
+                "fit_scene_multiview", "fit_joint", "fit_joint_multiview",
+                "apply_fit_to_scene", "FitResult", "BatchFitResult",
+                "JointMultiviewResult"):
         from . import fit
 
         return getattr(fit, name)

@@ -2105,6 +2105,127 @@ def fit_joint(
     )
 
 
+@dataclass
+class JointMultiviewResult:
+    """fit_joint_multiview outcome: fitted scene + per-view cameras."""
+
+    scene: Scene                      # fitted galaxy (scene's own camera
+    cameras: List[CameraParams]       # fitted per-view poses
+    params: object                    # {"poses": [...], "scene": pytree}
+    losses: List[float] = field(default_factory=list)
+    fit_fields: Tuple[str, ...] = ()
+
+
+def fit_joint_multiview(
+    scene: Scene,
+    targets,
+    cameras: Sequence,
+    scene_fields: Sequence[str] = DEFAULT_FIT_FIELDS,
+    *,
+    rounds: int = 2,
+    pose_steps: int = 30,
+    scene_steps: int = 60,
+    pose_lr: float = 1e-2,
+    scene_lr: float = 2e-2,
+    march: str = "frozen",
+    on_step: Optional[Callable[[int, float], None]] = None,
+    normalize: bool = True,
+    mesh=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 10,
+) -> JointMultiviewResult:
+    """K views with UNKNOWN per-view cameras AND shared unknown galaxy
+    parameters — the full inverse-rendering problem, one call.
+
+    Completes the suite: single-view pose (fit_pose/_fd) → single-view
+    joint (fit_joint) → multi-view known-pose (fit_scene_multiview) →
+    multi-view joint (this). Block-coordinate rounds:
+
+      round r: (a) per-view pose blocks — each view's camera refined by
+                   ONE fit_pose_fd run (production-kernel FD probes, no
+                   LOD ladder) against ITS target, galaxy held fixed;
+               (b) shared scene block — fit_scene_multiview at the K
+                   refined poses (mean per-view MSE triangulates the 3-D
+                   structure), cameras held fixed, so ``march='frozen'``
+                   is valid inside the block and fields re-freeze per
+                   round at the new poses (``mesh`` shards the view axis
+                   here, exactly as in fit_scene_multiview).
+
+    ``cameras`` are the K INITIAL pose guesses (each must be within
+    fit_pose_fd's secant basin — tens of pixels of image motion).
+    ``targets`` is (K, size, size, 3). ``on_step`` sees a global index
+    over rounds * (K * pose_steps + scene_steps); ``checkpoint_path``
+    writes per-block files (.r<k>.pose<v> / .r<k>.scene) with the same
+    completed-block short-circuit as fit_joint. No reference analog.
+    """
+    import dataclasses as _dc
+
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    targets = np.asarray(targets)
+    K = len(list(cameras))
+    if targets.shape[0] != K:
+        raise ValueError(
+            f"{targets.shape[0]} targets for {K} cameras")
+    cams: List[CameraParams] = list(cameras)
+    current = scene
+    all_losses: List[float] = []
+    scene_params = None
+    base = 0
+    aborted = False
+
+    def _block_cb(b):
+        if on_step is None:
+            return None
+
+        def cb(i, loss):
+            nonlocal aborted
+            r = on_step(b + i, loss)
+            if r is False:
+                aborted = True
+            return r
+        return cb
+
+    for r in range(rounds):
+        for v in range(K):
+            view_scene = _dc.replace(current, camera=cams[v])
+            pres = fit_pose_fd(
+                view_scene, targets[v], ("camera",), steps=pose_steps,
+                lr=pose_lr, on_step=_block_cb(base), normalize=normalize,
+                checkpoint_path=(f"{checkpoint_path}.r{r}.pose{v}"
+                                 if checkpoint_path else None),
+                checkpoint_every=checkpoint_every,
+            )
+            cams[v] = pres.scene.camera
+            all_losses.extend(pres.losses)
+            base += pose_steps
+            if aborted:
+                break
+        if aborted:
+            break
+        sres = fit_scene_multiview(
+            current, targets, cams, scene_fields, steps=scene_steps,
+            lr=scene_lr, on_step=_block_cb(base), march=march, mesh=mesh,
+            checkpoint_path=(f"{checkpoint_path}.r{r}.scene"
+                             if checkpoint_path else None),
+            checkpoint_every=checkpoint_every,
+        )
+        current = sres.scene
+        scene_params = sres.params
+        all_losses.extend(sres.losses)
+        base += scene_steps
+        if aborted:
+            break
+    return JointMultiviewResult(
+        scene=current, cameras=cams,
+        params={"poses": [{"camera": c.camera, "target": c.target,
+                           "fov": c.fov} for c in cams],
+                "scene": scene_params},
+        losses=all_losses,
+        fit_fields=("camera",) + tuple(scene_fields),
+    )
+
+
 def apply_fit_to_scene(scene: Scene, params, fit_fields: Sequence[str]) -> Scene:
     """Write fitted params back into a deep copy of ``scene``.
 

@@ -57,7 +57,11 @@ so everything the CLI and library can render is servable. Endpoints:
                             With "views": [{"camera": [...], "target_png":
                             base64, ...}, ...] instead of "target_png",
                             fit ONE galaxy against K posed views at once
-                            (fit_scene_multiview)
+                            (fit_scene_multiview); "views" + "pose":
+                            "joint" treats the view poses as initial
+                            guesses and refines them per view
+                            (fit_joint_multiview — the result carries
+                            "poses", the K fitted cameras)
   GET    /job/<id>/result.json     fitted scene dict + loss trace
   GET    /job/<id>          state/progress/timing
   GET    /job/<id>/image.png       finished (or abort-partial) frame
@@ -507,12 +511,18 @@ class RenderService:
 
     def submit_fit_multiview(self, scene, views, fit_fields=None,
                              steps: int = 100, lr: float = 2e-2,
-                             march: str = "tensor") -> int:
+                             march: str = "tensor", pose=False,
+                             rounds: int = 2, pose_steps: int = 30) -> int:
         """Queue a multi-view fit (engine/fit.fit_scene_multiview): one
         galaxy optimized against K views at once. ``views`` is a list of
         {"camera": [x,y,z], "target": [x,y,z], "up": [x,y,z], "fov": f,
         "target_png": base64-PNG-or-array} dicts — per-view poses are
-        known and held fixed; gradients triangulate the 3-D structure."""
+        known and held fixed; gradients triangulate the 3-D structure.
+
+        ``pose="joint"`` treats the per-view poses as INITIAL GUESSES
+        instead (engine/fit.fit_joint_multiview): ``rounds`` alternations
+        of per-view fit_pose_fd blocks (``pose_steps`` each) and a shared
+        parameter block; the result carries the K fitted cameras."""
         import base64
         import io as _io
 
@@ -559,9 +569,16 @@ class RenderService:
 
         static, _ = flatten_scene(scene)  # validate at submission
         march = self._check_march(march, False, static, fit_fields)
+        if pose not in (False, "joint"):
+            raise ValueError(
+                "multi-view fits take pose=False (known poses, held "
+                "fixed) or pose='joint' (poses refined per view)")
+        if pose == "joint" and not 1 <= int(rounds) <= 100:
+            raise ValueError(f"rounds must be in [1, 100], got {rounds}")
         spec = dict(target=np.stack(targets), cameras=cams,
                     fit_fields=fit_fields, steps=steps, lr=float(lr),
-                    multiscale=False, pose=False, march=march)
+                    multiscale=False, pose=pose, march=march,
+                    rounds=int(rounds), pose_steps=int(pose_steps))
         return self._enqueue(Job(id=0, scene=scene, key=("fit", object()),
                                  fit_spec=spec))
 
@@ -976,7 +993,13 @@ class RenderService:
         spec = job.fit_spec
         pose = spec.get("pose", False)
         joint = pose == "joint"
-        if joint:
+        multiview = spec.get("cameras") is not None
+        if joint and multiview:
+            # rounds x (K per-view fd pose blocks + shared scene block)
+            pose_steps = spec.get("pose_steps", 30)
+            total = spec["rounds"] * (
+                len(spec["cameras"]) * pose_steps + spec["steps"])
+        elif joint:
             # rounds x (pose block + parameter block) global step count
             pose_steps = spec.get("pose_steps", 30)
             pose_block = (pose_steps
@@ -999,18 +1022,28 @@ class RenderService:
             # current step; the best-so-far fit is still returned below
             return not job.abort.is_set()
 
-        if spec.get("cameras") is not None:
+        if multiview:
             # multi-view: the view axis shards over the service mesh when
             # it tiles (K % n_dev == 0), else single-device
             mesh = self.mesh
             if mesh is not None and \
                     len(spec["cameras"]) % int(mesh.devices.size):
                 mesh = None
-            result = fit_scene_multiview(
-                job.scene, spec["target"], spec["cameras"],
-                spec["fit_fields"], steps=spec["steps"], lr=spec["lr"],
-                on_step=on_step, mesh=mesh,
-                march=spec.get("march", "tensor"))
+            if joint:
+                from .engine.fit import fit_joint_multiview
+
+                result = fit_joint_multiview(
+                    job.scene, spec["target"], spec["cameras"],
+                    spec["fit_fields"], rounds=spec["rounds"],
+                    pose_steps=pose_steps, scene_steps=spec["steps"],
+                    scene_lr=spec["lr"], on_step=on_step, mesh=mesh,
+                    march=spec.get("march", "frozen"))
+            else:
+                result = fit_scene_multiview(
+                    job.scene, spec["target"], spec["cameras"],
+                    spec["fit_fields"], steps=spec["steps"], lr=spec["lr"],
+                    on_step=on_step, mesh=mesh,
+                    march=spec.get("march", "tensor"))
         elif joint:
             # both blocks of fit_joint must tile the mesh: the pose ladders
             # run multiscale-pose shapes, the parameter blocks full-size
@@ -1049,7 +1082,10 @@ class RenderService:
             "losses": [float(v) for v in result.losses],
             "fit_fields": list(result.fit_fields),
         }
-        if joint:
+        if joint and multiview:
+            # the K fitted per-view poses (the camera dicts)
+            job.fit_result["poses"] = (result.params or {}).get("poses")
+        elif joint:
             pose_params = (result.params or {}).get("pose") or {}
             job.fit_result["pose"] = {
                 k: (v.tolist() if np.ndim(v) else float(v))
@@ -1247,15 +1283,22 @@ def make_handler(service: RenderService):
                     fields = payload.get("fields")
                     fields = tuple(fields) if fields is not None else None
                     if payload.get("views") is not None:
-                        if payload.get("pose") or payload.get("multiscale"):
+                        if payload.get("multiscale") or payload.get(
+                                "pose") not in (None, False, "joint"):
                             raise ValueError(
-                                "multi-view fits take neither 'pose' nor "
-                                "'multiscale'")
+                                "multi-view fits take 'pose': 'joint' "
+                                "(poses refined per view) or no 'pose' "
+                                "(poses held fixed); no 'multiscale'")
+                        pose_mv = payload.get("pose") or False
                         job_id = service.submit_fit_multiview(
                             scene, payload["views"], fields,
                             payload.get("steps", 100),
                             payload.get("lr", 2e-2),
-                            payload.get("march", "tensor"))
+                            payload.get("march",
+                                        "frozen" if pose_mv else "tensor"),
+                            pose=pose_mv,
+                            rounds=payload.get("rounds", 2),
+                            pose_steps=payload.get("pose_steps", 30))
                     else:
                         job_id = service.submit_fit(
                             scene, payload.get("target_png"), fields,

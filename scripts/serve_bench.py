@@ -25,6 +25,8 @@ Usage:
 
 maxbatch=N caps frames per launch (the RenderService latency dial) so
 the p50-vs-throughput tradeoff can be measured at the same load.
+octaves=N serves every request at that noise LOD (quality-tier serving —
+the remaining single-chip lever where the device is the bottleneck).
 """
 
 from __future__ import annotations
@@ -96,7 +98,7 @@ def main() -> None:
     print(f"  speedup    {ts / tb:.2f}x")
 
 
-def _scenes(size: int, n: int):
+def _scenes(size: int, n: int, octaves=None):
     import gamer_tpu
     from gamer_tpu.scene import gax
     from gamer_tpu.scene.cameracontrols import orbit_path
@@ -106,7 +108,8 @@ def _scenes(size: int, n: int):
         camera=gamer_tpu.CameraParams(camera=(0.5, 0, 0), target=(0, 0, 0),
                                       up=(0, 1, 0), fov=90.0),
         instances=[gamer_tpu.GalaxyInstance(galaxy=galaxy)],
-        config=gamer_tpu.RenderConfig(size=size, ray_step=0.025),
+        config=gamer_tpu.RenderConfig(size=size, ray_step=0.025,
+                                      noise_octaves=octaves),
     )
     cams = orbit_path(scene.camera, max(n, 2), horizontal_deg=180.0)
     return [dataclasses.replace(scene, camera=c) for c in cams[:n]]
@@ -132,6 +135,9 @@ def main_http() -> None:
     n_clients = int(args[1]) if len(args) > 1 else 8
     per_client = int(args[2]) if len(args) > 2 else 8
     max_batch = int(kw["maxbatch"]) if "maxbatch" in kw else None
+    # octaves=N serves the quality tier (RenderConfig.noise_octaves):
+    # the one single-chip lever at the device-bound 512^2 point
+    octaves = int(kw["octaves"]) if "octaves" in kw else None
 
     service = RenderService(batch_window_s=0.05, max_batch=max_batch)
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
@@ -150,7 +156,8 @@ def main_http() -> None:
         with urllib.request.urlopen(req, timeout=1800) as r:
             return r.status, json.loads(r.read())
 
-    payloads = [scene_to_dict(s) for s in _scenes(size, n_clients)]
+    payloads = [scene_to_dict(s)
+                for s in _scenes(size, n_clients, octaves=octaves)]
 
     def wait_done(jid: int) -> dict:
         # long-poll (?wait=) — one blocked GET per job instead of a 20 ms

@@ -28,6 +28,22 @@ def test_galaxy_bad_method(capsys, fixtures_dir):
     assert "Cannot recognize" in capsys.readouterr().out
 
 
+def test_fit_sweep_token_validation(capsys, fixtures_dir):
+    """sweep= is fd-only and must be an integer; bad values print usage
+    instead of a traceback (the maxbatch= discipline)."""
+    base = ["fit"] + ["0"] * 14 + [str(fixtures_dir / "Spiral.gax"),
+                                   "/tmp/nope.png", "/tmp/out.gax"]
+    assert main(base + ["sweep=abc", "march=fd"]) == 1
+    assert "bad sweep value" in capsys.readouterr().out
+    assert main(base + ["sweep=9"]) == 1  # march defaults to tensor
+    assert "sweep= is the staged global search" in capsys.readouterr().out
+
+
+def test_serve_maxbatch_token_validation(capsys):
+    assert main(["serve", "maxbatch=abc"]) == 1
+    assert "bad maxbatch value" in capsys.readouterr().out
+
+
 def test_galaxy_renders_png(tmp_path, fixtures_dir):
     out = tmp_path / "vortex"
     argv = ["galaxy", "xla", "0.5", "0", "0", "0", "0", "0", "0", "1", "0",

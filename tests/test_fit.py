@@ -410,6 +410,48 @@ def test_fit_scene_fd_checkpoint_resume(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
+def test_fit_joint_multiview_wiring():
+    """fit_joint_multiview: per-view fit_pose_fd blocks + a shared
+    fit_scene_multiview block compose; cameras move, losses are finite,
+    the fitted scene carries the shared parameters. (Convergence numbers
+    are the hardware bench — scripts/fit_joint_multiview_bench.py.)"""
+    import dataclasses
+
+    g = default_galaxy()
+    scene = _scene(g, 12)
+    scene.config = dataclasses.replace(scene.config, noise_octaves=2)
+    from gamer_tpu.engine.render import render_scene
+
+    true_cams = [
+        gamer_tpu.CameraParams(camera=c, target=(0, 0, 0), up=(0, 1, 0),
+                               fov=90.0)
+        for c in ((0.5, 0, 0), (0, 0.1, 0.49))
+    ]
+    targets = np.stack([
+        render_scene(dataclasses.replace(scene, camera=c))
+        for c in true_cams])
+    start_cams = [dataclasses.replace(
+        c, camera=(c.camera[0] + 0.02, c.camera[1], c.camera[2] - 0.01))
+        for c in true_cams]
+    g2 = dataclasses.replace(
+        g, components=[dataclasses.replace(c, strength=c.strength * 1.5)
+                       for c in g.components])
+    start = dataclasses.replace(
+        scene, instances=[gamer_tpu.GalaxyInstance(galaxy=g2)])
+
+    res = gfit.fit_joint_multiview(start, targets, start_cams,
+                                   ("strength",), rounds=1, pose_steps=2,
+                                   scene_steps=2)
+    assert len(res.cameras) == 2
+    assert np.isfinite(res.losses).all() and len(res.losses) > 0
+    for fc, sc in zip(res.cameras, start_cams):
+        assert tuple(fc.camera) != tuple(sc.camera), "pose block did not move"
+    assert res.params["scene"] is not None
+    with pytest.raises(ValueError, match="targets for"):
+        gfit.fit_joint_multiview(start, targets[:1], start_cams, rounds=1)
+
+
 def test_fit_scene_fd_bounded_probe_spread():
     """A value sitting ON a _FIT_BOUNDS bound still yields a usable
     one-sided probe (the FD denominator is the realized spread) and the

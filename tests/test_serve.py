@@ -1060,3 +1060,42 @@ def test_fit_job_multiview(vortex_scene):
             svc.submit_fit_multiview(start, [], steps=1)
     finally:
         svc.stop()
+
+
+@pytest.mark.slow
+def test_fit_job_multiview_joint(vortex_scene):
+    """'views' + pose='joint': the per-view cameras are initial guesses,
+    refined per view (fit_joint_multiview); the result carries the K
+    fitted poses."""
+    import copy
+    import dataclasses
+
+    from gamer_tpu.engine.render import render_scene
+    from gamer_tpu.scene.cameracontrols import orbit_path
+
+    cams = orbit_path(vortex_scene.camera, 2, 45.0)
+    views = []
+    for c in cams:
+        img = render_scene(dataclasses.replace(vortex_scene, camera=c))
+        views.append({"camera": [c.camera[0] + 0.01, c.camera[1],
+                                 c.camera[2]],
+                      "target": list(c.target), "up": list(c.up),
+                      "fov": c.fov, "target_png": img})
+    start = copy.deepcopy(vortex_scene)
+    start.instances[0].galaxy.components[0].strength *= 0.7
+
+    svc = RenderService()
+    try:
+        jid = svc.submit_fit_multiview(start, views, ("strength",),
+                                       steps=2, march="frozen",
+                                       pose="joint", rounds=1, pose_steps=2)
+        job = svc.wait(jid, timeout=900)
+        assert job.state == DONE, job.error
+        poses = job.fit_result["poses"]
+        assert len(poses) == 2
+        # the pose blocks moved the guesses off their starting points
+        assert tuple(poses[0]["camera"]) != tuple(views[0]["camera"])
+        with pytest.raises(ValueError, match="pose"):
+            svc.submit_fit_multiview(start, views, steps=1, pose="fd")
+    finally:
+        svc.stop()
