@@ -183,7 +183,7 @@ def _ckpt_load(path: str, fingerprint: str, params, opt_state, best_params):
 
 def _optimize(loss_fn, params, mask, *, steps, lr, optimizer, on_step,
               project_fn=None, checkpoint_path=None, checkpoint_every=1,
-              fingerprint="", batch: int = 0):
+              fingerprint="", batch: int = 0, captures=()):
     """The shared masked-Adam loop of fit_scene, fit_pose and
     fit_scene_batch.
 
@@ -208,6 +208,15 @@ def _optimize(loss_fn, params, mask, *, steps, lr, optimizer, on_step,
       carries a leading K axis, and the best iterate is tracked PER SCENE
       (each scene keeps the best of its own trajectory, exactly as K
       independent fits would).
+    - ``captures``: LARGE device arrays the loss depends on (the frozen
+      noise fields), passed as ``loss_fn(p, *captures)``. They are
+      threaded through jit as explicit ARGUMENTS: a closed-over array is
+      inlined into the lowered module as a constant, so a K-view frozen
+      precompute (K x ~134 MB at 128^2) serialized into every compile
+      payload — which both re-uploads device-resident data and exceeds
+      the axon tunnel's remote_compile body limit (HTTP 413 at 4 views).
+      Argument-passing keeps the compile payload small and the fields on
+      device. Small closures (ray dirs, pooled targets) stay closures.
     """
     import optax
 
@@ -223,23 +232,25 @@ def _optimize(loss_fn, params, mask, *, steps, lr, optimizer, on_step,
         )
     opt_state = opt.init(params)
 
+    caps = tuple(captures)
+
     if batch:
         # SUM, not mean: the gradient of the sum w.r.t. scene k's leaves IS
         # scene k's independent gradient, so each scene's Adam trajectory
         # matches its standalone fit exactly (a mean's 1/K rescaling is
         # Adam-invariant only while gradients dominate Adam's eps — it
         # visibly bends trajectories of scenes near their minimum).
-        def value_fn(p):
-            lv = loss_fn(p)
+        def value_fn(p, cap):
+            lv = loss_fn(p, *cap)
             return jnp.sum(lv), lv
     else:
-        def value_fn(p):
-            loss = loss_fn(p)
+        def value_fn(p, cap):
+            loss = loss_fn(p, *cap)
             return loss, loss
 
     @jax.jit
-    def step_fn(p, s):
-        (_, loss), grads = jax.value_and_grad(value_fn, has_aux=True)(p)
+    def step_fn(p, s, cap):
+        (_, loss), grads = jax.value_and_grad(value_fn, has_aux=True)(p, cap)
         grads = jax.tree_util.tree_map(
             lambda g, m: jnp.nan_to_num(g) * m, grads, mask
         )
@@ -284,7 +295,7 @@ def _optimize(loss_fn, params, mask, *, steps, lr, optimizer, on_step,
                     f"steps to extend the run, or delete the checkpoint "
                     f"to start over")
     for i in range(start, steps):
-        new_params, opt_state, loss = step_fn(params, opt_state)
+        new_params, opt_state, loss = step_fn(params, opt_state, caps)
         losses.append(np.asarray(loss) if batch else float(loss))
         improve(losses[-1], params)
         params = new_params
@@ -300,7 +311,7 @@ def _optimize(loss_fn, params, mask, *, steps, lr, optimizer, on_step,
             # mirroring the render path's partial-frame-on-abort contract
             break
     # the final iterate's loss was never seen by the loop above
-    final_loss = jax.jit(loss_fn)(params)
+    final_loss = jax.jit(lambda p, cap: loss_fn(p, *cap))(params, caps)
     losses.append(np.asarray(final_loss) if batch else float(final_loss))
     improve(losses[-1], params)
     return best_params, losses
@@ -529,17 +540,23 @@ def fit_scene(
         frozen = jax.jit(precompute_frozen, static_argnums=(0, 6))(
             static, params, dirs, camera, f(cfg.ray_step),
             f(cfg.min_ray_step), trip_bound)
-        frozen = jax.block_until_ready(frozen)
+        captures = (jax.block_until_ready(frozen),)
 
-        def march_fn(st, p, d, c, rs, ms, tb):
-            return render_rays_tensor_frozen(st, p, d, c, rs, ms, tb, frozen)
+        def march_fn(st, p, d, c, rs, ms, tb, fz):
+            return render_rays_tensor_frozen(st, p, d, c, rs, ms, tb, fz)
     else:
-        march_fn = _march_fn(march)
+        _march = _march_fn(march)
+        captures = ()
 
-    def loss_fn(p):
+        def march_fn(st, p, d, c, rs, ms, tb, fz):
+            return _march(st, p, d, c, rs, ms, tb)
+
+    def loss_fn(p, *cap):
+        # cap carries the frozen fields as a jit ARGUMENT (see _optimize's
+        # ``captures``: a 134 MB closure would be inlined per compile)
         linear = _linear_pooled(march_fn(
             static, p, dirs, camera, f(cfg.ray_step), f(cfg.min_ray_step),
-            trip_bound,
+            trip_bound, cap[0] if cap else None,
         ))
         img = post_process_float(
             linear, f(cfg.exposure), f(cfg.gamma), f(cfg.saturation)
@@ -562,6 +579,7 @@ def fit_scene(
             aux=(scene.camera.camera, scene.camera.target, scene.camera.up,
                  scene.camera.fov, cfg.ray_step, cfg.min_ray_step,
                  cfg.exposure, cfg.gamma, cfg.saturation, trip_bound)),
+        captures=captures,
     )
 
     fitted = jax.tree_util.tree_map(np.asarray, best_params)
@@ -799,11 +817,15 @@ def fit_scene_batch(
         return jnp.mean((_pooled(img) - t) ** 2)
 
     if frozen is not None:
-        def loss_fn(p):
+        captures = (frozen,)
+
+        def loss_fn(p, fz):
             return jax.vmap(per_scene_loss,
                             in_axes=(0, 0, frozen_axis))(p, target_pooled,
-                                                         frozen)
+                                                         fz)
     else:
+        captures = ()
+
         def loss_fn(p):
             return jax.vmap(per_scene_loss)(p, target_pooled)
 
@@ -823,6 +845,7 @@ def fit_scene_batch(
                  cfg.min_ray_step, cfg.exposure, cfg.gamma, cfg.saturation,
                  trip_bound)),
         batch=K,
+        captures=captures,
     )
 
     fitted = jax.tree_util.tree_map(np.asarray, best_params)
@@ -982,10 +1005,15 @@ def fit_scene_multiview(
         ) / 255.0
         return jnp.mean((_pooled(img) - t_v) ** 2)
 
-    def loss_fn(p):
-        if frozen is not None:
+    # the K frozen field sets (K x ~134 MB at 128^2) ride _optimize's
+    # ``captures`` — closed over, they would be inlined into the compile
+    # payload (the axon tunnel 413s at K=4)
+    captures = () if frozen is None else (frozen,)
+
+    def loss_fn(p, *cap):
+        if cap:
             losses = jax.vmap(view_loss, in_axes=(None, 0, 0, 0, 0))(
-                p, dirs, cam_pos, targets_pooled, frozen)
+                p, dirs, cam_pos, targets_pooled, cap[0])
         else:
             losses = jax.vmap(view_loss, in_axes=(None, 0, 0, 0))(
                 p, dirs, cam_pos, targets_pooled)
@@ -1005,6 +1033,7 @@ def fit_scene_multiview(
             aux=(tuple((c.camera, c.target, c.up, c.fov) for c in cameras),
                  cfg.ray_step, cfg.min_ray_step, cfg.exposure, cfg.gamma,
                  cfg.saturation, trip_bound)),
+        captures=captures,
     )
 
     fitted = jax.tree_util.tree_map(np.asarray, best_params)
