@@ -82,14 +82,20 @@ time.sleep(60)
 
 def test_stream_ladder_respects_global_budget(fake_child):
     # Budget exhausted mid-ladder: keep what landed, never block past it.
+    # inactivity_s > global_budget_s makes the sequence deterministic even
+    # on a saturated box: rung 1's line lands (any startup < the budget),
+    # then the parent sleeps straight to the deadline — the watchdog can
+    # never fire first and hand the remaining budget to a restarted child
+    # (with the old 3 s budget, a loaded box could exceed it with python
+    # startup alone and the rung was misclassified as hung).
     fake_child("""
 import json, sys, time
 sizes = [int(s) for s in sys.argv[1:]]
 print(json.dumps({"ok": True, "size": sizes[0], "dt": 0.5}), flush=True)
 time.sleep(60)
 """)
-    results = bench._stream_ladder((512, 4096), global_budget_s=3,
-                                   inactivity_s=10)
+    results = bench._stream_ladder((512, 4096), global_budget_s=15,
+                                   inactivity_s=60)
     assert [r["size"] for r in results] == [512]
 
 
