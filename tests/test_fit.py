@@ -890,7 +890,20 @@ def test_fit_multiscale_abort_stops_ladder():
 def test_fit_joint_recovers_pose_and_params(fixtures_dir):
     """fit_joint: UNKNOWN camera AND unknown strength — the alternating
     pose-ladder / parameter-block descent recovers both (VERDICT r2 #6's
-    workflow at test scale)."""
+    workflow at test scale).
+
+    Uses the FULL default pose ladder ((3,4),(5,2),(0,1)) — the same
+    schedule test_pose_multiscale_ladder gates. A weakened single-rung
+    (3,2) schedule used to pass here but sat below the information floor
+    of a 16² frame: an XLA:CPU codegen change on the CI box (fp
+    contraction shifts under the AOT machine-feature mismatch) moved the
+    chaotic trajectory out of its basin and the pose DIVERGED
+    (0.049 → 0.061, identically at the r3/r4/r5 snapshots). The r5
+    re-tune (pose_steps=16, full ladder) recovers pos 0.15×/strength
+    0.017 — margins of 4×/28× against the asserted bars, so codegen
+    jitter can't flip the verdict again. Measured recovery quality for
+    the production path lives in the hardware benches
+    (scripts/fit_joint_bench.py, fit_joint_multiview_bench.py)."""
     from gamer_tpu.engine.render import render_scene
 
     g = gax.load(fixtures_dir / "Spiral.gax")
@@ -905,8 +918,7 @@ def test_fit_joint_recovers_pose_and_params(fixtures_dir):
     start.instances[0].galaxy.components[1].strength = truth_strength * 1.8
 
     res = gfit.fit_joint(start, target, ("strength",), rounds=2,
-                         pose_steps=20, scene_steps=30,
-                         pose_schedule=((3, 2),), march="frozen")
+                         pose_steps=16, scene_steps=30, march="frozen")
     assert set(res.params) == {"pose", "scene"}
     assert res.fit_fields == ("camera", "strength")
     err0 = float(np.linalg.norm(np.array(start_cam) - np.array(truth_cam)))
