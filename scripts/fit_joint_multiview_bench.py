@@ -20,7 +20,7 @@ import numpy as np
 
 
 def main() -> None:
-    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3  # BASELINE config
     pose_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     scene_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 60
     size = int(sys.argv[4]) if len(sys.argv) > 4 else 128
